@@ -1,0 +1,140 @@
+"""Events-table queries: time/JSON scalar functions (SURVEY.md §2.8
+F2-F7, F14-F16) and event-log-style aggregations.
+
+The events table mirrors the reference's semi-structured surfaces: a JSON
+``props`` column (like `SaleItems` / `_rescued_data` / the DLT event log's
+``details``) and an event-time column.
+
+Oracle-dialect mapping used throughout:
+  Spark ``from_unixtime(x)``            ↔ DuckDB ``strftime(to_timestamp(x), '%Y-%m-%d %H:%M:%S')``
+  Spark ``unix_timestamp(ts)``          ↔ DuckDB ``floor(epoch(ts))::BIGINT``
+  Spark ``get_json_object(p,'$.k')``    ↔ DuckDB ``json_extract_string(p,'$.k')``
+  Spark ``from_json(p,'k INT').k``      ↔ DuckDB ``json_extract_string(p,'$.k')::INTEGER``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.plans.registry import dsum, query
+from dataengineeringworkshop_spark.plans.tables import load_table
+
+
+@query(
+    "f2_from_unixtime",
+    oracle="""
+        SELECT event_id,
+               strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts_str
+        FROM events
+    """,
+    tags=("F2", "F4", "F5"),
+)
+def f2_from_unixtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_unixtime(epoch) → 'yyyy-MM-dd HH:mm:ss' string (N2:339) — the
+    silver layer's string-typed ts; unix_timestamp truncates sub-seconds."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select("event_id", F.from_unixtime(F.unix_timestamp("ts")).alias("ts_str"))
+
+
+@query(
+    "f3_from_unixtime_fmt",
+    oracle="""
+        SELECT event_id,
+               strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d') AS event_day
+        FROM events
+    """,
+    tags=("F3",),
+)
+def f3_from_unixtime_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_unixtime(ts, 'yyyy-MM-dd') (`Utils/Define-Functions.py:27`)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.from_unixtime(F.unix_timestamp("ts"), "yyyy-MM-dd").alias("event_day")
+    )
+
+
+@query(
+    "f5_unix_timestamp_parse",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(floor(epoch(strptime(CAST(o_orderdate AS VARCHAR), '%Y-%m-%d %H:%M:%S'))) AS BIGINT) AS epoch_s
+        FROM orders
+    """,
+    tags=("F5", "F9"),
+)
+def f5_unix_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unix_timestamp(string) parse (N2:516) — string → epoch seconds."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp(F.col("o_orderdate").cast("string")).alias("epoch_s"),
+    )
+
+
+@query(
+    "f16_get_json_object",
+    oracle="SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events",
+    tags=("F16",),
+)
+def f16_get_json_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object — the OSS stand-in for Databricks `col:path`
+    extraction (N2:516, N3:147-151)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select("event_id", F.get_json_object("props", "$.k").alias("k_str"))
+
+
+@query(
+    "f14_from_json_field",
+    oracle="SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val FROM events",
+    tags=("F14", "F18"),
+)
+def f14_from_json_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with DDL schema + struct field access (N2:387-390)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.from_json("props", "k INT").getField("k").alias("k_val")
+    )
+
+
+@query(
+    "e_hourly_type_stats",
+    oracle=f"""
+        SELECT date_trunc('hour', ts) AS event_hour, event_type,
+               COUNT(*) AS n_events, {dsum("value", "total_value")}
+        FROM events GROUP BY event_hour, event_type
+    """,
+    bench=True,
+    tags=("A5", "A2"),
+)
+def e_hourly_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-log rollup: per-hour per-type counts + value sum (the
+    `flow_progress` metrics-rollup shape, N3:156-168)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("event_hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.expr("CAST(SUM(CAST((value) AS DECIMAL(18,4))) AS DOUBLE)").alias("total_value"),
+    )
+
+
+@query(
+    "e_json_value_stats",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    tags=("F16", "A3"),
+)
+def e_json_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a JSON-extracted field — the event-log audit query
+    shape (N3:134-151)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).cast("long").alias("k_total"),
+        F.count("*").alias("n"),
+    )

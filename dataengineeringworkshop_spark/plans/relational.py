@@ -1,0 +1,763 @@
+"""Core relational operator coverage (SURVEY.md §2.1-2.8) on the TPC-H-ish
+testdata, each with a DuckDB oracle.
+
+Reference parity notes (file:line cites refer to /root/reference):
+- flagship join-agg mirrors the gold queries (`2 Medaillon architecture.py:558-568,
+  579-588`) transliterated onto lineitem/orders/customer/nation/region.
+- projections/filters/CASE mirror `1 Data ingestion.py:113-183`,
+  `2 Medaillon architecture.py:128-132, 337-349`.
+- window dedup-latest mirrors `2 Medaillon architecture.py:325-349` (W1);
+  top-k-per-group mirrors `2 Medaillon architecture.py:594-599` (W2).
+
+Scale posture: dimension joins (region/nation/customer at these ratios) are
+explicitly broadcast; fact-fact joins shuffle on their keys and rely on AQE
+for skew/coalesce.  All aggregates are partial+final hash aggregates (Catalyst
+default — no driver-side loops anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.plans.registry import davg, dsum, query
+from dataengineeringworkshop_spark.plans.tables import load_table, register_views
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str) -> DataFrame:
+    register_views(spark, sf_dir, *tables)
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY.md §7.1): revenue by region and month.
+# lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region → group by region, month.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_region_month_revenue",
+    oracle=f"""
+        SELECT r_name,
+               strftime(o_orderdate, '%Y-%m') AS order_month,
+               {dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+               COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, order_month
+    """,
+    bench=True,
+    tags=("J2", "A3", "A4", "A5"),
+)
+def flagship_region_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-style multi-way join + grouped agg + count-distinct
+    (`2 Medaillon architecture.py:558-568` shape).  Dims broadcast; the
+    lineitem⋈orders join shuffles on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.expr("CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4))) AS DOUBLE)").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query("p1_select_star", oracle="SELECT * FROM region", tags=("P1",))
+def p1_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT *` passthrough (N1:113)."""
+    return load_table(spark, sf_dir, "region").select("*")
+
+
+@query(
+    "p2_projection_alias",
+    oracle="SELECT o_orderkey AS order_id, o_orderpriority AS priority FROM orders",
+    tags=("P2",),
+)
+def p2_projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection + alias (N2:337-345).  Catalyst prunes the scan to
+    the two referenced columns (check ReadSchema in explain)."""
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"), F.col("o_orderpriority").alias("priority")
+    )
+
+
+@query(
+    "p3_mixed_star_projection",
+    oracle="SELECT o_orderstatus AS status_copy, * FROM orders",
+    tags=("P3",),
+)
+def p3_mixed_star_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed `col, *` projection (N1:212)."""
+    return _sql(spark, sf_dir, ("orders",), "SELECT o_orderstatus AS status_copy, * FROM dew_orders")
+
+
+@query(
+    "p4_literal_projection",
+    oracle="SELECT n_name, 'CANCELED' AS state FROM nation",
+    tags=("P4",),
+)
+def p4_literal_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal column (`Utils/Define-Functions.py:59`)."""
+    return load_table(spark, sf_dir, "nation").select("n_name", F.lit("CANCELED").alias("state"))
+
+
+@query(
+    "p5_eq_filter",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'",
+    tags=("P5",),
+)
+def p5_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter (N1:172) — pushed down to the parquet scan."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "p6_conjunctive_filter",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.05
+    """,
+    tags=("P6",),
+)
+def p6_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate (N2:505-507)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_returnflag") == "R") & (F.col("l_discount") > 0.05)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+@query(
+    "p7_in_list",
+    oracle="""
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_name IN ('NATION_1','NATION_3','NATION_5','NATION_19')
+    """,
+    tags=("P7",),
+)
+def p7_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate (N1:155-156)."""
+    return (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_3", "NATION_5", "NATION_19"))
+        .select("n_nationkey", "n_name")
+    )
+
+
+@query(
+    "p8_null_predicates",
+    oracle="""
+        SELECT o_orderkey FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+    """,
+    tags=("P8",),
+)
+def p8_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL (N2:499, 587)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderdate").isNotNull() & F.col("o_orderstatus").isNotNull()).select(
+        "o_orderkey"
+    )
+
+
+@query(
+    "p10_case_when_in",
+    oracle="""
+        SELECT n_nationkey, n_name,
+               CASE WHEN n_name IN ('NATION_0','NATION_1','NATION_2') THEN 'GROUP_A'
+                    WHEN n_name IN ('NATION_3','NATION_4') THEN 'GROUP_B'
+                    ELSE 'OTHER' END AS name_group
+        FROM nation
+    """,
+    tags=("P10",),
+)
+def p10_case_when_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN … IN … THEN (country-code derivation, N1:154-157)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        "n_name",
+        F.when(F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2"), "GROUP_A")
+        .when(F.col("n_name").isin("NATION_3", "NATION_4"), "GROUP_B")
+        .otherwise("OTHER")
+        .alias("name_group"),
+    )
+
+
+@query(
+    "p11_not_and",
+    oracle="""
+        SELECT p_partkey, p_size, p_retailprice FROM part
+        WHERE NOT (p_size < 10 AND p_retailprice > 1000)
+    """,
+    tags=("P11",),
+)
+def p11_not_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT(a AND b) boolean expression (N4:122)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(~((F.col("p_size") < 10) & (F.col("p_retailprice") > 1000))).select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+
+
+@query(
+    "p12_not_equal",
+    oracle="SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag <> 'N'",
+    tags=("P12",),
+)
+def p12_not_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`<>` comparison (merge guard, N2:537)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") != "N").select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_two_way_inner",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("J1",),
+)
+def j1_two_way_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-way equi inner join (N4:177-181); small side broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "j2_three_way_inner",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderstatus, c_name
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    bench=True,
+    tags=("J2",),
+)
+def j2_three_way_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way chained inner join (N2:560-568)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus", "c_name")
+    )
+
+
+@query(
+    "j3_join_agg_null_filter",
+    oracle=f"""
+        SELECT c_custkey, c_name,
+               {dsum("l_extendedprice * (1 - l_discount)", "total_spend")},
+               COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey IS NOT NULL
+        GROUP BY c_custkey, c_name
+    """,
+    tags=("J3", "A6"),
+)
+def j3_join_agg_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold_top_customers shape: 3-way join + null filter + multi-col group
+    (N2:579-588)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("lineitem", "orders", "customer"),
+        f"""
+        SELECT c_custkey, c_name,
+               {dsum("l_extendedprice * (1 - l_discount)", "total_spend")},
+               COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM dew_lineitem
+        JOIN dew_orders ON l_orderkey = o_orderkey
+        JOIN dew_customer ON o_custkey = c_custkey
+        WHERE c_custkey IS NOT NULL
+        GROUP BY c_custkey, c_name
+        """,
+    )
+
+
+@query(
+    "j_semi_exists",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("extra",),
+)
+def j_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — beyond the reference surface, standard Spark."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "j_anti_not_exists",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("extra",),
+)
+def j_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_count_group",
+    oracle="""
+        SELECT c_mktsegment, COUNT(c_custkey) AS number_of_customers
+        FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("A1",),
+)
+def a1_count_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(col) + GROUP BY + alias (N1:176-183)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("c_custkey").alias("number_of_customers"))
+    )
+
+
+@query(
+    "a2_count_star_group",
+    oracle="SELECT l_returnflag, COUNT(*) AS number_of_records FROM lineitem GROUP BY l_returnflag",
+    tags=("A2",),
+)
+def a2_count_star_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) + GROUP BY (N2:285-289)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("number_of_records"))
+    )
+
+
+@query(
+    "a3_sum_group",
+    oracle=f"SELECT l_returnflag, {dsum('l_quantity', 'sum_qty')} FROM lineitem GROUP BY l_returnflag",
+    tags=("A3",),
+)
+def a3_sum_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM + GROUP BY (N2:564)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("lineitem",),
+        f"SELECT l_returnflag, {dsum('l_quantity', 'sum_qty')} FROM dew_lineitem GROUP BY l_returnflag",
+    )
+
+
+@query(
+    "a4_count_distinct",
+    oracle="""
+        SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A4",),
+)
+def a4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct col) (N2:564) — Catalyst expands to two-phase agg."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "a5_group_by_expression",
+    oracle=f"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               COUNT(*) AS n_orders, {dsum('o_totalprice', 'month_total')}
+        FROM orders GROUP BY order_month
+    """,
+    tags=("A5", "F6"),
+)
+def a5_group_by_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY on a computed expression (N2:568)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("orders",),
+        f"""
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS order_month,
+               COUNT(*) AS n_orders, {dsum('o_totalprice', 'month_total')}
+        FROM dew_orders GROUP BY order_month
+        """,
+    )
+
+
+@query(
+    "a6_multi_col_group",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               {dsum('l_quantity', 'sum_qty')},
+               {dsum('l_extendedprice', 'sum_base_price')},
+               {davg('l_discount', 'avg_disc')}
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    tags=("A6", "A3"),
+)
+def a6_multi_col_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column GROUP BY with several aggregates (N2:588) — TPC-H Q1 shape."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("lineitem",),
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               {dsum('l_quantity', 'sum_qty')},
+               {dsum('l_extendedprice', 'sum_base_price')},
+               {davg('l_discount', 'avg_disc')}
+        FROM dew_lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+
+
+@query(
+    "a7_min_max",
+    oracle="""
+        SELECT o_orderstatus, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+               MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("extra",),
+)
+def a7_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX over doubles and timestamps (exact — no accumulation order issues)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window functions + §2.6 sorts/limits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_dedup_keep_latest",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM (
+            SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS latest_record
+            FROM orders
+        ) WHERE latest_record = 1
+    """,
+    tags=("W1", "P9"),
+)
+def w1_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-keep-latest idiom (N2:325-349): row_number over key ordered by
+    recency desc (unique tiebreaker added for determinism), keep rank 1.
+    Implemented via operators.dedup.dedup_latest."""
+    from dataengineeringworkshop_spark.operators.dedup import dedup_latest
+
+    o = load_table(spark, sf_dir, "orders")
+    return dedup_latest(
+        o, keys=["o_custkey"], order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+@query(
+    "w2_topk_per_group",
+    oracle=f"""
+        WITH spend AS (
+            SELECT c_nationkey, c_custkey, c_name,
+                   {dsum("l_extendedprice * (1 - l_discount)", "total_spend")}
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey, c_custkey, c_name
+        )
+        SELECT c_nationkey, c_custkey, c_name, total_spend, customer_rank FROM (
+            SELECT *, rank() OVER (PARTITION BY c_nationkey
+                                   ORDER BY total_spend DESC, c_custkey ASC) AS customer_rank
+            FROM spend
+        ) WHERE customer_rank <= 3
+    """,
+    bench=True,
+    tags=("W2", "O4", "C1"),
+)
+def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation by spend (N2:594-599) — window rank over a
+    grouped aggregate, filtered."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("total_spend")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+    return spend.withColumn("customer_rank", F.rank().over(w)).filter(F.col("customer_rank") <= 3)
+
+
+@query(
+    "o1_order_by_expression",
+    oracle="""
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        FROM orders ORDER BY order_day, o_orderkey
+    """,
+    tags=("O1", "O2"),
+)
+def o1_order_by_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY on an expression (`Utils/Define-Functions.py:29`)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+        .orderBy("order_day", "o_orderkey")
+    )
+
+
+@query(
+    "o3_limit",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10",
+    tags=("O3",),
+)
+def o3_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT (N2:307) — ordered by a unique key first so the row set is
+    deterministic across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 CTEs / subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c1_multi_cte",
+    oracle="""
+        WITH latest AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ),
+        newest_records AS (SELECT * FROM latest WHERE rn = 1)
+        SELECT o_orderstatus, COUNT(*) AS n_customers
+        FROM newest_records GROUP BY o_orderstatus
+    """,
+    tags=("C1",),
+)
+def c1_multi_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE dedup-then-aggregate (N2:325-355 shape)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("orders",),
+        """
+        WITH latest AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM dew_orders
+        ),
+        newest_records AS (SELECT * FROM latest WHERE rn = 1)
+        SELECT o_orderstatus, COUNT(*) AS n_customers
+        FROM newest_records GROUP BY o_orderstatus
+        """,
+    )
+
+
+@query(
+    "c2_nested_subquery",
+    oracle="""
+        SELECT status, n_lines FROM (
+            SELECT o_orderstatus AS status, COUNT(*) AS n_lines FROM (
+                SELECT l.l_orderkey, o.o_orderstatus
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_quantity > 10
+            ) joined GROUP BY o_orderstatus
+        ) agg WHERE n_lines > 0
+    """,
+    tags=("C2",),
+)
+def c2_nested_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aliased subqueries, 2 deep (N4:127-160)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("lineitem", "orders"),
+        """
+        SELECT status, n_lines FROM (
+            SELECT o_orderstatus AS status, COUNT(*) AS n_lines FROM (
+                SELECT l.l_orderkey, o.o_orderstatus
+                FROM dew_lineitem l JOIN dew_orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_quantity > 10
+            ) joined GROUP BY o_orderstatus
+        ) agg WHERE n_lines > 0
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_coalesce_nullif",
+    oracle="""
+        SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label
+        FROM orders
+    """,
+    tags=("F1",),
+)
+def f1_coalesce_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce (N2:331)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_label"),
+    )
+
+
+@query(
+    "f8_f9_concat_cast",
+    oracle="""
+        SELECT CAST(o_orderkey AS VARCHAR) || '-' || o_orderstatus AS order_code, o_orderkey
+        FROM orders
+    """,
+    tags=("F8", "F9"),
+)
+def f8_f9_concat_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`||` concat + cast-to-string unique-id idiom (N2:168, 342)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("-"), F.col("o_orderstatus")).alias(
+            "order_code"
+        ),
+        "o_orderkey",
+    )
+
+
+@query(
+    "f10_f11_row_hash",
+    oracle="""
+        SELECT n_nationkey,
+               sha256(concat_ws('||', CAST(n_nationkey AS VARCHAR), n_name,
+                                CAST(n_regionkey AS VARCHAR))) AS row_hash
+        FROM nation
+    """,
+    tags=("F10", "F11"),
+)
+def f10_f11_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha2(concat_ws('||', *cols), 256) change-detection row hash
+    (N2:353, 411) via operators.rowhash.with_row_hash."""
+    from dataengineeringworkshop_spark.operators.rowhash import with_row_hash
+
+    n = load_table(spark, sf_dir, "nation")
+    return with_row_hash(n, cols=["n_nationkey", "n_name", "n_regionkey"]).select(
+        "n_nationkey", "row_hash"
+    )
+
+
+@query(
+    "f12_length",
+    oracle="SELECT c_custkey, LENGTH(c_name) AS name_len FROM customer",
+    tags=("F12",),
+)
+def f12_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """length() (N4:103)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.length("c_name").cast("long").alias("name_len")
+    )
+
+
+@query(
+    "f17_input_file_name",
+    oracle="SELECT COUNT(*) AS n_from_lineitem_file FROM lineitem",
+    tags=("F17",),
+)
+def f17_input_file_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_file_name / _metadata.file_path provenance column (N2:267):
+    count rows whose source file path contains 'lineitem'."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(F.col("_metadata.file_path").alias("fp"))
+        .filter(F.col("fp").contains("lineitem"))
+        .agg(F.count("*").alias("n_from_lineitem_file"))
+    )
+
+
+@query(
+    "f18_struct_access",
+    oracle="SELECT o_orderkey, o_orderstatus AS status FROM orders",
+    tags=("F18",),
+)
+def f18_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """struct build + field access (N2:401-405): named_struct(...).field
+    round-trips to the raw column."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.named_struct(F.lit("s"), F.col("o_orderstatus")).getField("s").alias("status"),
+    )

@@ -1,0 +1,142 @@
+"""Embedding similarity search (SURVEY.md §7 extension; BASELINE north
+star): brute-force cosine top-k with an exact-decimal dot product so the
+result hash-matches the DuckDB oracle bit-for-bit.
+
+Determinism: float dot products are accumulated as DECIMAL(28,14) (exact,
+order-independent) and only cast to double at the end — Spark folds the
+array with ``aggregate``; the oracle unnests with index and SUMs the same
+decimals.  Both engines then divide identical doubles → identical cosines
+→ identical ranks.
+
+Scale posture: the brute-force path broadcasts the (small) query set and
+streams the corpus — one pass, no shuffle of the corpus, O(|Q|·N·d) JVM
+work inside whole-stage codegen.  For 100 TB you bound |Q| and use the
+LSH-bucketed variant in ``llmops.similarity`` to prune candidates first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.tables import load_table
+
+# exact decimal fold of sum(x_i * y_i) over two float arrays, as Spark SQL
+_DOT = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))), "
+    "CAST(0 AS DECIMAL(28,14)), (acc, v) -> CAST(acc + v AS DECIMAL(28,14))) AS DOUBLE)"
+)
+
+
+def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.withColumn("nrm", F.expr(_DOT.format(a="embedding", b="embedding")))
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+            FROM embeddings
+        ),
+        nrm AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY vec_id
+        ),
+        qx AS (SELECT vec_id AS qid, i, v FROM ex WHERE vec_id % 100 = 0),
+        dot AS (
+            SELECT qx.qid, ex.vec_id AS nid,
+                   CAST(SUM(CAST(CAST(qx.v AS DOUBLE) * CAST(ex.v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+            FROM qx JOIN ex ON qx.i = ex.i AND qx.qid <> ex.vec_id
+            GROUP BY qx.qid, ex.vec_id
+        ),
+        scored AS (
+            SELECT dot.qid AS query_id, dot.nid AS neighbor_id,
+                   ROUND(dot.dot / sqrt(n1.nrm * n2.nrm), 6) AS cosine
+            FROM dot JOIN nrm n1 ON dot.qid = n1.vec_id
+                     JOIN nrm n2 ON dot.nid = n2.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, sim_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= 10
+    """,
+    bench=True,
+    tags=("ext-sim",),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for query vectors
+    (vec_id % 100 == 0).  Query set broadcast; corpus streamed once."""
+    from pyspark.sql import Window
+
+    e = _norms(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(_DOT.format(a="q_emb", b="embedding"))
+            / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("sim_rank", F.row_number().over(w)).filter(F.col("sim_rank") <= 10)
+
+
+@query(
+    "sim_label_centroid_dist",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, i,
+                   CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS c
+            FROM ex GROUP BY label, i
+        )
+        SELECT ex.label, ex.vec_id,
+               ROUND(CAST(SUM(CAST((CAST(ex.v AS DOUBLE) - cent.c) * (CAST(ex.v AS DOUBLE) - cent.c)
+                                   AS DECIMAL(28,14))) AS DOUBLE), 6) AS sq_dist
+        FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+        GROUP BY ex.label, ex.vec_id
+    """,
+    tags=("ext-sim",),
+)
+def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + squared distance of each vector to its own
+    centroid (the k-means E-step shape, relationally).  Exercises
+    element-wise aggregation across vectors — the building block for
+    IVF-style coarse quantization."""
+    from dataengineeringworkshop_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(
+        """
+        WITH ex AS (
+            SELECT vec_id, label, posexplode(embedding) AS (i0, v) FROM dew_embeddings
+        ),
+        ex1 AS (SELECT vec_id, label, i0 + 1 AS i, v FROM ex),
+        cent AS (
+            SELECT label, i,
+                   CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS c
+            FROM ex1 GROUP BY label, i
+        )
+        SELECT ex1.label, ex1.vec_id,
+               ROUND(CAST(SUM(CAST((CAST(ex1.v AS DOUBLE) - cent.c) * (CAST(ex1.v AS DOUBLE) - cent.c)
+                                   AS DECIMAL(28,14))) AS DOUBLE), 6) AS sq_dist
+        FROM ex1 JOIN cent ON ex1.label = cent.label AND ex1.i = cent.i
+        GROUP BY ex1.label, ex1.vec_id
+        """
+    )

@@ -1,0 +1,340 @@
+"""Documents-table queries: generators (§2.9), array functions (F13), and
+the LLM-pipeline text-analysis/dedup extensions (SURVEY.md §7, BASELINE
+north star): token stats, language guess, quality score, fingerprinting,
+exact dedup, n-gram Jaccard near-dup pairs.
+
+Dialect discipline for oracle parity:
+- No backslash escapes in regexes (Spark SQL and DuckDB unescape string
+  literals differently) — character classes only.
+- Ratios compared via integer cross-multiplication, never float division
+  inside predicates.
+- posexplode (0-based) ↔ DuckDB ``generate_subscripts(arr,1)-1`` + unnest.
+
+Scale posture: everything is explode → hash-aggregate / inverted-index
+join — no cross joins, no driver loops.  The Jaccard candidate join caps
+shingle document-frequency (``maxdf``) so hot shingles can't quadratically
+explode the pair space — the standard trick at 100 TB, where you'd also
+band with MinHash first (see llmops.minhash for the oracle-less scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.tables import register_views
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str) -> DataFrame:
+    register_views(spark, sf_dir, *tables)
+    return spark.sql(sql)
+
+
+@query(
+    "g1_posexplode_tokens",
+    oracle="""
+        SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+    """,
+    tags=("G1", "F13"),
+)
+def g1_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode(array) with parent columns preserved (N2:383-394)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("documents",),
+        "SELECT doc_id, posexplode(split(text, ' ')) AS (pos, token) FROM dew_documents",
+    )
+
+
+@query(
+    "g2_explode_token_freq",
+    oracle="""
+        SELECT token, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token
+    """,
+    bench=True,
+    tags=("G2", "A2"),
+)
+def g2_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + aggregate: corpus token frequency (N3:148-150 explode
+    idiom).  Partial aggregation happens map-side before the shuffle."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("documents",),
+        """
+        SELECT token, COUNT(*) AS cnt FROM (
+            SELECT explode(split(text, ' ')) AS token FROM dew_documents
+        ) GROUP BY token
+        """,
+    )
+
+
+@query(
+    "f13_size_split",
+    oracle="SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+    tags=("F13",),
+)
+def f13_size_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size(array) (N4:122) — whitespace token count per document."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("documents",),
+        "SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens FROM dew_documents",
+    )
+
+
+@query(
+    "t_text_stats",
+    oracle="""
+        SELECT doc_id, n_chars,
+               LENGTH(text) AS len_chars,
+               len(string_split(text, ' ')) AS n_words,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digits
+        FROM documents
+    """,
+    tags=("ext-text",),
+)
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality-scoring features: char/word/punct/digit counts."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("documents",),
+        """
+        SELECT doc_id, n_chars,
+               CAST(LENGTH(text) AS BIGINT) AS len_chars,
+               CAST(size(split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(size(regexp_extract_all(text, '([.,!?;:])', 1)) AS BIGINT) AS n_punct,
+               CAST(size(regexp_extract_all(text, '([0-9])', 1)) AS BIGINT) AS n_digits
+        FROM dew_documents
+        """,
+    )
+
+
+@query(
+    "t_token_count_regex",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens_bpeish
+        FROM documents
+    """,
+    tags=("ext-text",),
+)
+def t_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer-regex token count (letters run | digits run |
+    single other symbol) — the cheap pre-tokenization count used to budget
+    LLM training data."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("documents",),
+        """
+        SELECT doc_id,
+               CAST(size(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])', 1)) AS BIGINT)
+                   AS n_tokens_bpeish
+        FROM dew_documents
+        """,
+    )
+
+
+@query(
+    "t_lang_guess",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_words,
+                   SUM(CASE WHEN w IN ('the','a','of','and','to','in','is','that','for','it')
+                            THEN 1 ELSE 0 END) AS en_hits
+            FROM tok GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang,
+               CASE WHEN h.en_hits * 20 >= h.n_words THEN 'en' ELSE 'other' END AS lang_guess
+        FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    tags=("ext-text",),
+)
+def t_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID heuristic: guess 'en' when >=5% of tokens
+    are English stopwords (integer cross-multiply — no float ratios)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("documents",),
+        """
+        WITH tok AS (
+            SELECT doc_id, explode(split(lower(text), ' ')) AS w FROM dew_documents
+        ),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_words,
+                   SUM(CASE WHEN w IN ('the','a','of','and','to','in','is','that','for','it')
+                            THEN 1 ELSE 0 END) AS en_hits
+            FROM tok GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang,
+               CASE WHEN h.en_hits * 20 >= h.n_words THEN 'en' ELSE 'other' END AS lang_guess
+        FROM dew_documents d JOIN hits h ON d.doc_id = h.doc_id
+        """,
+    )
+
+
+@query(
+    "t_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                       '  +', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    tags=("ext-text",),
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprint: lowercase → strip non-alnum → collapse
+    whitespace → md5.  The canonical-form dedup key."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("documents",),
+        """
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''),
+                                       '  +', ' '))) AS fingerprint
+        FROM dew_documents
+        """,
+    )
+
+
+@query(
+    "d_exact_dedup_keep_first",
+    oracle="""
+        SELECT doc_id, n_chars FROM (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    tags=("ext-dedup",),
+)
+def d_exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash text, keep lowest doc_id per hash.  One shuffle on
+    the 128-bit hash (never on raw text — at 100 TB you shuffle 16-byte
+    keys, not document bodies)."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.operators.dedup import dedup_exact
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").withColumn("__h", F.md5("text"))
+    return dedup_exact(d, keys=["__h"], keep_by="doc_id").select("doc_id", "n_chars")
+
+
+@query(
+    "d_dup_group_stats",
+    oracle="""
+        SELECT n_dups, COUNT(*) AS n_groups FROM (
+            SELECT md5(text) AS h, COUNT(*) AS n_dups FROM documents GROUP BY h
+        ) GROUP BY n_dups
+    """,
+    tags=("ext-dedup",),
+)
+def d_dup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster histogram: how many exact-dup groups of each size."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("documents",),
+        """
+        SELECT n_dups, COUNT(*) AS n_groups FROM (
+            SELECT md5(text) AS h, COUNT(*) AS n_dups FROM dew_documents GROUP BY h
+        ) GROUP BY n_dups
+        """,
+    )
+
+
+# word-3-gram shingle Jaccard near-dup pairs, df-capped inverted-index join.
+_JACCARD_SPARK = """
+WITH tok AS (
+    SELECT doc_id, split(text, ' ') AS w FROM dew_documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               explode(CASE WHEN size(w) < 3 THEN array()
+                            ELSE transform(sequence(1, size(w) - 2),
+                                           i -> concat_ws(' ', slice(w, i, 3))) END) AS shingle
+        FROM tok
+    )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {maxdf}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+    FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, inter,
+       s1.sz + s2.sz - inter AS uni,
+       CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+FROM pairs
+JOIN sizes s1 ON pairs.d1 = s1.doc_id
+JOIN sizes s2 ON pairs.d2 = s2.doc_id
+WHERE inter * 10 >= (s1.sz + s2.sz - inter) * 1
+ORDER BY jaccard DESC, d1 ASC, d2 ASC
+LIMIT 200
+"""
+
+_JACCARD_DUCK = """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []
+                                   ELSE [array_to_string(list_slice(w, i, i + 2), ' ')
+                                         FOR i IN range(1, len(w) - 1)] END) AS shingle
+        FROM tok
+    )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {maxdf}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+    FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, inter,
+       s1.sz + s2.sz - inter AS uni,
+       CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+FROM pairs
+JOIN sizes s1 ON pairs.d1 = s1.doc_id
+JOIN sizes s2 ON pairs.d2 = s2.doc_id
+WHERE inter * 10 >= (s1.sz + s2.sz - inter) * 1
+ORDER BY jaccard DESC, d1 ASC, d2 ASC
+LIMIT 200
+"""
+
+_JACCARD_MAXDF = 100
+
+
+@query(
+    "d_ngram_jaccard_pairs",
+    oracle=_JACCARD_DUCK.format(maxdf=_JACCARD_MAXDF),
+    bench=True,
+    tags=("ext-dedup",),
+)
+def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-3-gram Jaccard (df-capped inverted-
+    index self-join — no cross join).  Top-200 pairs with Jaccard >= 0.1,
+    deterministic tiebreak (jaccard desc, d1, d2)."""
+    return _sql(
+        spark, sf_dir, ("documents",), _JACCARD_SPARK.format(maxdf=_JACCARD_MAXDF)
+    )

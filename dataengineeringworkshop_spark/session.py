@@ -1,0 +1,67 @@
+"""SparkSession bootstrap (reference parity: notebook/session setup in
+`1 Data ingestion.py:33-56`, `Utils/Setup-Batch.py`, `Utils/Fetch-User-Metadata.py`).
+
+The reference notebooks run on a managed Databricks runtime; here the
+equivalent is a locally-built SparkSession with scale-aware defaults:
+AQE on (runtime re-planning, skew-join handling), UTC session timezone
+(so date/time functions are deterministic and oracle-comparable), Arrow
+enabled (fast pandas interchange for the Pandas-UDF slow path).
+
+On a real cluster the same builder is used with a cluster master URL; the
+only local-mode-specific knob is ``spark.driver.memory``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every entry point re-asserts (the driver may hand us
+# an existing session built elsewhere — these are all safe to set on a live
+# session and are required for deterministic, oracle-matching semantics).
+RUNTIME_DEFAULTS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # parquet reader rejects; read it as a raw long instead (see plans/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Assert runtime confs on an existing session (idempotent, cheap)."""
+    for k, v in RUNTIME_DEFAULTS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-runtime-settable in this build — session-level default applies
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "dew-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    local[$SPARK_GRAFT_CPUS] by default; on a cluster pass the master URL or
+    rely on spark-submit.  shuffle.partitions is sized to the local core
+    count — on a 1000-executor cluster you'd size it to ~2-3x total cores
+    (or let AQE coalesce from a higher initial number).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_DEFAULTS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_session_defaults(spark)
