@@ -1,0 +1,153 @@
+"""Versioned-table (Delta-parity) queries — MERGE, UPDATE, time travel,
+history, OPTIMIZE (SURVEY.md §2.10) exercised end-to-end on testdata.
+
+Each query materializes a scratch versioned table under /tmp, applies the
+DML, and returns the resulting DataFrame.  The final states are
+deterministic functions of the input tables, so most entries are
+oracle-paired: the DuckDB oracle recomputes the expected post-DML state
+relationally from the raw `orders` view.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.tables import load_table
+from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+
+def _orders_table(spark: SparkSession, sf_dir: str) -> tuple[VersionedTable, DataFrame]:
+    o = load_table(spark, sf_dir, "orders")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="dew_vt_") + "/orders_vt")
+    vt.write(o)
+    return vt, o
+
+
+# MERGE: update rows where o_orderkey % 10 = 3 (price +100, guarded by a
+# row-hash-style change condition), insert re-keyed copies of % 10 = 7 rows.
+_MERGE_ORACLE = """
+    WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 100 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 7
+    )
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           COALESCE(s.o_orderdate, t.o_orderdate) AS o_orderdate,
+           COALESCE(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+    FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+"""
+
+
+def _merge_source(o: DataFrame) -> DataFrame:
+    updates = o.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 10 == 7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    return updates.unionByName(inserts)
+
+
+@query("vt_merge_upsert", oracle=_MERGE_ORACLE, tags=("D4", "J4"))
+def vt_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (N2:534-540): matched-update + not-matched-insert against
+    a versioned table; result compared against the relational recomputation."""
+    vt, o = _orders_table(spark, sf_dir)
+    vt.merge(_merge_source(o), on="t.o_orderkey = s.o_orderkey")
+    return vt.read()
+
+
+@query("vt_time_travel", oracle="SELECT * FROM orders", tags=("D6",))
+def vt_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (N1:210-212): after a MERGE, `VERSION AS OF 0` still
+    returns the original data."""
+    vt, o = _orders_table(spark, sf_dir)
+    vt.merge(_merge_source(o), on="t.o_orderkey = s.o_orderkey")
+    return vt.read(version=0)
+
+
+@query(
+    "vt_update_case",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_totalprice < 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+    """,
+    tags=("D1", "D2"),
+)
+def vt_update_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE … SET col = CASE … (N1:151-157) + guarded numeric repair."""
+    vt, _ = _orders_table(spark, sf_dir)
+    vt.update({"o_orderstatus": "CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END"})
+    vt.update({"o_totalprice": "0.0"}, condition="o_totalprice < 0")
+    return vt.read()
+
+
+@query(
+    "vt_history_ops",
+    oracle="""
+        SELECT CAST(0 AS BIGINT) AS version, 'CREATE TABLE AS SELECT' AS operation
+        UNION ALL SELECT 1, 'MERGE'
+        UNION ALL SELECT 2, 'OPTIMIZE'
+    """,
+    tags=("D5",),
+)
+def vt_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (N1:196-198): operation sequence is deterministic
+    (timestamps excluded from the comparison)."""
+    vt, o = _orders_table(spark, sf_dir)
+    vt.merge(_merge_source(o), on="t.o_orderkey = s.o_orderkey")
+    vt.optimize(zorder_by=["o_orderkey"])
+    return vt.history().select("version", "operation")
+
+
+@query("vt_optimize_roundtrip", oracle="SELECT * FROM orders", tags=("D7",))
+def vt_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (N2:455-458): compaction + clustering preserves
+    the row set exactly (and the clustered files carry min/max stats that
+    enable data skipping on o_orderkey point lookups)."""
+    vt, _ = _orders_table(spark, sf_dir)
+    vt.optimize(zorder_by=["o_orderkey"], target_files=2)
+    return vt.read()
+
+
+@query(
+    "vt_delete_where",
+    oracle="SELECT * FROM orders WHERE NOT (o_orderstatus = 'P')",
+    tags=("D1",),
+)
+def vt_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE — copy-on-write anti-filter (Delta DML parity)."""
+    vt, _ = _orders_table(spark, sf_dir)
+    vt.delete("o_orderstatus = 'P'")
+    return vt.read()
+
+
+@query(
+    "vt_add_column_evolution",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS review_flag
+        FROM orders
+    """,
+    tags=("S10",),
+)
+def vt_add_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN (N1:146-147): metadata-only commit; existing
+    rows read back with nulls."""
+    vt, _ = _orders_table(spark, sf_dir)
+    vt.add_column("review_flag", "string")
+    return vt.read().select("o_orderkey", "o_orderstatus", "review_flag")

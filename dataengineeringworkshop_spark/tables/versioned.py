@@ -1,0 +1,309 @@
+"""Versioned table layer — OSS-Delta-semantics parity on plain parquet.
+
+The container has no delta-spark, so the reference's Delta surface
+(SURVEY.md §2.10: UPDATE D1-D3, MERGE D4, DESCRIBE HISTORY D5, time travel
+D6, OPTIMIZE/compaction D7; §2.1 S5-S6 table sinks; S10 ADD COLUMN) is
+re-implemented here as a minimal copy-on-write table format:
+
+    <path>/_dew_log/<version 8-digit>.json   — one commit per version
+    <path>/v<version>-<uuid>/part-*.parquet  — immutable data directories
+
+Each commit records the COMPLETE list of active data directories (snapshot
+isolation: readers of version N never see later writes) plus operation
+metadata (DESCRIBE HISTORY parity) and the schema DDL (ADD COLUMN reads
+old files through the evolved schema with nulls).
+
+Scale posture: all data movement is Spark jobs — reads are parquet scans
+of the active directories (partition pruning/pushdown intact), UPDATE /
+MERGE / DELETE are copy-on-write full rewrites expressed as single
+DataFrame plans (at 100 TB real Delta prunes rewrite sets with file-level
+min/max stats; the API surface here is identical, the rewrite set is
+coarser — documented deviation).  The transaction log is tiny JSON
+driver-side metadata, like Delta's _delta_log.
+
+Single-writer semantics (commits are atomic via rename); the workshop's
+workloads are single-writer.
+
+Reference cites: MERGE `2 Medaillon architecture.py:534-540`; UPDATE
+`1 Data ingestion.py:151-172`, `2 Medaillon architecture.py:511-518`;
+history/time travel `1 Data ingestion.py:196-212`; OPTIMIZE/ZORDER
+`2 Medaillon architecture.py:449-465`; ADD COLUMN `1 Data ingestion.py:146-147`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_dew_log"
+
+
+@dataclass
+class Commit:
+    version: int
+    timestamp_ms: int
+    operation: str
+    operation_params: dict
+    data_dirs: list[str]  # relative to table root; complete active set
+    schema_ddl: str  # struct DDL of the table at this version
+    metrics: dict
+
+
+class VersionedTable:
+    """A versioned parquet table with Delta-like DML and time travel."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # ------------------------------------------------------------------ log
+
+    def _log_path(self, version: int) -> str:
+        return f"{self.path}/{_LOG_DIR}/{version:08d}.json"
+
+    def _commits(self) -> list[Commit]:
+        log_dir = f"{self.path}/{_LOG_DIR}"
+        if not os.path.isdir(log_dir):
+            return []
+        commits = []
+        for fn in sorted(os.listdir(log_dir)):
+            if not fn.endswith(".json"):
+                continue
+            with open(f"{log_dir}/{fn}") as f:
+                d = json.load(f)
+            commits.append(Commit(**d))
+        return commits
+
+    def _latest(self) -> Commit | None:
+        commits = self._commits()
+        return commits[-1] if commits else None
+
+    def _commit(
+        self,
+        operation: str,
+        data_dirs: list[str],
+        schema_ddl: str,
+        params: dict | None = None,
+        metrics: dict | None = None,
+    ) -> Commit:
+        prev = self._latest()
+        version = 0 if prev is None else prev.version + 1
+        c = Commit(
+            version=version,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            operation_params=params or {},
+            data_dirs=data_dirs,
+            schema_ddl=schema_ddl,
+            metrics=metrics or {},
+        )
+        os.makedirs(f"{self.path}/{_LOG_DIR}", exist_ok=True)
+        tmp = self._log_path(version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(c.__dict__, f)
+        os.rename(tmp, self._log_path(version))  # atomic publish
+        return c
+
+    def _new_data_dir(self, version: int) -> str:
+        return f"v{version:08d}-{uuid.uuid4().hex[:8]}"
+
+    # ---------------------------------------------------------------- write
+
+    def exists(self) -> bool:
+        return self._latest() is not None
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> "VersionedTable":
+        """CTAS / saveAsTable parity (S5-S6).  mode: overwrite | append."""
+        prev = self._latest()
+        version = 0 if prev is None else prev.version + 1
+        rel = self._new_data_dir(version)
+        df.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        if mode == "append" and prev is not None:
+            dirs = prev.data_dirs + [rel]
+            op = "WRITE APPEND"
+        else:
+            dirs = [rel]
+            op = "CREATE TABLE AS SELECT" if prev is None else "WRITE OVERWRITE"
+        self._commit(op, dirs, df.schema.simpleString(), {"mode": mode})
+        return self
+
+    # ----------------------------------------------------------------- read
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read; ``version`` = time travel (`VERSION AS OF n`,
+        N1:210-212).  Missing columns (pre-ADD COLUMN files) surface as
+        nulls — Delta's schema-evolution read semantics."""
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"no such versioned table: {self.path}")
+        if version is None:
+            c = commits[-1]
+        else:
+            matching = [x for x in commits if x.version == version]
+            if not matching:
+                raise ValueError(f"version {version} not in table history")
+            c = matching[0]
+        paths = [f"{self.path}/{d}" for d in c.data_dirs]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # evolve to the committed schema (ADD COLUMN fills nulls)
+        from pyspark.sql.types import StructType
+
+        committed = StructType.fromDDL(_ddl_of(c.schema_ddl))
+        for field in committed.fields:
+            if field.name not in df.columns:
+                df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+        return df.select(*[f.name for f in committed.fields])
+
+    # ------------------------------------------------------------------ DML
+
+    def update(self, set_exprs: dict[str, str], condition: str | None = None) -> None:
+        """UPDATE … SET … [WHERE …] (D1-D3) — whole-table conditional
+        rewrite as one Spark plan (CASE WHEN per updated column)."""
+        cur = self.read()
+        cond = F.expr(condition) if condition else F.lit(True)
+        out = cur.select(
+            *[
+                (F.when(cond, F.expr(expr)).otherwise(F.col(c)).alias(c)
+                 if c in set_exprs and (expr := set_exprs[c]) is not None
+                 else F.col(c))
+                for c in cur.columns
+            ]
+        )
+        prev = self._latest()
+        rel = self._new_data_dir(prev.version + 1)
+        out.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        self._commit(
+            "UPDATE", [rel], prev.schema_ddl, {"condition": condition, "set": set_exprs}
+        )
+
+    def delete(self, condition: str) -> None:
+        """DELETE WHERE — copy-on-write anti-filter."""
+        cur = self.read().filter(~F.expr(condition))
+        prev = self._latest()
+        rel = self._new_data_dir(prev.version + 1)
+        cur.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        self._commit("DELETE", [rel], prev.schema_ddl, {"condition": condition})
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        update_condition: str | None = None,
+        insert: bool = True,
+    ) -> None:
+        """MERGE INTO target t USING source s ON <on>
+        WHEN MATCHED [AND <update_condition>] THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *      (D4, N2:534-540).
+
+        ``on``/``update_condition`` reference columns as ``t.col`` /
+        ``s.col``.  Expressed as one full-outer-join plan:
+
+          matched & cond      -> source row      (update *)
+          matched & !cond     -> target row      (no-op, row-hash guard)
+          target-only         -> target row
+          source-only         -> source row      (insert *)
+        """
+        cur = self.read()
+        cols = cur.columns
+        src = source.alias("s")
+        joined = (
+            cur.withColumn("__t_present", F.lit(True))
+            .alias("t")
+            .join(src.withColumn("__s_present", F.lit(True)), F.expr(on), "full_outer")
+        )
+        upd_cond = F.expr(update_condition) if update_condition else F.lit(True)
+        t_here = F.col("__t_present").isNotNull()
+        s_here = F.col("__s_present").isNotNull()
+        take_source = (t_here & s_here & upd_cond) | (~t_here & s_here & F.lit(insert))
+        out = joined.select(
+            *[
+                F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in cols
+            ]
+        ).filter(t_here | (s_here & F.lit(insert)))
+        prev = self._latest()
+        rel = self._new_data_dir(prev.version + 1)
+        out.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        self._commit(
+            "MERGE", [rel], prev.schema_ddl, {"on": on, "update_condition": update_condition}
+        )
+
+    # --------------------------------------------------------- maintenance
+
+    def optimize(self, zorder_by: list[str] | None = None, target_files: int = 4) -> None:
+        """OPTIMIZE [ZORDER BY cols] (D7, N2:455-458): compact to
+        ``target_files`` files; with ``zorder_by``, range-partition + sort
+        on those columns so parquet row-group min/max stats give the same
+        data-skipping effect Z-ordering buys in Delta."""
+        cur = self.read()
+        if zorder_by:
+            out = cur.repartitionByRange(target_files, *zorder_by).sortWithinPartitions(
+                *zorder_by
+            )
+        else:
+            out = cur.coalesce(target_files)
+        prev = self._latest()
+        rel = self._new_data_dir(prev.version + 1)
+        out.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        self._commit(
+            "OPTIMIZE", [rel], prev.schema_ddl, {"zorder_by": zorder_by or []}
+        )
+
+    def add_column(self, name: str, dtype: str) -> None:
+        """ALTER TABLE ADD COLUMN (S10, N1:146-147) — metadata-only commit;
+        existing files read back with nulls for the new column."""
+        prev = self._latest()
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(_ddl_of(prev.schema_ddl))
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column {name} already exists")
+        new_ddl = prev.schema_ddl[:-1] + f",{name}:{dtype}>"
+        self._commit("ADD COLUMNS", prev.data_dirs, new_ddl, {"column": name, "type": dtype})
+
+    # -------------------------------------------------------------- history
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY parity (D5, N1:196-198)."""
+        rows = [
+            (
+                c.version,
+                c.timestamp_ms,
+                c.operation,
+                json.dumps(c.operation_params, sort_keys=True),
+                len(c.data_dirs),
+            )
+            for c in self._commits()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, timestamp_ms long, operation string, operation_params string, n_data_dirs int",
+        )
+
+
+def _ddl_of(simple_string: str) -> str:
+    """struct<a:bigint,b:string> → 'a bigint, b string' (fromDDL input)."""
+    inner = simple_string
+    if inner.startswith("struct<") and inner.endswith(">"):
+        inner = inner[len("struct<"):-1]
+    # split top-level commas (respecting nesting)
+    parts, depth, cur = [], 0, []
+    for ch in inner:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return ", ".join(p.replace(":", " ", 1) for p in parts)

@@ -1,0 +1,93 @@
+"""Versioned-table self-checks (SURVEY.md §5.2: Delta-only ops get
+self-check tests since DuckDB can't express them)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    from dataengineeringworkshop_spark.plans.tables import load_table
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    t = VersionedTable(spark, str(tmp_path / "orders_vt"))
+    t.write(o)
+    return t, o
+
+
+def test_merge_equals_window_dedup_of_union(spark, vt):
+    """SURVEY §5.2: post-merge table == dedup-keep-source of (target ∪ source)."""
+    t, o = vt
+    source = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t.merge(source, on="t.o_orderkey = s.o_orderkey")
+    merged = t.read()
+
+    expected = (
+        source.withColumn("__pri", F.lit(0))
+        .unionByName(o.withColumn("__pri", F.lit(1)))
+    )
+    from dataengineeringworkshop_spark.operators.dedup import dedup_latest
+
+    expected = dedup_latest(
+        expected, keys=["o_orderkey"], order_by=[F.col("__pri").asc()]
+    ).drop("__pri")
+    assert merged.count() == o.count()
+    assert merged.exceptAll(expected).count() == 0
+    assert expected.exceptAll(merged).count() == 0
+
+
+def test_merge_update_condition_guard(spark, vt):
+    """row_hash <> guard (N2:537): unchanged rows must NOT be updated."""
+    t, o = vt
+    # source identical to target -> guarded merge should be a no-op
+    t.merge(
+        o, on="t.o_orderkey = s.o_orderkey",
+        update_condition="t.o_totalprice <> s.o_totalprice",
+    )
+    assert t.read().exceptAll(o).count() == 0
+
+
+def test_time_travel_and_history(spark, vt):
+    t, o = vt
+    t.delete("o_orderkey % 2 = 0")
+    assert t.read(version=0).count() == o.count()
+    assert t.read().count() < o.count()
+    ops = [r.operation for r in t.history().collect()]
+    assert ops == ["CREATE TABLE AS SELECT", "DELETE"]
+
+
+def test_append_mode(spark, vt):
+    t, o = vt
+    extra = o.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 900000000)
+    t.write(extra, mode="append")
+    assert t.read().count() == o.count() + 5
+
+
+def test_add_column_then_update_it(spark, vt):
+    t, o = vt
+    t.add_column("flag", "string")
+    t.update({"flag": "'HOT'"}, condition="o_totalprice > 100000")
+    got = t.read()
+    assert "flag" in got.columns
+    hot = got.filter(F.col("flag") == "HOT").count()
+    expected = o.filter(F.col("o_totalprice") > 100000).count()
+    assert hot == expected
+
+
+def test_optimize_compacts_files(spark, vt, tmp_path):
+    t, _ = vt
+    t.optimize(zorder_by=["o_orderkey"], target_files=2)
+    import glob
+
+    latest_dirs = t._latest().data_dirs
+    files = []
+    for d in latest_dirs:
+        files += glob.glob(f"{t.path}/{d}/part-*.parquet")
+    assert len(files) <= 2
