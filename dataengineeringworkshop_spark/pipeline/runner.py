@@ -1,0 +1,353 @@
+"""Declarative pipeline runner — DLT parity (SURVEY.md §4.3, §2.13;
+reference `4  Delta Live Tables (SQL).sql` entire file, `3 Delta Live
+Tables Setup.py:104-168`).
+
+A pipeline is a DAG of dataset definitions:
+
+    kind ∈ {table, incremental_table, view}   (N4:28-34, 39-45, 74-79)
+    query: SQL referencing upstreams as ``live.<name>`` or
+           ``STREAM(live.<name>)`` (N4:77-79, 117, 158), or a
+           ``cloud_files('<dir>', '<fmt>')`` source (N4:34); or a Python
+           builder fn(spark, resolve) -> DataFrame
+    expectations: CONSTRAINT … EXPECT (pred) [ON VIOLATION DROP ROW |
+                  FAIL UPDATE]  (N4:86-98)
+
+Execution semantics (N4:14-18, 38; SURVEY §7.4):
+- **table** (complete LIVE TABLE): fully recomputed each run and
+  committed to a VersionedTable (CREATE OR REPLACE; history preserved).
+- **incremental_table**: executed as a Structured Streaming query with
+  ``trigger(availableNow=True)`` reading only data unseen by its
+  checkpoint — from a landing directory (``cloud_files``) or from an
+  upstream incremental table's storage (``STREAM(live.x)``) — and
+  APPENDED to its storage.  Exactly-once via the stream checkpoint.
+- **view**: temp view for downstream nodes; never materialized.
+- Expectations are evaluated per executed batch; ``drop`` filters rows,
+  ``fail`` aborts the run, all modes record metrics.
+- Every run appends ``flow_definition`` / ``flow_progress`` events (with
+  ``num_output_rows`` and ``data_quality.expectations``) to a JSON-lines
+  event log queryable as a table (N3:130-168 parity).
+
+The DAG is resolved by parsing ``live.<name>`` references; nodes run in
+topological order.  Dev/prod target remapping (N4:77) falls out of the
+``storage_dir`` root.
+
+Scale posture: the runner is driver-side orchestration only — every
+node's work is a Spark batch/streaming job; expectations metrics ride on
+the materializing action via a single aggregate over the batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.operators.expectations import (
+    Expectation,
+    ExpectationFailed,
+)
+from dataengineeringworkshop_spark.session import ensure_session_defaults
+from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+_LIVE_RE = re.compile(r"STREAM\s*\(\s*live\.([A-Za-z_][A-Za-z_0-9]*)\s*\)|live\.([A-Za-z_][A-Za-z_0-9]*)")
+_CLOUD_FILES_RE = re.compile(r"cloud_files\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)")
+
+
+@dataclass
+class DatasetSpec:
+    name: str
+    kind: str  # table | incremental_table | view
+    sql: str | None = None
+    fn: object | None = None  # fn(spark, resolve) -> DataFrame
+    expectations: list[Expectation] = field(default_factory=list)
+    schema_hints: str | None = None  # for cloud_files sources
+    comment: str = ""
+
+    def upstreams(self) -> list[str]:
+        if not self.sql:
+            return []
+        return [a or b for a, b in _LIVE_RE.findall(self.sql)]
+
+
+class Pipeline:
+    def __init__(self, name: str, storage_dir: str):
+        self.name = name
+        self.storage = storage_dir.rstrip("/")
+        self.datasets: dict[str, DatasetSpec] = {}
+
+    # ------------------------------------------------------------- define
+
+    def add(self, spec: DatasetSpec) -> "Pipeline":
+        if spec.name in self.datasets:
+            raise ValueError(f"duplicate dataset {spec.name}")
+        self.datasets[spec.name] = spec
+        return self
+
+    def table(self, name: str, sql: str | None = None, *, incremental: bool = False,
+              expectations: list[Expectation] | None = None, fn=None,
+              schema_hints: str | None = None, comment: str = "") -> "Pipeline":
+        return self.add(
+            DatasetSpec(
+                name=name,
+                kind="incremental_table" if incremental else "table",
+                sql=sql,
+                fn=fn,
+                expectations=expectations or [],
+                schema_hints=schema_hints,
+                comment=comment,
+            )
+        )
+
+    def view(self, name: str, sql: str, comment: str = "") -> "Pipeline":
+        return self.add(DatasetSpec(name=name, kind="view", sql=sql, comment=comment))
+
+    # ------------------------------------------------------------ storage
+
+    def _table_dir(self, name: str) -> str:
+        return f"{self.storage}/tables/{name}"
+
+    def _incr_dir(self, name: str) -> str:
+        return f"{self.storage}/incremental/{name}"
+
+    def _chk_dir(self, name: str) -> str:
+        return f"{self.storage}/checkpoints/{name}"
+
+    @property
+    def event_log_path(self) -> str:
+        return f"{self.storage}/_pipeline_events"
+
+    # ---------------------------------------------------------- resolve
+
+    def _toposort(self) -> list[DatasetSpec]:
+        order: list[DatasetSpec] = []
+        done: set[str] = set()
+        visiting: set[str] = set()
+
+        def visit(n: str):
+            if n in done:
+                return
+            if n in visiting:
+                raise ValueError(f"cycle at {n}")
+            visiting.add(n)
+            for up in self.datasets[n].upstreams():
+                if up in self.datasets:
+                    visit(up)
+            visiting.discard(n)
+            done.add(n)
+            order.append(self.datasets[n])
+
+        for n in self.datasets:
+            visit(n)
+        return order
+
+    def read_dataset(self, spark: SparkSession, name: str) -> DataFrame:
+        """Batch-read a materialized dataset."""
+        spec = self.datasets[name]
+        if spec.kind == "incremental_table":
+            return spark.read.option("mergeSchema", "true").parquet(self._incr_dir(name))
+        if spec.kind == "table":
+            return VersionedTable(spark, self._table_dir(name)).read()
+        raise ValueError(f"{name} is a view — not materialized")
+
+    def event_log(self, spark: SparkSession) -> DataFrame:
+        return spark.read.json(f"{self.event_log_path}/*.jsonl")
+
+    # -------------------------------------------------------------- run
+
+    def run(self, spark: SparkSession) -> dict[str, dict]:
+        """Execute the DAG once (triggered mode, ST6).  Returns per-dataset
+        metrics: rows written + expectation counters."""
+        ensure_session_defaults(spark)
+        os.makedirs(self.event_log_path, exist_ok=True)
+        run_id = int(time.time() * 1000)
+        events_file = f"{self.event_log_path}/run-{run_id}.jsonl"
+        results: dict[str, dict] = {}
+        with open(events_file, "w") as ev:
+            for spec in self._toposort():
+                self._emit(ev, "flow_definition", spec.name, {
+                    "kind": spec.kind,
+                    "comment": spec.comment,
+                    "upstreams": spec.upstreams(),
+                })
+                if spec.kind == "view":
+                    df = self._build_batch(spark, spec)
+                    df.createOrReplaceTempView(self._view_name(spec.name))
+                    results[spec.name] = {"kind": "view"}
+                    continue
+                if spec.kind == "table":
+                    df = self._build_batch(spark, spec)
+                    kept, metrics = self._expectations_batch(df, spec)
+                    vt = VersionedTable(spark, self._table_dir(spec.name))
+                    vt.write(kept, mode="overwrite")
+                    n = vt.read().count()
+                    results[spec.name] = {"rows": n, "expectations": metrics}
+                    self._emit(ev, "flow_progress", spec.name, {
+                        "num_output_rows": n,
+                        "data_quality": {"expectations": metrics},
+                    })
+                    continue
+                # incremental_table
+                n, metrics = self._run_incremental(spark, spec)
+                results[spec.name] = {"rows_appended": n, "expectations": metrics}
+                self._emit(ev, "flow_progress", spec.name, {
+                    "num_output_rows": n,
+                    "data_quality": {"expectations": metrics},
+                })
+        return results
+
+    # --------------------------------------------------------- builders
+
+    def _view_name(self, name: str) -> str:
+        return f"__pl_{self.name}_{name}"
+
+    def _substitute(self, spark: SparkSession, sql: str, streaming: bool) -> str:
+        """Replace live./STREAM(live.) refs with registered temp views."""
+
+        def repl(m: re.Match) -> str:
+            stream_ref, batch_ref = m.group(1), m.group(2)
+            name = stream_ref or batch_ref
+            spec = self.datasets[name]
+            view = self._view_name(name) + ("__stream" if stream_ref else "")
+            if stream_ref:
+                if spec.kind != "incremental_table":
+                    raise ValueError(f"STREAM(live.{name}) requires an incremental table")
+                sdf = spark.readStream.schema(
+                    spark.read.parquet(self._incr_dir(name)).schema
+                ).parquet(self._incr_dir(name))
+                sdf.createOrReplaceTempView(view)
+            else:
+                if spec.kind != "view":  # views already registered in topo order
+                    self.read_dataset(spark, name).createOrReplaceTempView(view)
+            return view
+
+        return _LIVE_RE.sub(repl, sql)
+
+    def _build_batch(self, spark: SparkSession, spec: DatasetSpec) -> DataFrame:
+        if spec.fn is not None:
+            return spec.fn(spark, lambda n: self.read_dataset(spark, n))
+        if _CLOUD_FILES_RE.search(spec.sql or ""):
+            raise ValueError("cloud_files sources must be incremental tables")
+        return spark.sql(self._substitute(spark, spec.sql, streaming=False))
+
+    def _expectations_batch(self, df: DataFrame, spec: DatasetSpec):
+        metrics = []
+        if not spec.expectations:
+            return df, metrics
+        from dataengineeringworkshop_spark.operators.expectations import (
+            expectation_metrics,
+        )
+
+        mrows = expectation_metrics(df, spec.expectations).collect()
+        by_name = {r.constraint_name: r for r in mrows}
+        for e in spec.expectations:
+            r = by_name[e.name]
+            metrics.append(
+                {
+                    "name": e.name,
+                    "mode": e.mode,
+                    "passed_records": r.passed_records,
+                    "failed_records": r.failed_records,
+                    "dropped_records": r.failed_records if e.mode == "drop" else 0,
+                }
+            )
+            if e.mode == "fail" and r.failed_records > 0:
+                raise ExpectationFailed(f"{spec.name}: expectation {e.name!r} violated")
+        kept = df
+        for e in spec.expectations:
+            if e.mode == "drop":
+                kept = kept.filter(F.expr(e.predicate))
+        return kept, metrics
+
+    def _run_incremental(self, spark: SparkSession, spec: DatasetSpec):
+        """availableNow streaming append with per-batch expectations via
+        foreachBatch (bounded, deterministic — ST6)."""
+        sql = spec.sql or ""
+        cf = _CLOUD_FILES_RE.search(sql)
+        if cf:
+            src_dir, fmt = cf.group(1), cf.group(2)
+            from dataengineeringworkshop_spark.streaming.autoingest import AutoIngest
+
+            ai = AutoIngest(
+                source_dir=src_dir,
+                checkpoint_dir=self._chk_dir(spec.name),
+                target_dir=self._incr_dir(spec.name),
+                fmt=fmt,
+                schema_hints=spec.schema_hints,
+            )
+            sdf = ai._stream(spark)
+            rest = _CLOUD_FILES_RE.sub("__cloud_files_src", sql)
+            if rest.strip().lower() not in (
+                "select * from __cloud_files_src",
+                "select *  from __cloud_files_src",
+            ):
+                sdf.createOrReplaceTempView("__cloud_files_src")
+                sdf = spark.sql(self._substitute(spark, rest, streaming=True))
+        else:
+            sdf = spark.sql(self._substitute(spark, sql, streaming=True))
+
+        state = {"rows": 0, "metrics": []}
+        expectations = spec.expectations
+        target = self._incr_dir(spec.name)
+
+        def handle(batch_df: DataFrame, batch_id: int):
+            kept, metrics = self._expectations_batch_static(batch_df, expectations, spec.name)
+            state["metrics"] = _merge_metrics(state["metrics"], metrics)
+            cnt = kept.count()
+            state["rows"] += cnt
+            if cnt:
+                kept.write.mode("append").parquet(target)
+
+        q = (
+            sdf.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", self._chk_dir(spec.name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        os.makedirs(target, exist_ok=True)
+        if not any(f.endswith(".parquet") for f in _walk_files(target)):
+            # no data yet: materialize an empty frame with the right schema
+            empty = spark.createDataFrame([], sdf.schema)
+            empty.write.mode("append").parquet(target)
+        return state["rows"], state["metrics"]
+
+    def _expectations_batch_static(self, df: DataFrame, expectations, dataset_name):
+        spec = DatasetSpec(name=dataset_name, kind="table", expectations=expectations)
+        return self._expectations_batch(df, spec)
+
+    @staticmethod
+    def _emit(fh, event_type: str, flow_name: str, details: dict) -> None:
+        fh.write(
+            json.dumps(
+                {
+                    "event_type": event_type,
+                    "flow_name": flow_name,
+                    "timestamp_ms": int(time.time() * 1000),
+                    "details": details,
+                }
+            )
+            + "\n"
+        )
+        fh.flush()
+
+
+def _merge_metrics(acc: list[dict], new: list[dict]) -> list[dict]:
+    by = {m["name"]: dict(m) for m in acc}
+    for m in new:
+        if m["name"] in by:
+            for k in ("passed_records", "failed_records", "dropped_records"):
+                by[m["name"]][k] += m[k]
+        else:
+            by[m["name"]] = dict(m)
+    return list(by.values())
+
+
+def _walk_files(root: str):
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            yield os.path.join(dirpath, f)

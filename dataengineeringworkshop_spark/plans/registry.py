@@ -84,5 +84,6 @@ def load_all() -> dict[str, QuerySpec]:
     import dataengineeringworkshop_spark.plans.simops  # noqa: F401
     import dataengineeringworkshop_spark.plans.workshop  # noqa: F401
     import dataengineeringworkshop_spark.plans.deltaops  # noqa: F401
+    import dataengineeringworkshop_spark.plans.pipelineq  # noqa: F401
 
     return REGISTRY
