@@ -1,0 +1,136 @@
+"""MinHash + banded LSH near-duplicate detection.
+
+Pipeline (the standard shingle→minhash→band→bucket-join construction):
+
+1. **Shingle**: word n-grams per document (distinct), via JVM array ops.
+2. **Signatures**: k independent hash functions simulated as
+   ``xxhash64(shingle, j)`` for j in 0..k-1; the signature is the
+   elementwise min — computed as k ``min()`` aggregates in ONE hash
+   aggregation over (doc, shingle) rows: no k-fold row blowup, one
+   shuffle on doc_id.
+3. **LSH bands**: split the k-vector into b bands of r rows; band key =
+   hash of the band slice.  Documents sharing any band key are
+   candidates — a self-join on (band, key), never a cross join.
+4. **Verify** (optional): exact Jaccard on candidates only, via a
+   shingle inverted-index join restricted to the candidate pair set.
+
+Scale: for b bands the candidate join shuffles (doc, band_key) pairs —
+b rows per doc regardless of document size.  Hot buckets (boilerplate
+text) are capped with ``max_bucket`` (standard at 100 TB: a bucket with
+10^6 docs is boilerplate, handled separately, not pairwise).
+
+P(candidate) = 1 - (1 - j^r)^b: defaults (b=16, r=4, k=64) catch
+jaccard≥0.5 with p≈0.88, ≥0.7 with p≈0.99.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct word n-grams — all JVM array built-ins."""
+    w = F.split(F.col(text_col), " ")
+    shingles = F.when(F.size(w) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """(doc, sig array<long>) — k min-aggregates in a single groupBy."""
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc").agg(*aggs)
+    return sigs.select(
+        "doc", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, max_bucket: int = 64
+) -> DataFrame:
+    """(d1, d2) candidate pairs sharing at least one LSH band bucket.
+
+    Bucket join on (band, band_key); buckets larger than ``max_bucket``
+    are dropped (boilerplate guard against quadratic blowup).
+    """
+    band_entries = sigs.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    )),
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    sized = band_entries.groupBy("band", "band_key").agg(
+        F.collect_list("doc").alias("docs"), F.count("*").alias("n")
+    ).filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    # pairs within each bucket (bounded by max_bucket, so the explode is
+    # at most max_bucket^2/2 per bucket)
+    a = sized.select(F.col("band"), F.col("band_key"), F.explode("docs").alias("d1"), F.col("docs"))
+    pairs = a.select(
+        "d1", F.explode("docs").alias("d2")
+    ).filter(F.col("d1") < F.col("d2")).distinct()
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Candidates via LSH, then (optionally) exact-Jaccard verification
+    restricted to the candidate set.  Returns (d1, d2[, jaccard])."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    if jaccard_threshold is None:
+        return cand
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # inverted-index intersection counts, restricted to candidate docs
+    cand_docs = cand.select(F.col("d1").alias("doc")).union(
+        cand.select("d2")
+    ).distinct()
+    sh_c = sh.join(F.broadcast(cand_docs), "doc")
+    inter = (
+        sh_c.alias("a")
+        .join(sh_c.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+        .join(cand, ["d1", "d2"])  # keep only LSH candidates
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out

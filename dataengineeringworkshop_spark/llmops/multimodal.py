@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the actual decode is
+STUBBED: ``decode_media`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder derives
+metadata from the bytes (stable across runs — testable plumbing).  The
+Spark-side contract — schema, batch iteration, partition-parallelism,
+UDF signature — is real and is what matters at 100 TB: media bytes stay
+in executor memory Arrow batches, never on the driver, and the decode
+parallelizes per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, media_type string, content binary, "
+    "source string, declared_bytes long"
+)
+
+DECODED_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, "
+    "width int, height int, channels int, duration_ms long, ok boolean"
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as fake media payloads (the
+    container ships no real media), assigning a deterministic media_type."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+        F.col("source"),
+        F.col("n_chars").alias("declared_bytes"),
+    )
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract via mapInPandas.  Real decoders (PIL,
+    torchaudio, pyav) are not in this container → NotImplementedError
+    unless ``fake=True`` (deterministic stand-in, same plumbing)."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires image/audio libs not present in this "
+            "container; pass fake=True for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf["content"].map(len)
+            h = pdf["content"].map(lambda b: sum(b[:16]) if len(b) else 0)
+            is_img = pdf["media_type"] == "image"
+            is_vid = pdf["media_type"] == "video"
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n.astype("int64"),
+                    "width": ((h % 640) + 1).where(is_img | is_vid, 0).astype("int32"),
+                    "height": ((h % 480) + 1).where(is_img | is_vid, 0).astype("int32"),
+                    "channels": pd.Series(3, index=pdf.index).where(is_img | is_vid, 1).astype("int32"),
+                    "duration_ms": (n * 10).where(~is_img, 0).astype("int64"),
+                    "ok": n > 0,
+                }
+            )
+
+    return media.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' plumbing for video payloads: slice the byte stream
+    into fixed-size chunks with positions — pure JVM array ops (the real
+    pipeline would replace the slicer with a codec UDF, same shape)."""
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(int(ceil(length(content) / {every_n_bytes})), 1)), "
+        f"i -> substring(content, (i - 1) * {every_n_bytes} + 1, {every_n_bytes}))"
+    )
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("media_id", F.posexplode(chunks).alias("frame_no", "frame_bytes"))
+        .withColumn("frame_len", F.length("frame_bytes").cast("long"))
+    )

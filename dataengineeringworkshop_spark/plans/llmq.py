@@ -1,0 +1,118 @@
+"""LLM-ops registry entries.  MinHash/SimHash/ANN are not expressible in
+portable SQL (xxhash64/numpy hyperplanes) → registered WITHOUT oracle
+(driver rows-only check); their correctness is pytest-verified against
+brute-force ground truth (tests/test_llmops.py).  Quality score and
+multimodal metadata are deterministic built-in expressions → oracle-paired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.tables import load_table, register_views
+
+
+@query("mh_minhash_lsh_dedup", bench=True, tags=("ext-dedup",))
+def mh_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidates + exact-Jaccard verify
+    (threshold 0.3) over documents.  Rows-only driver check; pytest
+    verifies against brute-force Jaccard."""
+    from dataengineeringworkshop_spark.llmops.minhash import minhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.3
+    )
+
+
+@query("sh_simhash_fingerprints", tags=("ext-dedup",))
+def sh_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (token-frequency weighted)."""
+    from dataengineeringworkshop_spark.llmops.simhash import simhash
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text")
+
+
+@query("ann_lsh_topk", bench=True, tags=("ext-sim",))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket candidates + exact rerank, top-10
+    for query vectors vec_id % 100 == 0.  Pytest measures recall vs the
+    brute-force oracle-paired sim_cosine_topk."""
+    from dataengineeringworkshop_spark.llmops.similarity import ann_topk_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ann_topk_lsh(e, q, "vec_id", "embedding", dim=64, k=10, nbits=32, bands=8)
+
+
+@query(
+    "mm_media_metadata",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               n_chars AS declared_bytes
+        FROM documents
+    """,
+    tags=("ext-mm",),
+)
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content column + typed metadata
+    extraction (byte length vs declared size) — the schema/partitioning
+    layer under the stubbed decoders."""
+    from dataengineeringworkshop_spark.llmops.multimodal import documents_as_media
+
+    d = load_table(spark, sf_dir, "documents")
+    m = documents_as_media(d)
+    return m.select(
+        "media_id",
+        "media_type",
+        F.length("content").cast("long").alias("n_bytes"),
+        "declared_bytes",
+    )
+
+
+@query("mm_decode_fake", tags=("ext-mm",))
+def mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode stub: deterministic fake metadata per media row
+    (real decoders are stubbed — container has no media libs)."""
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        decode_media,
+        documents_as_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_media(documents_as_media(d), fake=True)
+
+
+@query(
+    "t_quality_score",
+    oracle="""
+        SELECT doc_id,
+               ROUND(
+                 0.4 * least(LENGTH(text) / 500.0, 1.0)
+               + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.5 END), 6) AS quality_score
+        FROM documents
+    """,
+    tags=("ext-text",),
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length + richness + lang prior)
+    — the filter signal a training-data pipeline thresholds on."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               ROUND(CAST(
+                 CAST(0.4 AS DOUBLE) * least(LENGTH(text) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE) * least(size(split(text, ' ')) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE) * (CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END)
+               AS DOUBLE), 6) AS quality_score
+        FROM dew_documents
+        """
+    )

@@ -85,5 +85,6 @@ def load_all() -> dict[str, QuerySpec]:
     import dataengineeringworkshop_spark.plans.workshop  # noqa: F401
     import dataengineeringworkshop_spark.plans.deltaops  # noqa: F401
     import dataengineeringworkshop_spark.plans.pipelineq  # noqa: F401
+    import dataengineeringworkshop_spark.plans.llmq  # noqa: F401
 
     return REGISTRY

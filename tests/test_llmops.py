@@ -1,0 +1,136 @@
+"""LLM-ops correctness: the non-SQL-expressible operators verified
+against brute-force ground truth on planted near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Testdata documents + planted near-duplicates (high word-shingle
+    overlap) and exact duplicates, with ids offset by 10_000."""
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(100)
+    # exact dup of doc 0..4; near dup of 5..9 (append two words)
+    exact = (
+        d.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    near = (
+        d.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+        .withColumn("doc_id", F.col("doc_id") + 20000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail")))
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def _brute_force_jaccard(spark, docs, threshold):
+    """Ground truth: exact word-3-gram Jaccard on ALL pairs (O(n²) — test
+    scale only)."""
+    from dataengineeringworkshop_spark.llmops.minhash import word_shingles
+
+    sh = word_shingles(docs, "doc_id", "text")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return {(r.d1, r.d2) for r in j.collect()}
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs_with_dups):
+    from dataengineeringworkshop_spark.llmops.minhash import minhash_dedup_pairs
+
+    got = minhash_dedup_pairs(
+        docs_with_dups, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+    )
+    pairs = {(r.d1, r.d2) for r in got.collect()}
+    truth = _brute_force_jaccard(spark, docs_with_dups, 0.5)
+    # all 10 planted pairs are in the truth set and must be recalled
+    planted = {(i, i + 10000) for i in range(5)} | {(i, i + 20000) for i in range(5, 10)}
+    assert planted <= truth
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.9, (recall, truth - pairs)
+    # verification step guarantees no false positives vs threshold
+    assert pairs <= truth
+
+
+def test_simhash_exact_dups_distance_zero(spark, docs_with_dups):
+    from dataengineeringworkshop_spark.llmops.simhash import simhash, simhash_near_pairs
+
+    fp = simhash(docs_with_dups, "doc_id", "text")
+    by_id = {r.doc: r.simhash for r in fp.collect()}
+    for i in range(5):
+        assert by_id[i] == by_id[i + 10000]  # identical text -> identical fingerprint
+    pairs = simhash_near_pairs(docs_with_dups, "doc_id", "text", max_hamming=3)
+    got = {(r.d1, r.d2) for r in pairs.collect()}
+    assert {(i, i + 10000) for i in range(5)} <= got
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from dataengineeringworkshop_spark.llmops.similarity import (
+        ann_topk_lsh,
+        exact_cosine_topk,
+    )
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = exact_cosine_topk(e, q, "vec_id", "embedding", k=10)
+    approx = ann_topk_lsh(e, q, "vec_id", "embedding", dim=64, k=10, nbits=32, bands=8)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # random-hyperplane LSH with 8 bands of 4 bits on random gaussian data
+    # is a coarse filter; planted-duplicate recall matters more than
+    # top-10-of-random recall, but it must beat chance decisively
+    assert recall >= 0.5, recall
+    # every approx neighbor's cosine must equal the exact computation
+    joined = approx.join(
+        exact.select("query_id", "neighbor_id", F.col("cosine").alias("exact_cos")),
+        ["query_id", "neighbor_id"],
+    )
+    assert joined.filter(F.abs(F.col("cosine") - F.col("exact_cos")) > 1e-9).count() == 0
+
+
+def test_multimodal_decode_stub(spark):
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        decode_media,
+        documents_as_media,
+        frame_sample,
+    )
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(50)
+    media = documents_as_media(d)
+    with pytest.raises(NotImplementedError):
+        decode_media(media, fake=False)
+    dec = decode_media(media, fake=True)
+    rows = dec.collect()
+    assert len(rows) == 50
+    assert all(r.ok for r in rows)
+    imgs = [r for r in rows if r.media_type == "image"]
+    assert imgs and all(r.width > 0 and r.channels == 3 for r in imgs)
+    auds = [r for r in rows if r.media_type == "audio"]
+    assert auds and all(r.duration_ms > 0 and r.width == 0 for r in auds)
+    # determinism: run twice -> identical
+    dec2 = decode_media(media, fake=True)
+    assert dec.exceptAll(dec2).count() == 0
+
+    frames = frame_sample(media, every_n_bytes=64)
+    f0 = frames.filter(F.col("frame_no") == 0)
+    assert f0.count() == media.filter(F.col("media_type") == "video").count()
+    assert frames.filter(F.col("frame_len") > 64).count() == 0
