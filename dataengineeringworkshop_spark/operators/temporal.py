@@ -1,0 +1,171 @@
+"""Temporal operators: as-of join, gap sessionization, banded range join.
+
+The reference exercises only equi joins (SURVEY.md §2.3) — these are the
+time-series extensions a training-data / event pipeline needs (north-star
+extensions, BASELINE.json), each built scale-first:
+
+- **as-of join** — Spark has no ASOF JOIN; the naive encoding
+  (equi-join on key + ``r.ts <= l.ts`` + keep max) explodes to O(n·m)
+  per key before pruning.  We use the union+window construction instead:
+  tag both sides, union, sort each key's timeline once, and carry the
+  most recent right-side row forward with ``last(col, ignorenulls=True)``
+  over an unbounded-preceding running frame.  Cost: ONE shuffle of
+  |L|+|R| rows, no pair blowup, no skew amplification — the same plan
+  shape survives 100 TB (it's a single repartition+sort, AQE-splittable).
+
+- **gap sessionization** — lag() to detect gaps > threshold, running
+  sum of gap flags = session index.  Two window passes over one
+  partitioning (Catalyst reuses the exchange), then a hash aggregate.
+
+- **banded range join** — |l.ts - r.ts| <= W joins are not equi joins;
+  Spark would fall back to BroadcastNestedLoopJoin (O(n·m)).  The band
+  trick restores an equi key: bucket time into width-W bands, replicate
+  the LEFT side into its band and the next band (2 rows), equi-join on
+  (key, band) — every true pair lands in exactly one band pair — then
+  filter the exact predicate.  Replication factor is a constant 2,
+  independent of data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    allow_exact_matches: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (or ``<`` when ``allow_exact_matches=False``)
+    within the same ``on`` key — pandas ``merge_asof`` / DuckDB
+    ``ASOF JOIN`` semantics, as one shuffle + one window pass.
+
+    ``how='inner'`` drops left rows with no prior right row;
+    ``how='left'`` keeps them with nulls.
+    """
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    lcols = [c for c in left.columns]
+
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast(right.select(right_ts).schema[0].dataType).alias("__rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    )
+    # At equal timestamps the right row must sort BEFORE the left row to be
+    # visible (ASOF >= semantics); for strict <, sort it after.
+    side_order = F.col("__side").asc() if allow_exact_matches else F.col("__side").desc()
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__m_ts", F.last("__rts", ignorenulls=True).over(w))
+        .withColumns({f"__m_{c}": F.last(f"__r_{c}", ignorenulls=True).over(w) for c in rcols})
+        .filter(F.col("__side") == 1)
+    )
+    out = filled.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        F.col("__m_ts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__m_{c}").alias(c if c not in lcols else f"{c}{suffix}") for c in rcols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"{right_ts}{suffix}").isNotNull())
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the time
+    since the key's previous event exceeds ``gap_seconds``.
+
+    Adds ``session_id`` (1-based per key, ordered by time).  Both window
+    passes share one (key)-partitioning — a single exchange in the plan.
+    """
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w_lag = Window.partitionBy(key).orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.lit(gap_seconds * 1_000_000).cast("long")
+    prev = F.lag(F.col(ts)).over(w_lag)
+    new_sess = F.when(
+        prev.isNull()
+        | (
+            (F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(prev.cast("timestamp")))
+            > gap_us
+        ),
+        1,
+    ).otherwise(0)
+    return df.withColumn("__new", new_sess).withColumn(
+        "session_id", F.sum("__new").over(w_run)
+    ).drop("__new")
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_gap_seconds: int = 60,
+    condition: Column | None = None,
+) -> DataFrame:
+    """Join left×right rows with the same key and
+    ``0 <= right.ts - left.ts <= max_gap_seconds`` (right happens at or
+    after left, within the window), via time-band bucketing.
+
+    Left rows are replicated into band b and b+1 (constant 2×); the join
+    is a plain equi join on (key, band) so Catalyst plans a shuffled hash
+    join, never a nested-loop.  ``condition`` adds extra predicates.
+    """
+    w_us = max_gap_seconds * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+
+    l2 = left.withColumn("__lus", l_us).withColumn(
+        "__band", F.explode(F.array(F.floor(F.col("__lus") / w_us), F.floor(F.col("__lus") / w_us) + 1))
+    )
+    r2 = right.withColumn("__rus", r_us).withColumn("__band", F.floor(F.col("__rus") / w_us))
+
+    lr = [c for c in left.columns]
+    joined = l2.alias("l").join(
+        r2.alias("r"),
+        (F.col(f"l.{on}") == F.col(f"r.{on}")) & (F.col("l.__band") == F.col("r.__band")),
+    )
+    pred = (F.col("r.__rus") >= F.col("l.__lus")) & (
+        F.col("r.__rus") - F.col("l.__lus") <= F.lit(w_us)
+    )
+    if condition is not None:
+        pred = pred & condition
+    return joined.filter(pred).select(
+        *[F.col(f"l.{c}").alias(c) for c in lr],
+        *[
+            F.col(f"r.{c}").alias(c if c not in lr else f"{c}_r")
+            for c in right.columns
+        ],
+        (F.col("r.__rus") - F.col("l.__lus")).alias("gap_us"),
+    )

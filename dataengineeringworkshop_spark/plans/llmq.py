@@ -48,6 +48,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(e, q, "vec_id", "embedding", dim=64, k=10, nbits=32, bands=8)
 
 
+@query("ann_ivf_topk", bench=True, tags=("ext-sim", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: k-means coarse quantizer (MLlib, fixed seed),
+    inverted-list probe as an equi join on cell_id, exact cosine rerank.
+    Scan fraction ≈ nprobe/nlist per query.  Pytest measures recall vs
+    the brute-force oracle-paired sim_cosine_topk."""
+    from dataengineeringworkshop_spark.llmops.ivf import ann_topk_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ann_topk_ivf(e, q, "vec_id", "embedding", k=10, nlist=16, nprobe=4)
+
+
 @query(
     "mm_media_metadata",
     oracle="""

@@ -95,6 +95,56 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_cosine_neardup",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+            FROM embeddings
+        ),
+        nrm AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY vec_id
+        ),
+        dot AS (
+            SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
+                   CAST(SUM(CAST(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+            FROM ex a JOIN ex b
+              ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY a.vec_id, b.vec_id, a.label
+        )
+        SELECT dot.id1, dot.id2, dot.label,
+               ROUND(dot.dot / sqrt(n1.nrm * n2.nrm), 6) AS cosine
+        FROM dot JOIN nrm n1 ON dot.id1 = n1.vec_id
+                 JOIN nrm n2 ON dot.id2 = n2.vec_id
+        WHERE dot.dot / sqrt(n1.nrm * n2.nrm) >= 0.3
+    """,
+    tags=("ext-dedup", "ext-sim"),
+)
+def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.3) within a
+    blocking key — here ``label``; in a 100 TB pipeline the block is an
+    IVF cell id (llmops.ivf), which bounds the pair space to
+    sum(block²) instead of N².  Exact within blocks → oracle-matched."""
+    e = _norms(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("id1"), F.col("label"),
+        F.col("embedding").alias("v1"), F.col("nrm").alias("n1"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id2"), F.col("label"),
+        F.col("embedding").alias("v2"), F.col("nrm").alias("n2"),
+    )
+    pairs = a.join(b, ["label"]).filter(F.col("id1") < F.col("id2"))
+    cos = F.expr(_DOT.format(a="v1", b="v2")) / F.sqrt(F.col("n1") * F.col("n2"))
+    return (
+        pairs.withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.3)
+        .select("id1", "id2", "label", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+@query(
     "sim_label_centroid_dist",
     oracle="""
         WITH ex AS (

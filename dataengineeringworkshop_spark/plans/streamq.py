@@ -1,0 +1,109 @@
+"""Streaming registry entries.
+
+``st_windowed_event_counts`` runs a REAL Structured Streaming query
+(file source → watermark → tumbling window agg → memory sink) bounded
+with ``trigger(availableNow=True)``; on bounded input its result equals
+the batch group-by, so it is oracle-paired like any relational query —
+the strongest correctness check the driver offers for streaming.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.tables import load_table
+from dataengineeringworkshop_spark.streaming.windows import windowed_agg
+
+
+@query(
+    "st_windowed_event_counts",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("ext-streaming", "ST-window"),
+)
+def st_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a 1-hour watermark over a
+    parquet file STREAM of events, run to completion with availableNow.
+    Bounded-input result ≡ batch group-by → DuckDB-oracle-matched."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        # file stream sources require a DIRECTORY base path; glob-filter
+        # down to the events table inside the sf dir
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermark requires TIMESTAMP (not NTZ); session tz is pinned UTC so
+        # the instant semantics match the batch loader
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = windowed_agg(
+        stream,
+        ts_col="ts",
+        window_duration="1 hour",
+        watermark_delay="1 hour",
+        group_cols=("event_type",),
+        value_col="value",
+    )
+    name = f"st_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dew_st_win_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("st_stateful_user_totals", tags=("ext-streaming", "ST-state"))
+def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running per-user totals over the event
+    stream (bounded run).  Rows-only driver check; pytest verifies the
+    final state equals the batch aggregate and that state survives
+    checkpointed restarts."""
+    from dataengineeringworkshop_spark.streaming.stateful import running_user_totals
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        # file stream sources require a DIRECTORY base path; glob-filter
+        # down to the events table inside the sf dir
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermark requires TIMESTAMP (not NTZ); session tz is pinned UTC so
+        # the instant semantics match the batch loader
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = running_user_totals(stream)
+    name = f"st_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dew_st_state_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink appends one row per (user, micro-batch);
+    # keep each user's final row
+    from pyspark.sql import Window
+
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )

@@ -1,0 +1,141 @@
+"""Temporal operator queries over the events table (north-star
+extensions — the reference has only equi joins, SURVEY.md §2.3).
+
+Each Spark implementation is deliberately a DIFFERENT algorithm from its
+DuckDB oracle, so the hash comparison is a genuine cross-check:
+
+- as-of join: Spark union+window single-shuffle  ↔  DuckDB native ASOF JOIN
+- sessionization: same lag/cumsum construction in both dialects
+- range join: Spark banded equi-join (constant 2× replication)  ↔  DuckDB
+  plain inequality join
+
+Determinism: (user_id, ts) is unique in the events testdata (verified at
+every sf), so as-of matches and session boundaries are unambiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.operators.temporal import (
+    asof_join,
+    banded_range_join,
+    sessionize,
+)
+from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.tables import load_table
+
+
+@query(
+    "tj_asof_click_view",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        ),
+        views AS (
+            SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'
+        )
+        SELECT c.event_id AS click_id,
+               c.user_id AS user_id,
+               v.event_id AS view_id,
+               ROUND(v.value, 6) AS view_value,
+               CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+        FROM clicks c ASOF JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    bench=True,
+    tags=("ext-temporal", "asof"),
+)
+def tj_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the latest prior view by the same
+    user.  Spark side = union+window (one shuffle, no pair blowup);
+    oracle = DuckDB's native ASOF JOIN — independent algorithms."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"), "value"
+    )
+    j = asof_join(clicks, views, on="user_id", right_cols=["view_event_id", "value"])
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("view_event_id").alias("view_id"),
+        F.round("value", 6).alias("view_value"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("ts_r").cast("timestamp"))).alias("lag_us"),
+    )
+
+
+@query(
+    "tj_sessionize_gap30",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, event_id, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(event_id) AS first_event,
+               MAX(event_id) AS last_event,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    tags=("ext-temporal", "session"),
+)
+def tj_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session rollup.
+    lag/cumsum windows share one exchange; the rollup is a hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", ts="ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").alias("session_value"),
+    )
+
+
+@query(
+    "tj_range_click_purchase",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS user_id,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+    """,
+    tags=("ext-temporal", "range-join"),
+)
+def tj_range_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: click→purchase attribution within 10 minutes.  Spark
+    side = banded equi join (constant 2× left replication, shuffled hash
+    join — never a nested loop); oracle = DuckDB inequality join."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    j = banded_range_join(
+        clicks, purchases, on="user_id", max_gap_seconds=600
+    )
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        F.col("purchase_id"),
+        "user_id",
+        "gap_us",
+    )

@@ -1,0 +1,84 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+``running_user_totals``: per-user running event count / value sum /
+last-seen timestamp, updated each micro-batch — the "user profile
+accumulator" shape (fraud scores, rate counters, per-entity feature
+state) that windowed aggregation can't express because the state is
+keyed by entity, not by time window.
+
+State is a single row per user (three numbers), Arrow-batched per
+micro-batch group — at 100 TB of events the state size is O(distinct
+users), not O(events), and the state store shards by the groupBy key.
+A processing-time timeout (``GroupStateTimeout``) would evict idle
+users; kept NoTimeout here for deterministic tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_event_id", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_event_id", LongType()),
+    ]
+)
+
+
+def _update_user(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last_id = state.get
+    else:
+        n, total, last_id = 0, 0.0, -1
+    for pdf in batches:
+        n += len(pdf)
+        # exact cents-arithmetic (values are 2-decimal), order-independent
+        total += float(pdf["value"].mul(100).round().sum()) / 100.0
+        mx = int(pdf["event_id"].max())
+        last_id = max(last_id, mx)
+    state.update((n, total, last_id))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "last_event_id": [last_id],
+        }
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Stateful per-user accumulator over an event stream.
+
+    Emits the updated totals row for every user seen in each micro-batch
+    (``update`` output mode downstream)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_user,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -29,6 +29,11 @@ SAMPLE = [
     "a5_group_by_expression",
     "ws_expectation_metrics",
     "w1_dedup_keep_latest",
+    "tj_asof_click_view",
+    "tj_sessionize_gap30",
+    "tj_range_click_purchase",
+    "sim_cosine_neardup",
+    "st_windowed_event_counts",
 ]
 
 

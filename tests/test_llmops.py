@@ -134,3 +134,42 @@ def test_multimodal_decode_stub(spark):
     f0 = frames.filter(F.col("frame_no") == 0)
     assert f0.count() == media.filter(F.col("media_type") == "video").count()
     assert frames.filter(F.col("frame_len") > 64).count() == 0
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    from dataengineeringworkshop_spark.llmops.ivf import ann_topk_ivf
+    from dataengineeringworkshop_spark.llmops.similarity import exact_cosine_topk
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = exact_cosine_topk(e, q, "vec_id", "embedding", k=10)
+    approx = ann_topk_ivf(e, q, "vec_id", "embedding", k=10, nlist=8, nprobe=3)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # probing 3/8 cells must beat the 3/8 random-scan baseline decisively
+    assert recall >= 0.5, recall
+    # reranked cosines are exact
+    joined = approx.join(
+        exact.select("query_id", "neighbor_id", F.col("cosine").alias("exact_cos")),
+        ["query_id", "neighbor_id"],
+    )
+    assert joined.filter(F.abs(F.col("cosine") - F.col("exact_cos")) > 1e-9).count() == 0
+
+
+def test_ivf_assignment_is_argmin(spark):
+    """Every vector's assigned cell is its true nearest centroid."""
+    from dataengineeringworkshop_spark.llmops.ivf import assign_cells, train_centroids
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    cents = train_centroids(e, "embedding", nlist=4)
+    assigned = assign_cells(e, cents, "vec_id", "embedding", n_cells=1)
+    import numpy as np
+
+    c = {r.cell_id: np.array(r.centroid) for r in cents.collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    for row in assigned.collect():
+        d = {cid: float(((vecs[row.vid] - cc) ** 2).sum()) for cid, cc in c.items()}
+        assert row.cell_id == min(d, key=lambda k: (d[k], k)), (row, d)

@@ -1,0 +1,175 @@
+"""Streaming extensions: event-time windows + watermark late-data
+semantics, and applyInPandasWithState state persistence across
+checkpointed restarts."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write_jsonl(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_stream(spark, src, chk, build, name, mode):
+    """One bounded run -> memory sink (no checkpoint recovery support —
+    single-run tests only)."""
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _run_stream_resumable(spark, src, chk, build, mode, sink):
+    """Bounded run through a RESUMABLE sink (foreachBatch collecting into
+    ``sink``) so a second run recovers from the same checkpoint."""
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+
+    def collect_batch(batch_df, batch_id):
+        sink.extend(batch_df.collect())
+
+    q = (
+        build(stream)
+        .writeStream.foreachBatch(collect_batch)
+        .outputMode(mode)
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Append mode emits a window only once the watermark passes its end;
+    rows later than the watermark are dropped, not re-aggregated."""
+    from dataengineeringworkshop_spark.streaming.windows import windowed_agg
+
+    src, chk = tmp_path / "src", tmp_path / "chk"
+
+    def build(stream):
+        return windowed_agg(
+            stream, "ts", "10 minutes", "10 minutes", ("user_id",), "value"
+        )
+
+    # batch 1: events in windows 00:00 and 01:00; max ts 01:05
+    _write_jsonl(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:01:00", "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 00:02:00", "user_id": 1, "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01 01:05:00", "user_id": 1, "value": 4.0},
+        ],
+    )
+    sink1 = _run_stream_resumable(spark, src, chk, build, "append", [])
+    # watermark after b1 = 01:05 - 10min = 00:55 > 00:10 -> the 00:00
+    # window is finalized and emitted; the 01:00 window is still open
+    rows1 = {(r.window_start.isoformat(), r.n_events) for r in sink1}
+    assert ("2024-01-01T00:00:00", 2) in rows1
+    assert not any(w.startswith("2024-01-01T01:0") for w, _ in rows1)
+
+    # batch 2: a LATE row for the finalized 00:00 window + a fresh row
+    _write_jsonl(
+        src / "b2.json",
+        [
+            {"event_id": 4, "ts": "2024-01-01 00:03:00", "user_id": 1, "value": 8.0},
+            {"event_id": 5, "ts": "2024-01-01 02:00:00", "user_id": 1, "value": 16.0},
+        ],
+    )
+    sink2 = _run_stream_resumable(spark, src, chk, build, "append", [])
+    all_rows = {}
+    for r in sink2:
+        all_rows.setdefault(r.window_start.isoformat(), 0)
+        all_rows[r.window_start.isoformat()] += r.n_events
+    # the late event_id=4 must NOT create/extend the 00:00 window again
+    assert all_rows.get("2024-01-01T00:00:00", 0) == 0
+    # the 01:00 window (now past watermark 02:00-10min=01:50) is emitted
+    assert all_rows.get("2024-01-01T01:00:00") == 1
+
+
+def test_stateful_totals_survive_restart(spark, tmp_path):
+    """applyInPandasWithState: the second availableNow run resumes from
+    checkpointed state — totals accumulate across runs, exactly once."""
+    from dataengineeringworkshop_spark.streaming.stateful import running_user_totals
+
+    src, chk = tmp_path / "src", tmp_path / "chk"
+    _write_jsonl(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:01:00", "user_id": 1, "value": 1.5},
+            {"event_id": 2, "ts": "2024-01-01 00:02:00", "user_id": 1, "value": 2.25},
+            {"event_id": 3, "ts": "2024-01-01 00:03:00", "user_id": 2, "value": 10.0},
+        ],
+    )
+    sink1 = _run_stream_resumable(spark, src, chk, running_user_totals, "update", [])
+    got1 = {r.user_id: (r.n_events, r.total_value, r.last_event_id) for r in sink1}
+    assert got1 == {1: (2, 3.75, 2), 2: (1, 10.0, 3)}
+
+    _write_jsonl(
+        src / "b2.json",
+        [
+            {"event_id": 4, "ts": "2024-01-01 00:04:00", "user_id": 1, "value": 0.25},
+            {"event_id": 5, "ts": "2024-01-01 00:05:00", "user_id": 3, "value": 7.0},
+        ],
+    )
+    sink2 = _run_stream_resumable(spark, src, chk, running_user_totals, "update", [])
+    got2 = {r.user_id: (r.n_events, r.total_value, r.last_event_id) for r in sink2}
+    # user 1 resumes from (2, 3.75): old files are NOT re-read (exactly-once)
+    assert got2 == {1: (3, 4.0, 4), 3: (1, 7.0, 5)}
+
+
+def test_windowed_bounded_equals_batch(spark, tmp_path):
+    """On bounded input the windowed stream (complete mode) equals the
+    batch group-by — the invariant behind the oracle pairing."""
+    from dataengineeringworkshop_spark.streaming.windows import windowed_agg
+
+    src, chk = tmp_path / "src", tmp_path / "chk"
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01 0{i % 3}:0{i % 6}:00", "user_id": i % 2, "value": float(i)}
+        for i in range(12)
+    ]
+    _write_jsonl(src / "b1.json", rows)
+
+    def build(stream):
+        return windowed_agg(stream, "ts", "1 hour", "1 hour", ("user_id",), "value")
+
+    streamed = _run_stream(spark, src, chk, build, "cmp_t", "complete")
+    batch = (
+        spark.read.schema(EVENT_SCHEMA).json(str(src))
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
