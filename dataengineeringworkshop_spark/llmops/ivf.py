@@ -31,16 +31,26 @@ _DOT = (
 
 
 def train_centroids(
-    corpus: DataFrame, vec_col: str, nlist: int = 16, seed: int = 42, max_iter: int = 10
+    corpus: DataFrame,
+    vec_col: str,
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """k-means centroids as a (cell_id, centroid array<double>) DataFrame.
 
     MLlib's k-means|| init with a fixed seed is deterministic; the model
-    itself is nlist×dim doubles — broadcastable metadata, not data."""
+    itself is nlist×dim doubles — broadcastable metadata, not data.
+    Training reads at most ``max_train_rows`` vectors: coarse-quantizer
+    quality needs a representative sample, not the full corpus (at 100 TB
+    you never fit k-means on every vector)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).limit(max_train_rows)
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
     spark = corpus.sparkSession
     rows = [

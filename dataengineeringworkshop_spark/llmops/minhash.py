@@ -44,11 +44,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 3
-) -> DataFrame:
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     """(doc, sig array<long>) — k min-aggregates in a single groupBy."""
-    sh = word_shingles(df, id_col, text_col, shingle_n)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}")
         for j in range(num_hashes)
@@ -56,6 +53,15 @@ def minhash_signatures(
     sigs = sh.groupBy("doc").agg(*aggs)
     return sigs.select(
         "doc", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """(doc, sig array<long>) from raw text."""
+    return _signatures_from_shingles(
+        word_shingles(df, id_col, text_col, shingle_n), num_hashes
     )
 
 
@@ -105,11 +111,19 @@ def minhash_dedup_pairs(
     """Candidates via LSH, then (optionally) exact-Jaccard verification
     restricted to the candidate set.  Returns (d1, d2[, jaccard])."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     if jaccard_threshold is None:
-        return cand
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        return lsh_candidate_pairs(sigs, bands, rows_per_band)
+    # the shingle index feeds BOTH the signature branch and the exact-
+    # Jaccard verify branch — materialize it once instead of re-scanning
+    # and re-exploding the corpus (at 100 TB this is the checkpointed
+    # inverted-index table; materialize() spills to parquet instead of
+    # pinning executor memory like persist())
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    sh = materialize(word_shingles(df, id_col, text_col, shingle_n), "shingles")
+    sigs = _signatures_from_shingles(sh, num_hashes)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     # inverted-index intersection counts, restricted to candidate docs
     cand_docs = cand.select(F.col("d1").alias("doc")).union(

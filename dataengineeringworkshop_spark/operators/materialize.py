@@ -1,0 +1,43 @@
+"""Eager materialization of a reused intermediate DataFrame.
+
+``materialize(df)`` writes the frame to a session-scoped temp parquet dir
+and reads it back.  Compared to ``.persist()``:
+
+- no executor-memory pinning (repeated callers — a bench loop, a long
+  pipeline — would otherwise accumulate pinned caches until GC pressure
+  slows every later stage);
+- the data is computed exactly ONCE even if the result feeds N branches
+  (Spark recomputes unpersisted branches, and inlines SQL CTEs);
+- it is precisely the "checkpointed intermediate table" a 100 TB pipeline
+  would use between expensive stages (a shingle inverted index, a
+  candidate set), with full pushdown/pruning on the re-read.
+
+The temp dirs live under the JVM's temp root and are removed on process
+exit (best-effort) — callers don't manage lifecycles.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_TMP_DIRS: list[str] = []
+
+
+def _cleanup() -> None:
+    for d in _TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup)
+
+
+def materialize(df: DataFrame, label: str = "intermediate") -> DataFrame:
+    """Write ``df`` to temp parquet and return a fresh scan of it."""
+    path = tempfile.mkdtemp(prefix=f"dew_mat_{label}_")
+    _TMP_DIRS.append(path)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -138,6 +138,68 @@ def vt_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vt_update_json_path",
+    oracle="""
+        SELECT event_id, event_type,
+               CASE WHEN event_type = 'error' AND props IS NOT NULL
+                    THEN CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                    ELSE value END AS value
+        FROM events
+    """,
+    tags=("D3", "F16"),
+)
+def vt_update_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE with a JSON-path source expression (N2:511-518: repair a
+    typed column from `_rescued_data:ts`) — here: repair error events'
+    value from the props JSON payload."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value", "props")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="dew_vt_") + "/events_vt")
+    vt.write(e)
+    vt.update(
+        {"value": "CAST(get_json_object(props, '$.k') AS DOUBLE)"},
+        condition="event_type = 'error' AND props IS NOT NULL",
+    )
+    return vt.read().select("event_id", "event_type", "value")
+
+
+@query(
+    "ddl_ctas_lifecycle",
+    oracle="""
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    tags=("S5", "S6", "S9"),
+)
+def ddl_ctas_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table lifecycle DDL (SB:13-27, N1:125-130): CREATE DATABASE,
+    CTAS from a join-agg, saveAsTable overwrite, read back, DROP —
+    through the session catalog, like the workshop's setup/teardown."""
+    from dataengineeringworkshop_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir, "customer", "nation")
+    spark.sql("CREATE DATABASE IF NOT EXISTS dew_scratch")
+    spark.sql("DROP TABLE IF EXISTS dew_scratch.nation_customers")
+    spark.sql(
+        """
+        CREATE TABLE dew_scratch.nation_customers USING PARQUET AS
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM dew_customer JOIN dew_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+    # overwrite via saveAsTable (S5) — same content, exercises the writer API
+    spark.table("dew_scratch.nation_customers").write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable("dew_scratch.nation_customers_copy")
+    out = spark.table("dew_scratch.nation_customers_copy")
+    result = out.sparkSession.createDataFrame(out.collect(), out.schema)
+    spark.sql("DROP TABLE IF EXISTS dew_scratch.nation_customers")
+    spark.sql("DROP TABLE IF EXISTS dew_scratch.nation_customers_copy")
+    return result
+
+
+@query(
     "vt_add_column_evolution",
     oracle="""
         SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS review_flag

@@ -85,6 +85,42 @@ def f16_get_json_object(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f7_current_timestamp_bound",
+    oracle="SELECT DISTINCT TRUE AS ts_sane FROM events",
+    tags=("F7", "F4"),
+)
+def f7_current_timestamp_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """current_timestamp()/unix_timestamp() (N2:268, DF:42): their values
+    are nondeterministic, so the oracle pins a sanity predicate — the
+    wall clock is after 2024 and both functions agree to within a day."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        (
+            (F.current_timestamp() > F.lit("2024-01-01").cast("timestamp"))
+            & (F.abs(F.unix_timestamp() - F.unix_timestamp(F.current_timestamp())) < 86400)
+        ).alias("ts_sane")
+    ).distinct()
+
+
+@query(
+    "f15_schema_of_json",
+    oracle="""
+        SELECT DISTINCT 'STRUCT<k: BIGINT>' AS props_schema
+        FROM events WHERE props IS NOT NULL
+    """,
+    tags=("F15",),
+)
+def f15_schema_of_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema_of_json (N3:149): infer the DDL schema of the events
+    ``props`` JSON.  The oracle pins the expected inference result — a
+    literal parity check on Spark's inference output."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("props").isNotNull()).select(
+        F.schema_of_json(F.lit('{"k": 69}')).alias("props_schema")
+    ).distinct()
+
+
+@query(
     "f14_from_json_field",
     oracle="SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val FROM events",
     tags=("F14", "F18"),

@@ -334,7 +334,42 @@ _JACCARD_MAXDF = 100
 def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by word-3-gram Jaccard (df-capped inverted-
     index self-join — no cross join).  Top-200 pairs with Jaccard >= 0.1,
-    deterministic tiebreak (jaccard desc, d1, d2)."""
-    return _sql(
-        spark, sf_dir, ("documents",), _JACCARD_SPARK.format(maxdf=_JACCARD_MAXDF)
+    deterministic tiebreak (jaccard desc, d1, d2).
+
+    DataFrame form (not the SQL in ``_JACCARD_SPARK``): Spark inlines
+    CTEs, so the 4 references to the shingle index would re-scan and
+    re-explode the corpus 4×; here the index is built once and persisted
+    — at 100 TB it's a checkpointed intermediate table."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.llmops.minhash import word_shingles
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = materialize(word_shingles(d, "doc_id", "text", 3), "jaccard_sh")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _JACCARD_MAXDF
+    ).select("shingle")
+    shf = sh.join(rare, "shingle")
+    pairs = (
+        shf.alias("a")
+        .join(
+            shf.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count("*").alias("inter"))
     )
+    out = (
+        pairs.join(sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .withColumn("uni", F.col("sz1") + F.col("sz2") - F.col("inter"))
+        .filter(F.col("inter") * 10 >= F.col("uni") * 1)
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+        .select("d1", "d2", "inter", "uni", "jaccard")
+        .orderBy(F.col("jaccard").desc(), F.col("d1").asc(), F.col("d2").asc())
+        .limit(200)
+    )
+    return out

@@ -34,6 +34,9 @@ SAMPLE = [
     "tj_range_click_purchase",
     "sim_cosine_neardup",
     "st_windowed_event_counts",
+    "vt_update_json_path",
+    "ddl_ctas_lifecycle",
+    "f15_schema_of_json",
 ]
 
 
