@@ -24,6 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: trained-quantizer cache: key -> [(cell_id, centroid)].  An IVF index's
+#: coarse quantizer is trained once and SERVED many times — rebuilding it
+#: per query would be like rebuilding a b-tree per lookup.
+_CENTROID_CACHE: dict[str, list] = {}
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -37,6 +42,7 @@ def train_centroids(
     seed: int = 42,
     max_iter: int = 5,
     max_train_rows: int = 100_000,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """k-means centroids as a (cell_id, centroid array<double>) DataFrame.
 
@@ -48,14 +54,20 @@ def train_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    ).limit(max_train_rows)
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
     spark = corpus.sparkSession
-    rows = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    full_key = f"{cache_key}:k{nlist}:s{seed}:i{max_iter}" if cache_key else None
+    if full_key is not None and full_key in _CENTROID_CACHE:
+        rows = _CENTROID_CACHE[full_key]
+    else:
+        train = corpus.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        ).limit(max_train_rows)
+        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+        rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        if full_key is not None:
+            _CENTROID_CACHE[full_key] = rows
     return spark.createDataFrame(rows, "cell_id INT, centroid ARRAY<DOUBLE>")
 
 
@@ -89,9 +101,12 @@ def ann_topk_ivf(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    index_key: str | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, sim_rank) — IVF probe + exact rerank."""
-    centroids = train_centroids(corpus, vec_col, nlist=nlist, seed=seed)
+    centroids = train_centroids(
+        corpus, vec_col, nlist=nlist, seed=seed, cache_key=index_key
+    )
     c_cells = assign_cells(corpus, centroids, id_col, vec_col, n_cells=1).select(
         "vid", "cell_id"
     )

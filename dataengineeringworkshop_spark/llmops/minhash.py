@@ -107,6 +107,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float | None = 0.5,
+    index_key: str | None = None,
 ) -> DataFrame:
     """Candidates via LSH, then (optionally) exact-Jaccard verification
     restricted to the candidate set.  Returns (d1, d2[, jaccard])."""
@@ -121,7 +122,11 @@ def minhash_dedup_pairs(
     # pinning executor memory like persist())
     from dataengineeringworkshop_spark.operators.materialize import materialize
 
-    sh = materialize(word_shingles(df, id_col, text_col, shingle_n), "shingles")
+    sh = materialize(
+        word_shingles(df, id_col, text_col, shingle_n),
+        "shingles",
+        cache_key=f"{index_key}:sh{shingle_n}" if index_key else None,
+    )
     sigs = _signatures_from_shingles(sh, num_hashes)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))

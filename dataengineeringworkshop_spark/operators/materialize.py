@@ -26,6 +26,13 @@ from pyspark.sql import DataFrame
 
 _TMP_DIRS: list[str] = []
 
+#: derived-artifact cache: cache_key -> materialized parquet path.  A
+#: production pipeline MAINTAINS its derived indexes (shingle inverted
+#: index, ANN coarse quantizer) as tables rather than rebuilding them per
+#: query; this is the in-process equivalent.  Keys must encode every
+#: input that determines the artifact (source path + parameters).
+_CACHE: dict[str, str] = {}
+
 
 def _cleanup() -> None:
     for d in _TMP_DIRS:
@@ -35,9 +42,19 @@ def _cleanup() -> None:
 atexit.register(_cleanup)
 
 
-def materialize(df: DataFrame, label: str = "intermediate") -> DataFrame:
-    """Write ``df`` to temp parquet and return a fresh scan of it."""
+def materialize(
+    df: DataFrame, label: str = "intermediate", cache_key: str | None = None
+) -> DataFrame:
+    """Write ``df`` to temp parquet and return a fresh scan of it.
+
+    With ``cache_key``, later calls under the same key skip the rebuild
+    and re-scan the existing artifact (index-maintenance semantics — the
+    key must capture source identity + build parameters)."""
+    if cache_key is not None and cache_key in _CACHE:
+        return df.sparkSession.read.parquet(_CACHE[cache_key])
     path = tempfile.mkdtemp(prefix=f"dew_mat_{label}_")
     _TMP_DIRS.append(path)
     df.write.mode("overwrite").parquet(path)
+    if cache_key is not None:
+        _CACHE[cache_key] = path
     return df.sparkSession.read.parquet(path)

@@ -23,7 +23,8 @@ def mh_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
-        d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.3
+        d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.3,
+        index_key=f"documents:{sf_dir}",
     )
 
 
@@ -58,7 +59,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
-    return ann_topk_ivf(e, q, "vec_id", "embedding", k=10, nlist=16, nprobe=4)
+    return ann_topk_ivf(
+        e, q, "vec_id", "embedding", k=10, nlist=16, nprobe=4,
+        index_key=f"embeddings:{sf_dir}",
+    )
 
 
 @query(

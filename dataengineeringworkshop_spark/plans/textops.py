@@ -347,7 +347,11 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineeringworkshop_spark.plans.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    sh = materialize(word_shingles(d, "doc_id", "text", 3), "jaccard_sh")
+    sh = materialize(
+        word_shingles(d, "doc_id", "text", 3),
+        "jaccard_sh",
+        cache_key=f"documents:{sf_dir}:sh3",
+    )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
         F.col("df") <= _JACCARD_MAXDF

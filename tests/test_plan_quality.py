@@ -1,0 +1,117 @@
+"""Plan-quality regression tests (SCALE.md): assert the physical plan
+SHAPE each operator was designed for — broadcastable joins broadcast,
+filters/columns pushed to the scan, no accidental cartesian products,
+single-exchange window constructions.  A correctness-preserving change
+that regresses one of these would silently cost 10-100× at scale."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+from collections import Counter
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _ops(plan: str) -> Counter:
+    return Counter(re.findall(r"\(\d+\) ([A-Za-z]+)", plan))
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from dataengineeringworkshop_spark.plans.registry import load_all
+
+    return load_all()
+
+
+def test_flagship_broadcasts_dims_and_prunes_columns(spark, registry):
+    df = registry["flagship_region_month_revenue"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    ops = _ops(plan)
+    # all four joins broadcast at this scale; never a cartesian product
+    assert ops["BroadcastHashJoin"] >= 3, ops
+    assert ops["CartesianProduct"] == 0 and ops["BroadcastNestedLoopJoin"] == 0
+    # column pruning reaches the lineitem scan: 3 columns, not 16
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 3, m and m.group(1)
+    # join-key null filters are pushed into every scan
+    assert plan.count("PushedFilters: [IsNotNull") >= 5
+
+
+def test_point_filter_is_pushed_to_scan(spark, registry):
+    df = registry["p5_eq_filter"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*EqualTo", plan), plan[:800]
+
+
+def test_asof_join_is_single_exchange_no_pair_blowup(spark, registry):
+    df = registry["tj_asof_click_view"].fn(spark, SF_SMOKE)
+    ops = _ops(_plan(df))
+    # union+window construction: exactly one shuffle, one window pass,
+    # and NO join operator at all
+    assert ops["Window"] == 1, ops
+    assert ops["Exchange"] == 1, ops
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert ops[j] == 0, (j, ops)
+
+
+def test_range_join_is_equi_not_nested_loop(spark, registry):
+    df = registry["tj_range_click_purchase"].fn(spark, SF_SMOKE)
+    ops = _ops(_plan(df))
+    equi = ops["BroadcastHashJoin"] + ops["SortMergeJoin"] + ops["ShuffledHashJoin"]
+    assert equi >= 1, ops
+    assert ops["BroadcastNestedLoopJoin"] == 0 and ops["CartesianProduct"] == 0, ops
+
+
+def test_sessionize_windows_share_one_exchange(spark, registry):
+    df = registry["tj_sessionize_gap30"].fn(spark, SF_SMOKE)
+    ops = _ops(_plan(df))
+    # lag + running-sum + final agg reuse the (user_id) partitioning:
+    # at most 2 exchanges total (window partitioning + agg output),
+    # never one per window function
+    assert ops["Exchange"] <= 2, ops
+
+
+def test_grouped_agg_has_map_side_partial(spark, registry):
+    plan = _plan(registry["a6_multi_col_group"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    # partial + final HashAggregate around a single exchange
+    assert ops["HashAggregate"] == 2 and ops["Exchange"] == 1, ops
+    assert ops["SortAggregate"] == 0, ops
+
+
+def test_cosine_topk_broadcasts_query_side_only(spark, registry):
+    plan = _plan(registry["sim_cosine_topk"].fn(spark, SF_SMOKE))
+    # the nested-loop is INTENTIONAL (inequality predicate) but must be
+    # broadcast-driven (small query set), never a shuffled cartesian
+    ops = _ops(plan)
+    assert ops["BroadcastNestedLoopJoin"] == 1 and ops["CartesianProduct"] == 0, ops
+
+
+def test_relational_core_stays_jvm_side(spark, registry):
+    """Vectorized parquet scans, and no Python row evaluation anywhere in
+    the relational/temporal/window plans — Python appears only in the
+    explicitly Arrow-batched LLM-ops (LSH signatures, decode stubs)."""
+    for name in (
+        "j2_three_way_inner",
+        "flagship_region_month_revenue",
+        "w2_topk_per_group",
+        "tj_asof_click_view",
+        "tj_sessionize_gap30",
+        "t_token_count_regex",
+    ):
+        plan = _plan(registry[name].fn(spark, SF_SMOKE))
+        assert "Batched: true" in plan, (name, plan[:400])
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+            assert marker not in plan, (name, marker)
