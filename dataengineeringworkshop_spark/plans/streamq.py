@@ -68,6 +68,66 @@ def st_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "st_session_window_stats",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("ext-streaming", "ext-temporal", "ST-window"),
+)
+def st_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming SESSION windows (``F.session_window``, 30-min
+    gap) per user, bounded availableNow run.  The oracle recomputes the
+    same sessions with the batch lag/cumsum construction — two
+    independent algorithms for gap sessionization.  (Boundary semantics:
+    an event exactly gap seconds after the previous one merges in both
+    formulations only when timestamps are microsecond-distinct — true of
+    the testdata at every sf.)"""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    name = f"st_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dew_st_sess_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @query("st_stateful_user_totals", tags=("ext-streaming", "ST-state"))
 def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running per-user totals over the event
