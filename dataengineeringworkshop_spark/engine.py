@@ -1,0 +1,111 @@
+"""Lakehouse — the one-import facade tying the engine together.
+
+A user of the reference workshop drives four surfaces: ad-hoc
+SQL/DataFrame cells, batch ingestion (`1 Data ingestion.py`), the
+medallion DML layer — MERGE / UPDATE / time travel / OPTIMIZE
+(`2 Medaillon architecture.py`), and declarative pipelines with
+expectations (`3/4 Delta Live Tables`).  ``Lakehouse`` exposes each as
+one method over the same SparkSession, replacing the notebooks' session
+dance (N1:33-56) with a constructor.
+
+    lh = Lakehouse(storage_dir="/data/lake")
+    stores = lh.read_csv("/landing/stores.csv")
+    lh.create_table("stores", stores)                    # CTAS
+    lh.sql("SELECT store_country, count(*) FROM stores GROUP BY 1")
+    lh.table("stores").merge(updates, on="t.id = s.id")  # Delta-style DML
+    feed = lh.auto_ingest("/landing/sales", target="bronze_sales",
+                          fmt="json", schema_hints="ts long")
+    pipe = lh.pipeline("medallion")                      # DLT-style DAG
+    ...
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+from dataengineeringworkshop_spark.session import ensure_session_defaults, get_spark
+from dataengineeringworkshop_spark.sources import batch as batch_io
+from dataengineeringworkshop_spark.streaming.autoingest import AutoIngest
+from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+
+class Lakehouse:
+    """Session + storage-rooted catalog of versioned tables + pipelines."""
+
+    def __init__(
+        self,
+        storage_dir: str,
+        spark: SparkSession | None = None,
+        app_name: str = "dew-lakehouse",
+    ):
+        self.spark = ensure_session_defaults(spark) if spark else get_spark(app_name)
+        self.storage_dir = storage_dir
+        os.makedirs(storage_dir, exist_ok=True)
+
+    # ---- ad-hoc query surface (workshop %sql / display cells) ----
+    def sql(self, statement: str) -> DataFrame:
+        return self.spark.sql(statement)
+
+    # ---- batch ingestion (N1:86-93, N2:116-126) ----
+    def read_csv(self, path: str, **opts) -> DataFrame:
+        return batch_io.read_csv(self.spark, path, **opts)
+
+    def read_json(self, path: str, **opts) -> DataFrame:
+        return batch_io.read_json(self.spark, path, **opts)
+
+    # ---- versioned tables (Delta-parity DML, N1/N2) ----
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.storage_dir, "tables", name)
+
+    def table(self, name: str) -> VersionedTable:
+        return VersionedTable(self.spark, self._table_path(name))
+
+    def create_table(
+        self, name: str, df: DataFrame, register_view: bool = True
+    ) -> VersionedTable:
+        """CTAS (N1:125-130): materialize df as version 0 of a versioned
+        table; optionally expose it to ``sql()`` as a temp view."""
+        vt = self.table(name)
+        vt.write(df)
+        if register_view:
+            vt.read().createOrReplaceTempView(name)
+        return vt
+
+    def refresh_view(self, name: str) -> None:
+        """Re-point the temp view at the table's latest version (after DML)."""
+        self.table(name).read().createOrReplaceTempView(name)
+
+    # ---- incremental ingestion (Auto Loader parity, N2:262-274) ----
+    def auto_ingest(
+        self,
+        source_dir: str,
+        target: str,
+        fmt: str = "json",
+        schema_hints: str | None = None,
+        run: bool = True,
+    ) -> AutoIngest:
+        ing = AutoIngest(
+            source_dir=source_dir,
+            fmt=fmt,
+            target_dir=os.path.join(self.storage_dir, "ingest", target),
+            checkpoint_dir=os.path.join(self.storage_dir, "checkpoints", target),
+            schema_hints=schema_hints,
+        )
+        if run:
+            ing.run_once(self.spark)
+            ing.read_target(self.spark).createOrReplaceTempView(target)
+        return ing
+
+    def read_ingested(self, target: str) -> DataFrame:
+        return AutoIngest(
+            source_dir="",
+            target_dir=os.path.join(self.storage_dir, "ingest", target),
+            checkpoint_dir=os.path.join(self.storage_dir, "checkpoints", target),
+        ).read_target(self.spark)
+
+    # ---- declarative pipelines (DLT parity, N3/N4) ----
+    def pipeline(self, name: str) -> Pipeline:
+        return Pipeline(name, os.path.join(self.storage_dir, "pipelines", name))
