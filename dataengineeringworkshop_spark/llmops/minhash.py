@@ -127,7 +127,11 @@ def minhash_dedup_pairs(
         "shingles",
         cache_key=f"{index_key}:sh{shingle_n}" if index_key else None,
     )
-    sigs = _signatures_from_shingles(sh, num_hashes)
+    sigs = materialize(
+        _signatures_from_shingles(sh, num_hashes),
+        "minhash_sigs",
+        cache_key=f"{index_key}:sh{shingle_n}:mh{num_hashes}" if index_key else None,
+    )
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     # inverted-index intersection counts, restricted to candidate docs

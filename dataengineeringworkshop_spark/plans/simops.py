@@ -71,9 +71,21 @@ def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors for query vectors
-    (vec_id % 100 == 0).  Query set broadcast; corpus streamed once."""
+    (vec_id % 100 == 0).  Query set broadcast; corpus streamed once.
+
+    Two-phase scoring: a cheap DOUBLE dot product prefilters to the top
+    40 candidates per query, then only those are rescored with the exact
+    DECIMAL fold that guarantees bit-identical oracle cosines.  The 4×
+    rank margin makes the prefilter lossless: double-vs-decimal disagree
+    at ~1e-13 relative, while the #10 → #41 cosine gap is orders of
+    magnitude larger.  Cuts the decimal arithmetic (the dominant cost)
+    from O(N·|Q|·d) to O(40·|Q|·d)."""
     from pyspark.sql import Window
 
+    fast_dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
     e = _norms(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -81,9 +93,27 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
     )
     joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    scored = joined.select(
+    pre = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        "q_emb",
+        "q_nrm",
+        "nrm",
+        (
+            F.expr(fast_dot.format(a="q_emb", b="embedding"))
+            / F.sqrt(F.col("q_nrm") * F.col("nrm"))
+        ).alias("approx_cos"),
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    cand = pre.withColumn("pre_rank", F.row_number().over(w_pre)).filter(
+        F.col("pre_rank") <= 40
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
         F.round(
             F.expr(_DOT.format(a="q_emb", b="embedding"))
             / F.sqrt(F.col("q_nrm") * F.col("nrm")),
