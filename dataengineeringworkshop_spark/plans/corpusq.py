@@ -1,0 +1,140 @@
+"""Training-corpus preparation composites — the queries a pretraining
+data pipeline actually ends with: quality gating, deterministic
+sampling, and split assignment (north-star extensions, BASELINE.json).
+
+Determinism device: sampling/splits use a Knuth multiplicative hash on
+the integer doc id (``(doc_id * 2654435761) % M``) — pure BIGINT
+arithmetic that Spark and DuckDB evaluate identically, unlike engine
+hash() builtins.  In production the same arithmetic runs on a stable
+64-bit content id, making samples reproducible across runs AND engines
+— the property that matters when a training mix must be re-derivable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.tables import register_views
+
+_KNUTH = 2654435761
+
+
+@query(
+    "cp_quality_gate_stats",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   LENGTH(text) AS n_chars_actual,
+                   len(string_split(text, ' ')) AS n_words,
+                   CASE WHEN LENGTH(text) >= 120
+                         AND len(string_split(text, ' ')) >= 20
+                         AND lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END AS keep
+            FROM documents
+        )
+        SELECT lang, CAST(keep AS INT) AS keep,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars_actual) AS BIGINT) AS total_chars,
+               CAST(SUM(n_words) AS BIGINT) AS total_words
+        FROM scored GROUP BY lang, keep
+    """,
+    tags=("ext-text", "ext-corpus"),
+)
+def cp_quality_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate (min length, min words, allowed languages) with the
+    kept/dropped token accounting every corpus build reports."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   LENGTH(text) AS n_chars_actual,
+                   size(split(text, ' ')) AS n_words,
+                   CASE WHEN LENGTH(text) >= 120
+                         AND size(split(text, ' ')) >= 20
+                         AND lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END AS keep
+            FROM dew_documents
+        )
+        SELECT lang, keep,
+               COUNT(*) AS n_docs,
+               SUM(CAST(n_chars_actual AS BIGINT)) AS total_chars,
+               SUM(CAST(n_words AS BIGINT)) AS total_words
+        FROM scored GROUP BY lang, keep
+        """
+    )
+
+
+@query(
+    "cp_stratified_sample",
+    oracle=f"""
+        WITH rated AS (
+            SELECT doc_id, lang, source,
+                   (doc_id * {_KNUTH}) % 100 AS bucket,
+                   CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END AS rate
+            FROM documents
+        )
+        SELECT doc_id, lang, source FROM rated WHERE bucket < rate
+    """,
+    tags=("ext-corpus",),
+)
+def cp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified downsampling (en 50%, de 25%, rest 10%)
+    via the multiplicative-hash bucket — reproducible across engines and
+    runs, no rand() anywhere, fully parallel (a filter, zero shuffles)."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        WITH rated AS (
+            SELECT doc_id, lang, source,
+                   (doc_id * {_KNUTH}) % 100 AS bucket,
+                   CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END AS rate
+            FROM dew_documents
+        )
+        SELECT doc_id, lang, source FROM rated WHERE bucket < rate
+        """
+    )
+
+
+@query(
+    "cp_split_assignment",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, (doc_id * {_KNUTH}) % 1000 AS bucket FROM documents
+        ),
+        assigned AS (
+            SELECT doc_id,
+                   CASE WHEN bucket < 980 THEN 'train'
+                        WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split
+            FROM b
+        )
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_id
+        FROM assigned GROUP BY split
+    """,
+    tags=("ext-corpus",),
+)
+def cp_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment from the hash
+    bucket: membership is a pure function of the id, so re-running the
+    pipeline (or running it on another engine) yields the same split —
+    no stored split table needed."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        WITH b AS (
+            SELECT doc_id, (doc_id * {_KNUTH}) % 1000 AS bucket FROM dew_documents
+        ),
+        assigned AS (
+            SELECT doc_id,
+                   CASE WHEN bucket < 980 THEN 'train'
+                        WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split
+            FROM b
+        )
+        SELECT split, COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_id,
+               MAX(doc_id) AS max_id
+        FROM assigned GROUP BY split
+        """
+    )

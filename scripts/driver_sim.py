@@ -37,6 +37,8 @@ SAMPLE = [
     "vt_update_json_path",
     "ddl_ctas_lifecycle",
     "f15_schema_of_json",
+    "cp_stratified_sample",
+    "cp_split_assignment",
 ]
 
 

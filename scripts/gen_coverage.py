@@ -99,6 +99,7 @@ INVENTORY: list[tuple[str, str]] = [
     ("ext-text", "Text analysis: lang-ID, quality, tokens, fingerprints"),
     ("ext-temporal", "Temporal: as-of join, sessionization, range join"),
     ("ext-streaming", "Streaming: windows+watermark, stateful accumulator"),
+    ("ext-corpus", "Corpus prep: quality gate, stratified sampling, split assignment"),
 ]
 
 # Capabilities proven by pytest suites / pipeline framework rather than a

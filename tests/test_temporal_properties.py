@@ -1,0 +1,121 @@
+"""Property-based tests: the temporal operators against independent
+reference implementations (pandas merge_asof; brute-force O(n²) range
+scan; linear-scan sessionizer) on hypothesis-generated event frames.
+
+These catch the boundary cases example-based tests miss: duplicate
+timestamps across keys, empty sides, all-one-key skew, gaps exactly at
+the threshold, band-edge alignment.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (key, seconds-offset) event lists; seconds bounded so bands/gaps are hit
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 400)),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _frame(spark, rows, tag):
+    data = [
+        (k, BASE + dt.timedelta(seconds=s), f"{tag}{i}")
+        for i, (k, s) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, "k INT, ts TIMESTAMP_NTZ, rid STRING")
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_events, right=_events)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    from dataengineeringworkshop_spark.operators.temporal import asof_join
+
+    ldf, rdf = _frame(spark, left, "L"), _frame(spark, right, "R")
+    got = {
+        r.rid: r.rid_r
+        for r in asof_join(
+            ldf, rdf, on="k", right_cols=["rid"], suffix="_r", how="left"
+        ).collect()
+    }
+
+    lp = ldf.toPandas().sort_values("ts").reset_index(drop=True)
+    rp = rdf.toPandas().sort_values("ts").reset_index(drop=True)
+    if len(lp) == 0:
+        assert got == {}
+        return
+    if len(rp) == 0:
+        assert got == {r: None for r in lp["rid"]}
+        return
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward", suffixes=("", "_r")
+    )
+    want = {
+        row.rid: (None if pd.isna(row.rid_r) else row.rid_r)
+        for row in merged.itertuples()
+    }
+    # ambiguity guard: pandas picks the LAST right row among equal ts;
+    # only compare where the right match is unambiguous
+    rp_dupes = rp.duplicated(subset=["k", "ts"], keep=False)
+    ambiguous_ts = set(map(tuple, rp[rp_dupes][["k", "ts"]].itertuples(index=False)))
+    for row in lp.itertuples():
+        m = merged[merged.rid == row.rid].iloc[0]
+        if not pd.isna(m.rid_r):
+            rmatch = rp[rp.rid == m.rid_r].iloc[0]
+            if (rmatch.k, rmatch.ts) in ambiguous_ts:
+                continue
+        assert got[row.rid] == want[row.rid], (row.rid, got[row.rid], want[row.rid])
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_events, right=_events, gap=st.sampled_from([30, 60, 90]))
+def test_banded_range_join_matches_bruteforce(spark, left, right, gap):
+    from dataengineeringworkshop_spark.operators.temporal import banded_range_join
+
+    ldf, rdf = _frame(spark, left, "L"), _frame(spark, right, "R")
+    got = {
+        (r.rid, r.rid_r)
+        for r in banded_range_join(ldf, rdf, on="k", max_gap_seconds=gap).collect()
+    }
+    want = set()
+    for i, (lk, ls) in enumerate(left):
+        for j, (rk, rs) in enumerate(right):
+            if lk == rk and 0 <= rs - ls <= gap:
+                want.add((f"L{i}", f"R{j}"))
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_events, gap=st.sampled_from([30, 60, 120]))
+def test_sessionize_matches_linear_scan(spark, rows, gap):
+    from dataengineeringworkshop_spark.operators.temporal import sessionize
+
+    df = _frame(spark, rows, "E")
+    got = {
+        r.rid: r.session_id
+        for r in sessionize(df, key="k", ts="ts", gap_seconds=gap,
+                            order_tiebreak="rid").collect()
+    }
+    # linear-scan reference per key, same (ts, rid) ordering
+    by_key: dict[int, list[tuple]] = {}
+    for i, (k, s) in enumerate(rows):
+        by_key.setdefault(k, []).append((s, f"E{i}"))
+    want = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        sid, prev = 0, None
+        for s, rid in evs:
+            if prev is None or s - prev > gap:
+                sid += 1
+            want[rid] = sid
+            prev = s
+    assert got == want
