@@ -47,7 +47,12 @@ class Lakehouse:
 
     # ---- ad-hoc query surface (workshop %sql / display cells) ----
     def sql(self, statement: str) -> DataFrame:
-        return self.spark.sql(statement)
+        """Run SQL; Databricks ``col:json.path`` extraction (N2:516,
+        N3:147-151) is translated to ``get_json_object`` first so
+        workshop SQL runs verbatim."""
+        from dataengineeringworkshop_spark.sqlcompat import translate_sql
+
+        return self.spark.sql(translate_sql(statement))
 
     # ---- batch ingestion (N1:86-93, N2:116-126) ----
     def read_csv(self, path: str, **opts) -> DataFrame:

@@ -1,0 +1,79 @@
+"""SQL compatibility shims for Databricks-only syntax in the reference.
+
+The one construct the workshop uses that OSS Spark SQL lacks is the
+``column:json.path`` extraction operator
+(`2 Medaillon architecture.py:516` — ``_rescued_data:ts``;
+`3 Delta Live Tables Setup.py:147-151` —
+``details:flow_progress.metrics.num_output_rows``).  ``translate_sql``
+rewrites it to ``get_json_object(column, '$.json.path')`` so workshop
+SQL runs verbatim through ``Lakehouse.sql``.
+
+Scope (deliberately bounded to the workshop's idiom):
+- path steps are dot-separated identifiers after the colon; both
+  ``a:b.c`` and the workshop's occasional ``a:b:c`` chaining are
+  handled (the latter nests extractions);
+- colons inside single-quoted string literals are untouched;
+- array subscripts / ``::`` casts are NOT part of the reference surface
+  and are left alone (``::`` never matches — the pattern requires an
+  identifier immediately before and after a single colon).
+"""
+
+from __future__ import annotations
+
+import re
+
+# identifier followed by one or more ':step' segments (each step may have
+# '.sub' parts) — the whole chain is ONE extraction whose JSON path is the
+# segments joined by dots (N3:147-151's a:b:c form).  `(?<![:\w])` and
+# `(?!:)` keep `::` casts and qualified names out.
+_JSON_PATH_RE = re.compile(
+    r"(?<![:\w])((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)"  # optionally qualified column
+    r"((?::(?!:)[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)+)"  # :step(.sub)* chain
+)
+
+
+def _split_literals(sql: str) -> list[tuple[bool, str]]:
+    """Split into (is_string_literal, chunk) segments on single quotes
+    (with '' escaping inside literals, per SQL)."""
+    out: list[tuple[bool, str]] = []
+    buf, in_str = [], False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str and ch == "'" and i + 1 < len(sql) and sql[i + 1] == "'":
+            buf.append("''")
+            i += 2
+            continue
+        if ch == "'":
+            buf.append(ch)
+            if in_str:
+                out.append((True, "".join(buf)))
+                buf = []
+                in_str = False
+            else:
+                if len(buf) > 1:
+                    out.append((False, "".join(buf[:-1])))
+                buf = ["'"]
+                in_str = True
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    if buf:
+        out.append((in_str, "".join(buf)))
+    return out
+
+
+def translate_sql(sql: str) -> str:
+    """Rewrite Databricks ``col:a.b`` / ``col:a:b`` JSON extraction to
+    ``get_json_object(col, '$.a.b')`` outside string literals."""
+
+    def repl(m: re.Match) -> str:
+        col = m.group(1)
+        path = m.group(2).lstrip(":").replace(":", ".")
+        return f"get_json_object({col}, '$.{path}')"
+
+    return "".join(
+        seg if is_lit else _JSON_PATH_RE.sub(repl, seg)
+        for is_lit, seg in _split_literals(sql)
+    )
