@@ -1,0 +1,206 @@
+"""Breadth beyond the reference's operator list (SURVEY.md §2.7 notes
+"no UNION/INTERSECT/EXCEPT anywhere"; §2.5 "only ranking functions") —
+the adjacent relational surface any engine user reaches for next:
+set operations, multi-level aggregation (ROLLUP/CUBE), pivot, analytic
+windows (lead/lag/running totals), and sketch aggregates with
+error-bound oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.plans.registry import dsum, query
+from dataengineeringworkshop_spark.plans.tables import load_table, register_views
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str) -> DataFrame:
+    register_views(spark, sf_dir, *tables)
+    return spark.sql(sql)
+
+
+@query(
+    "c3_union_except_intersect",
+    oracle="""
+        SELECT 'union' AS op, COUNT(*) AS n FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            UNION SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        UNION ALL
+        SELECT 'intersect', COUNT(*) FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        UNION ALL
+        SELECT 'except', COUNT(*) FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+    tags=("extra", "setops"),
+)
+def c3_union_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT distinct-set semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    rows = [
+        ("union", a.union(b).distinct().count()),
+        ("intersect", a.intersect(b).count()),
+        ("except", a.subtract(b).count()),
+    ]
+    return spark.createDataFrame(rows, "op STRING, n BIGINT")
+
+
+@query(
+    "a8_rollup",
+    oracle="""
+        SELECT n_name, o_orderstatus, COUNT(*) AS n_orders,
+               GROUPING(n_name) AS g_nation, GROUPING(o_orderstatus) AS g_status
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey = 1
+        GROUP BY ROLLUP(n_name, o_orderstatus)
+    """,
+    tags=("extra", "rollup"),
+)
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers (subtotals + grand total)."""
+    return _sql(
+        spark, sf_dir, ("orders", "customer", "nation"),
+        """
+        SELECT n_name, o_orderstatus, COUNT(*) AS n_orders,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+        FROM dew_orders JOIN dew_customer ON o_custkey = c_custkey
+                        JOIN dew_nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey = 1
+        GROUP BY ROLLUP(n_name, o_orderstatus)
+        """,
+    )
+
+
+@query(
+    "a9_cube",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {dsum("o_totalprice", "total")}
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("extra", "cube"),
+)
+def a9_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with a deterministic double sum."""
+    return _sql(
+        spark, sf_dir, ("orders",),
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {dsum("o_totalprice", "total")}
+        FROM dew_orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+    )
+
+
+@query(
+    "b_pivot_event_types",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase
+        FROM events GROUP BY user_id
+    """,
+    tags=("extra", "pivot"),
+)
+def b_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long→wide counts per user) — Spark's pivot() against the
+    oracle's explicit CASE aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase"])
+    )
+    return out.select(
+        "user_id",
+        F.col("click").cast("long").alias("click"),
+        F.col("view").cast("long").alias("view"),
+        F.col("purchase").cast("long").alias("purchase"),
+    )
+
+
+@query(
+    "w3_lead_lag_gap",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_from_prev_us,
+               CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT) AS gap_to_next_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+    tags=("extra", "analytic-window"),
+)
+def w3_lead_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag analytic windows: inter-event gaps per user."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    next_us = F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+    return e.select(
+        "event_id",
+        "user_id",
+        (us - prev_us).alias("gap_from_prev_us"),
+        (next_us - us).alias("gap_to_next_us"),
+    )
+
+
+@query(
+    "w4_running_total",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        FROM events
+    """,
+    tags=("extra", "analytic-window"),
+)
+def w4_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum over an explicit ROWS frame — exact
+    decimal accumulation so every prefix matches the oracle."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "a_sketch_bounds",
+    oracle="SELECT TRUE AS distinct_ok, TRUE AS median_ok",
+    tags=("extra", "sketch"),
+)
+def a_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL approx_count_distinct, approx median).
+    Sketch values differ across engines by construction, so the oracle
+    pins ERROR BOUNDS instead: approx within 5% of exact distinct;
+    approx median within the exact p40–p60 band."""
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("ad"),
+        F.countDistinct("o_custkey").alias("ed"),
+        F.percentile_approx("o_totalprice", 0.5).alias("am"),
+        F.expr("percentile(o_totalprice, 0.4)").alias("p40"),
+        F.expr("percentile(o_totalprice, 0.6)").alias("p60"),
+    ).collect()[0]
+    ok_d = abs(row.ad - row.ed) / row.ed < 0.05
+    ok_m = row.p40 <= row.am <= row.p60
+    return spark.createDataFrame([(ok_d, ok_m)], "distinct_ok BOOLEAN, median_ok BOOLEAN")
