@@ -163,6 +163,67 @@ def vt_update_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vt_scd2_history",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+        ),
+        changed AS (SELECT c_custkey FROM base WHERE c_custkey % 10 = 1)
+        -- unchanged current rows stay open from t0
+        SELECT b.c_custkey, ROUND(b.c_acctbal, 2) AS c_acctbal,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               TIMESTAMP '2100-01-01 00:00:00' AS valid_to, TRUE AS is_current
+        FROM base b WHERE b.c_custkey % 10 <> 1
+        UNION ALL
+        -- changed rows: closed t0 version
+        SELECT b.c_custkey, ROUND(b.c_acctbal, 2),
+               TIMESTAMP '2024-01-01 00:00:00',
+               TIMESTAMP '2024-02-01 00:00:00', FALSE
+        FROM base b JOIN changed USING (c_custkey)
+        UNION ALL
+        -- changed rows: new open version (+100)
+        SELECT b.c_custkey, ROUND(b.c_acctbal + 100, 2),
+               TIMESTAMP '2024-02-01 00:00:00',
+               TIMESTAMP '2100-01-01 00:00:00', TRUE
+        FROM base b JOIN changed USING (c_custkey)
+        UNION ALL
+        -- brand-new keys inserted at t1
+        SELECT b.c_custkey + 1000000, ROUND(b.c_acctbal, 2),
+               TIMESTAMP '2024-02-01 00:00:00',
+               TIMESTAMP '2100-01-01 00:00:00', TRUE
+        FROM base b WHERE b.c_custkey % 10 = 2
+    """,
+    tags=("extra", "scd2", "D4"),
+)
+def vt_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge: init customers at t0, apply a batch at t1 that
+    changes acctbal for %10=1 keys and inserts re-keyed %10=2 copies;
+    the full history table (closed + open rows) is oracle-recomputed."""
+    from dataengineeringworkshop_spark.tables.scd2 import scd2_apply, scd2_init
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="dew_scd2_") + "/dim_customer")
+    scd2_init(vt, c, key="c_custkey", batch_ts="2024-01-01 00:00:00")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 1)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 2).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    scd2_apply(vt, updates, key="c_custkey", batch_ts="2024-02-01 00:00:00")
+    return vt.read().select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+@query(
     "ddl_ctas_lifecycle",
     oracle="""
         SELECT n_name, COUNT(*) AS n_customers
