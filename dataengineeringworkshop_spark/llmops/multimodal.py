@@ -77,6 +77,77 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(batches, DECODED_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """Resize plumbing via mapInPandas: real resizers (PIL/opencv) are
+    not in this container → NotImplementedError unless ``fake=True``,
+    which emits a deterministic fixed-size payload (truncate/cycle the
+    source bytes to width×height×3) — the batch shape, schema, and
+    output-size contract of a real resize stage."""
+    if not fake:
+        raise NotImplementedError(
+            "resize requires an image library not present in this container; "
+            "pass fake=True for the deterministic stub"
+        )
+    target = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def _fit(b: bytes) -> bytes:
+                if not b:
+                    return bytes(target)
+                reps = target // len(b) + 1
+                return (b * reps)[:target]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series(width, index=pdf.index, dtype="int32"),
+                    "height": pd.Series(height, index=pdf.index, dtype="int32"),
+                    "content": pdf["content"].map(_fit),
+                }
+            )
+
+    return media.mapInPandas(
+        batches, "media_id long, width int, height int, content binary"
+    )
+
+
+def byte_histogram_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """REAL content features (no stub needed): L1-normalized ``dim``-bin
+    byte histogram + Shannon entropy per payload, vectorized with numpy
+    inside mapInPandas.  The shape every learned-embedding extractor
+    shares: binary in → fixed-width float vector out, Arrow-batched,
+    partition-parallel."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, ents = [], []
+            for b in pdf["content"]:
+                arr = np.frombuffer(b or b"\x00", dtype=np.uint8)
+                hist = np.bincount(arr >> (8 - dim.bit_length() + 1), minlength=dim)[
+                    :dim
+                ].astype(np.float64)
+                total = hist.sum() or 1.0
+                p = hist / total
+                nz = p[p > 0]
+                feats.append([float(x) for x in p])
+                ents.append(float(-(nz * np.log2(nz)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "features": feats,
+                    "byte_entropy": ents,
+                }
+            )
+
+    return media.mapInPandas(
+        batches, "media_id long, features array<double>, byte_entropy double"
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' plumbing for video payloads: slice the byte stream
     into fixed-size chunks with positions — pure JVM array ops (the real

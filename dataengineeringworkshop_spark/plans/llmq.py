@@ -93,6 +93,33 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("mm_resize_fake", tags=("ext-mm",))
+def mm_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize plumbing (deterministic stub — no image libs in
+    this container): fixed 32×32×3 output payloads."""
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return resize_media(documents_as_media(d), width=32, height=32, fake=True)
+
+
+@query("mm_byte_features", tags=("ext-mm",))
+def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real binary-content features: 64-bin byte histogram + Shannon
+    entropy per payload (numpy inside mapInPandas, Arrow-batched).
+    Rows-only driver check; pytest asserts normalization + determinism."""
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        byte_histogram_features,
+        documents_as_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return byte_histogram_features(documents_as_media(d), dim=64)
+
+
 @query("mm_decode_fake", tags=("ext-mm",))
 def mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode stub: deterministic fake metadata per media row

@@ -173,3 +173,38 @@ def test_ivf_assignment_is_argmin(spark):
     for row in assigned.collect():
         d = {cid: float(((vecs[row.vid] - cc) ** 2).sum()) for cid, cc in c.items()}
         assert row.cell_id == min(d, key=lambda k: (d[k], k)), (row, d)
+
+
+def test_resize_stub_fixed_payload(spark):
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    media = documents_as_media(load_table(spark, SF_SMOKE, "documents").limit(20))
+    out = resize_media(media, width=8, height=8, fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.content) == 8 * 8 * 3 for r in rows)
+    with pytest.raises(NotImplementedError):
+        resize_media(media).collect()
+
+
+def test_byte_histogram_features_normalized_deterministic(spark):
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        byte_histogram_features,
+        documents_as_media,
+    )
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    media = documents_as_media(load_table(spark, SF_SMOKE, "documents").limit(20))
+    a = {r.media_id: (tuple(r.features), r.byte_entropy)
+         for r in byte_histogram_features(media, dim=64).collect()}
+    b = {r.media_id: (tuple(r.features), r.byte_entropy)
+         for r in byte_histogram_features(media, dim=64).collect()}
+    assert a == b  # deterministic across runs
+    for feats, ent in a.values():
+        assert len(feats) == 64
+        assert abs(sum(feats) - 1.0) < 1e-9  # L1-normalized
+        assert 0.0 <= ent <= 6.0  # <= log2(64) bins
