@@ -28,6 +28,60 @@ def mh_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dataengineeringworkshop_spark.plans.textops import (  # noqa: E402
+    _JACCARD_DUCK,
+    _JACCARD_MAXDF,
+)
+
+
+@query(
+    "d_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            {_JACCARD_DUCK.format(maxdf=_JACCARD_MAXDF)}
+        ),
+        edges AS (
+            SELECT d1 AS u, d2 AS v FROM pairs
+            UNION SELECT d2, d1 FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS member, LEAST(u, MIN(v)) AS component
+        FROM reach GROUP BY u
+    """,
+    tags=("ext-dedup", "iterative"),
+)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the word-3-gram Jaccard pair list:
+    iterative min-label propagation (map-reduce connected components) on
+    the Spark side vs a recursive-CTE transitive closure in DuckDB — an
+    iterative algorithm with a genuine independent oracle."""
+    from dataengineeringworkshop_spark.llmops.clusters import connected_components
+    from dataengineeringworkshop_spark.plans.textops import d_ngram_jaccard_pairs
+
+    pairs = d_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    return connected_components(pairs)
+
+
+@query("d_dedup_survivors", tags=("ext-dedup", "iterative"))
+def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup contract: MinHash-LSH pairs → components → keep
+    one survivor per cluster + all unimplicated docs.  Rows-only check;
+    pytest verifies against a python union-find on the same pairs."""
+    from dataengineeringworkshop_spark.llmops.clusters import dedup_survivors
+    from dataengineeringworkshop_spark.llmops.minhash import minhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.3,
+        index_key=f"documents:{sf_dir}",
+    ).select("d1", "d2")
+    return dedup_survivors(d.select("doc_id", "lang", "source"), "doc_id", pairs)
+
+
 @query("sh_simhash_fingerprints", tags=("ext-dedup",))
 def sh_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (token-frequency weighted)."""
