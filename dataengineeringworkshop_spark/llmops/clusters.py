@@ -5,12 +5,11 @@ a~b and b~c, {a,b,c} dedupes to one survivor even though (a,c) was
 never emitted.  That closure is a connected-components problem, the
 prompt-class "iterative algorithm" SQL can't express.
 
-Algorithm: alternating large/small-star label propagation (the
-map-reduce CC construction from Kiveris et al., "Connected Components
-in MapReduce and Beyond" — public algorithm):  every vertex holds a
-label (min vertex id seen); each round propagates the min label across
-edges; converges in O(log n) rounds for real near-dup graphs (tiny
-diameters — dup clusters are cliques-ish).
+Algorithm: plain min-label propagation — every vertex holds a label
+(min vertex id seen); each round propagates the min label across edges.
+Converges in O(graph diameter) rounds, which for near-dup graphs is
+tiny (dup clusters are cliques-ish); the loop RAISES if ``max_iter``
+rounds are exhausted rather than returning split clusters silently.
 
 Scale posture: each iteration is one join + one aggregate on the edge
 list (shuffle keyed by vertex); the DRIVER loop only checks the
@@ -71,6 +70,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds max_iter) — raise max_iter"
+        )
     return labels.select(F.col("u").alias("member"), F.col("lbl").alias("component"))
 
 

@@ -29,10 +29,7 @@ from pyspark.sql import functions as F
 #: per query would be like rebuilding a b-tree per lookup.
 _CENTROID_CACHE: dict[str, list] = {}
 
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-)
+from dataengineeringworkshop_spark.llmops.expr import DOT_DOUBLE as _DOT
 
 
 def train_centroids(
@@ -128,12 +125,13 @@ def ann_topk_ivf(
         .withColumn("q_nrm", F.expr(_DOT.format(a="q_vec", b="q_vec")))
         .withColumn("c_nrm", F.expr(_DOT.format(a="c_vec", b="c_vec")))
         .withColumn(
+            # zero-norm guard: 0/0 = NaN would outrank every real cosine
             "cosine",
             F.expr(_DOT.format(a="q_vec", b="c_vec"))
-            / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
+            / F.nullif(F.sqrt(F.col("q_nrm") * F.col("c_nrm")), F.lit(0.0)),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc_nulls_last(), F.col("vid"))
     return (
         scored.withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= k)

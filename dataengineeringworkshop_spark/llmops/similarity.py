@@ -24,10 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-)
+from dataengineeringworkshop_spark.llmops.expr import DOT_DOUBLE as _DOT
 
 
 def exact_cosine_topk(
@@ -46,12 +43,14 @@ def exact_cosine_topk(
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
+            # nullif guard: a zero-norm vector would give 0/0 = NaN, and NaN
+            # sorts ABOVE every real cosine in desc order — null sorts last
             "cosine",
             F.expr(_DOT.format(a="q_vec", b="c_vec"))
-            / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
+            / F.nullif(F.sqrt(F.col("q_nrm") * F.col("c_nrm")), F.lit(0.0)),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("neighbor_id"))
     return (
         scored.withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= k)
@@ -135,10 +134,10 @@ def ann_topk_lsh(
         .withColumn(
             "cosine",
             F.expr(_DOT.format(a="q_vec", b="c_vec"))
-            / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
+            / F.nullif(F.sqrt(F.col("q_nrm") * F.col("c_nrm")), F.lit(0.0)),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc_nulls_last(), F.col("vid"))
     return (
         scored.withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= k)

@@ -30,45 +30,51 @@ class ExpectationFailed(Exception):
     pass
 
 
+_METRIC_SCHEMA = "constraint_name string, passed_records long, failed_records long"
+
+
+def expectation_metric_rows(
+    df: DataFrame, expectations: list[Expectation]
+) -> list[tuple[str, int, int]]:
+    """(name, passed, failed) per expectation — exactly ONE aggregate scan
+    of ``df``, collected as a single driver row."""
+    if not expectations:
+        return []
+    aggs = []
+    for e in expectations:
+        pred = F.expr(e.predicate)
+        aggs.append(F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"__p_{e.name}"))
+        aggs.append(F.sum(F.when(pred, 0).otherwise(1)).cast("long").alias(f"__f_{e.name}"))
+    row = df.agg(*aggs).collect()[0]
+    return [
+        (e.name, row[f"__p_{e.name}"] or 0, row[f"__f_{e.name}"] or 0)
+        for e in expectations
+    ]
+
+
 def expectation_metrics(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """One row per expectation: (constraint_name, passed_records,
     failed_records) — the event-log schema of `3 Delta Live Tables
-    Setup.py:138-151`.  Single aggregate pass over ``df``."""
-    aggs = []
-    for e in expectations:
-        aggs.append(
-            F.sum(F.when(F.expr(e.predicate), 1).otherwise(0)).cast("long").alias(f"__p_{e.name}")
-        )
-        aggs.append(
-            F.sum(F.when(F.expr(e.predicate), 0).otherwise(1)).cast("long").alias(f"__f_{e.name}")
-        )
-    row = df.agg(*aggs)
-    metrics = None
-    for e in expectations:
-        one = row.select(
-            F.lit(e.name).alias("constraint_name"),
-            F.col(f"__p_{e.name}").alias("passed_records"),
-            F.col(f"__f_{e.name}").alias("failed_records"),
-        )
-        metrics = one if metrics is None else metrics.unionAll(one)
-    return metrics
+    Setup.py:138-151`.  Empty expectation list -> empty frame."""
+    rows = expectation_metric_rows(df, expectations)
+    return df.sparkSession.createDataFrame(rows, _METRIC_SCHEMA)
 
 
 def apply_expectations(
     df: DataFrame, expectations: list[Expectation]
 ) -> tuple[DataFrame, DataFrame]:
     """Return (dataset, metrics).  ``drop`` expectations filter the dataset;
-    ``fail`` expectations raise if any row violates; ``warn`` only record."""
-    metrics = expectation_metrics(df, expectations)
+    ``fail`` expectations raise if any row violates; ``warn`` only record.
+    The input is scanned once for all metrics regardless of expectation
+    count (the fail checks read the already-collected row)."""
+    rows = expectation_metric_rows(df, expectations)
+    by_name = {name: failed for name, _, failed in rows}
     for e in expectations:
-        if e.mode == "fail":
-            failed = metrics.filter(
-                (F.col("constraint_name") == e.name) & (F.col("failed_records") > 0)
-            ).count()
-            if failed:
-                raise ExpectationFailed(f"expectation {e.name!r} violated")
+        if e.mode == "fail" and by_name.get(e.name, 0) > 0:
+            raise ExpectationFailed(f"expectation {e.name!r} violated")
     out = df
     for e in expectations:
         if e.mode == "drop":
             out = out.filter(F.expr(e.predicate))
+    metrics = df.sparkSession.createDataFrame(rows, _METRIC_SCHEMA)
     return out, metrics

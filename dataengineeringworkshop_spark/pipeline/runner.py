@@ -206,11 +206,18 @@ class Pipeline:
         return f"__pl_{self.name}_{name}"
 
     def _substitute(self, spark: SparkSession, sql: str, streaming: bool) -> str:
-        """Replace live./STREAM(live.) refs with registered temp views."""
+        """Replace live./STREAM(live.) refs with registered temp views.
+        String literals are left untouched, and a ref to an undefined
+        dataset raises a named error instead of a KeyError."""
 
         def repl(m: re.Match) -> str:
             stream_ref, batch_ref = m.group(1), m.group(2)
             name = stream_ref or batch_ref
+            if name not in self.datasets:
+                raise ValueError(
+                    f"pipeline {self.name!r}: query references live.{name} "
+                    "but no such dataset is defined"
+                )
             spec = self.datasets[name]
             view = self._view_name(name) + ("__stream" if stream_ref else "")
             if stream_ref:
@@ -225,7 +232,12 @@ class Pipeline:
                     self.read_dataset(spark, name).createOrReplaceTempView(view)
             return view
 
-        return _LIVE_RE.sub(repl, sql)
+        from dataengineeringworkshop_spark.sqlcompat import _split_literals
+
+        return "".join(
+            seg if is_lit else _LIVE_RE.sub(repl, seg)
+            for is_lit, seg in _split_literals(sql)
+        )
 
     def _build_batch(self, spark: SparkSession, spec: DatasetSpec) -> DataFrame:
         if spec.fn is not None:
@@ -239,23 +251,23 @@ class Pipeline:
         if not spec.expectations:
             return df, metrics
         from dataengineeringworkshop_spark.operators.expectations import (
-            expectation_metrics,
+            expectation_metric_rows,
         )
 
-        mrows = expectation_metrics(df, spec.expectations).collect()
-        by_name = {r.constraint_name: r for r in mrows}
+        mrows = expectation_metric_rows(df, spec.expectations)  # ONE scan
+        by_name = {name: (passed, failed) for name, passed, failed in mrows}
         for e in spec.expectations:
-            r = by_name[e.name]
+            passed, failed = by_name[e.name]
             metrics.append(
                 {
                     "name": e.name,
                     "mode": e.mode,
-                    "passed_records": r.passed_records,
-                    "failed_records": r.failed_records,
-                    "dropped_records": r.failed_records if e.mode == "drop" else 0,
+                    "passed_records": passed,
+                    "failed_records": failed,
+                    "dropped_records": failed if e.mode == "drop" else 0,
                 }
             )
-            if e.mode == "fail" and r.failed_records > 0:
+            if e.mode == "fail" and failed > 0:
                 raise ExpectationFailed(f"{spec.name}: expectation {e.name!r} violated")
         kept = df
         for e in spec.expectations:

@@ -127,7 +127,8 @@ def vt_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vt_delete_where",
-    oracle="SELECT * FROM orders WHERE NOT (o_orderstatus = 'P')",
+    # NULL-correct DELETE semantics: rows where the condition is not TRUE survive
+    oracle="SELECT * FROM orders WHERE o_orderstatus IS NULL OR NOT (o_orderstatus = 'P')",
     tags=("D1",),
 )
 def vt_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:

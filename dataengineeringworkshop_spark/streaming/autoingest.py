@@ -125,17 +125,37 @@ class AutoIngest:
     def _stream(self, spark: SparkSession) -> DataFrame:
         ensure_session_defaults(spark)
         schema = self.resolve_schema(spark)
-        if self.fmt == "json":
+        if self.fmt in ("json", "csv"):
             # read raw lines so the typed parse and the rescue parse see the
-            # exact same record text
+            # exact same record text; for CSV the (exact-match) header line
+            # is filtered before parsing
             raw = spark.readStream.schema("value string").text(self.source_dir)
-            typed = raw.withColumn("__parsed", F.from_json("value", schema))
-            cols = [F.col(f"__parsed.{f.name}").alias(f.name) for f in schema.fields]
-            if self.rescue:
+            if self.fmt == "csv":
+                header_line = ",".join(f.name for f in schema.fields)
+                raw = raw.filter(F.col("value") != F.lit(header_line))
+                ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+                loose_ddl = ", ".join(f"{f.name} string" for f in schema.fields)
+
+                def parse_typed(c):
+                    return F.from_csv(c, ddl)
+
+                def parse_loose(c):
+                    return F.from_csv(c, loose_ddl)
+            else:
                 loose_schema = StructType(
                     [StructField(f.name, _parse_datatype_string("string"), True) for f in schema.fields]
                 )
-                typed = typed.withColumn("__loose", F.from_json("value", loose_schema))
+
+                def parse_typed(c):
+                    return F.from_json(c, schema)
+
+                def parse_loose(c):
+                    return F.from_json(c, loose_schema)
+
+            typed = raw.withColumn("__parsed", parse_typed(F.col("value")))
+            cols = [F.col(f"__parsed.{f.name}").alias(f.name) for f in schema.fields]
+            if self.rescue:
+                typed = typed.withColumn("__loose", parse_loose(F.col("value")))
                 # a field is "rescued" when the loose parse sees a value but
                 # the typed parse does not (type mismatch), or the whole
                 # typed parse failed
@@ -156,9 +176,10 @@ class AutoIngest:
             else:
                 df = typed.select(*cols)
         else:
+            # binary/columnar formats (parquet, orc) enforce their schema at
+            # write time — there is nothing to rescue; the column is kept
+            # for sink-schema stability but is always null
             reader = spark.readStream.schema(schema)
-            if self.fmt == "csv":
-                reader = reader.option("header", "true")
             df = getattr(reader, self.fmt)(self.source_dir)
             if self.rescue:
                 df = df.withColumn("_rescued_data", F.lit(None).cast("string"))

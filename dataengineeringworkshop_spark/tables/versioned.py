@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -119,18 +120,41 @@ class VersionedTable:
         return self._latest() is not None
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> "VersionedTable":
-        """CTAS / saveAsTable parity (S5-S6).  mode: overwrite | append."""
+        """CTAS / saveAsTable parity (S5-S6).  mode: overwrite | append.
+
+        Append commits the MERGED schema (existing fields + new batch's
+        new fields) so a narrower batch cannot silently drop columns from
+        subsequent snapshot reads; a type conflict on a shared column
+        raises instead of corrupting."""
         prev = self._latest()
         version = 0 if prev is None else prev.version + 1
         rel = self._new_data_dir(version)
         df.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        schema_ddl = df.schema.simpleString()
         if mode == "append" and prev is not None:
+            from pyspark.sql.types import StructType
+
+            old = StructType.fromDDL(_ddl_of(prev.schema_ddl))
+            merged = list(old.fields)
+            by_name = {f.name: f for f in old.fields}
+            for f in df.schema.fields:
+                if f.name in by_name:
+                    have = by_name[f.name].dataType.simpleString()
+                    got = f.dataType.simpleString()
+                    if have != got:
+                        raise ValueError(
+                            f"append schema conflict on {f.name!r}: table has "
+                            f"{have}, batch has {got}"
+                        )
+                else:
+                    merged.append(f)
+            schema_ddl = StructType(merged).simpleString()
             dirs = prev.data_dirs + [rel]
             op = "WRITE APPEND"
         else:
             dirs = [rel]
             op = "CREATE TABLE AS SELECT" if prev is None else "WRITE OVERWRITE"
-        self._commit(op, dirs, df.schema.simpleString(), {"mode": mode})
+        self._commit(op, dirs, schema_ddl, {"mode": mode})
         return self
 
     # ----------------------------------------------------------------- read
@@ -183,8 +207,10 @@ class VersionedTable:
         )
 
     def delete(self, condition: str) -> None:
-        """DELETE WHERE — copy-on-write anti-filter."""
-        cur = self.read().filter(~F.expr(condition))
+        """DELETE WHERE — copy-on-write anti-filter.  SQL three-valued
+        semantics: only rows where the condition is TRUE are deleted;
+        NULL-evaluating rows are KEPT (plain ``~cond`` would drop them)."""
+        cur = self.read().filter(~F.expr(condition).eqNullSafe(F.lit(True)))
         prev = self._latest()
         rel = self._new_data_dir(prev.version + 1)
         cur.write.mode("overwrite").parquet(f"{self.path}/{rel}")
@@ -211,6 +237,21 @@ class VersionedTable:
         """
         cur = self.read()
         cols = cur.columns
+        # Delta raises when several source rows match one target row; a
+        # full-outer join would silently DUPLICATE the target instead.
+        # For the standard conjunctive-equality ON form we can check the
+        # source side directly: duplicate source key tuples are rejected.
+        key_pairs = re.findall(r"t\.(\w+)\s*=\s*s\.(\w+)|s\.(\w+)\s*=\s*t\.(\w+)", on)
+        s_keys = [s1 or s2 for _, s1, s2, _ in key_pairs if (s1 or s2)]
+        if s_keys:
+            dup = (
+                source.groupBy(*s_keys).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    f"MERGE source has duplicate rows for join key {s_keys} — "
+                    "multiple source rows would match one target row"
+                )
         src = source.alias("s")
         joined = (
             cur.withColumn("__t_present", F.lit(True))

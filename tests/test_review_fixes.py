@@ -1,0 +1,132 @@
+"""Regression tests for defects found in code review: NULL semantics in
+DELETE, append schema narrowing, MERGE duplicate-source guard, empty
+expectations, literal-safe pipeline substitution, CSV field rescue,
+zero-norm cosine, and connected-components non-convergence."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+
+def _vt(spark, df):
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="dew_fix_") + "/t")
+    vt.write(df)
+    return vt
+
+
+def test_delete_keeps_null_condition_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id INT, c STRING"
+    )
+    vt = _vt(spark, df)
+    vt.delete("c = 'x'")
+    left = {r.id for r in vt.read().collect()}
+    # row 3 (c IS NULL -> condition NULL, not TRUE) must survive
+    assert left == {2, 3}
+
+
+def test_append_merges_schema_instead_of_narrowing(spark):
+    wide = spark.createDataFrame([(1, "a", 1.0)], "id INT, name STRING, bal DOUBLE")
+    vt = _vt(spark, wide)
+    narrow = spark.createDataFrame([(2,)], "id INT")
+    vt.write(narrow, mode="append")
+    out = vt.read()
+    assert set(out.columns) == {"id", "name", "bal"}
+    row2 = out.filter("id = 2").collect()[0]
+    assert row2.name is None and row2.bal is None
+    # type conflict raises instead of silently committing
+    bad = spark.createDataFrame([("zzz",)], "id STRING")
+    with pytest.raises(ValueError, match="schema conflict"):
+        vt.write(bad, mode="append")
+
+
+def test_merge_rejects_duplicate_source_keys(spark):
+    df = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    vt = _vt(spark, df)
+    dup_src = spark.createDataFrame([(1, "x"), (1, "y")], "id INT, v STRING")
+    with pytest.raises(ValueError, match="duplicate"):
+        vt.merge(dup_src, on="t.id = s.id")
+
+
+def test_apply_expectations_empty_list(spark):
+    from dataengineeringworkshop_spark.operators.expectations import (
+        apply_expectations,
+        expectation_metrics,
+    )
+
+    df = spark.createDataFrame([(1,)], "x INT")
+    out, metrics = apply_expectations(df, [])
+    assert out.count() == 1 and metrics.count() == 0
+    assert expectation_metrics(df, []).columns == [
+        "constraint_name", "passed_records", "failed_records",
+    ]
+
+
+def test_pipeline_substitute_ignores_literals_and_names_unknown_refs(spark, tmp_path):
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    p = Pipeline("subst", str(tmp_path / "pl"))
+    p.table("base", None, fn=lambda s, _r: s.createDataFrame([(1,)], "x INT"))
+    p.table("out", "SELECT x, 'live.base' AS tag FROM live.base")
+    res = p.run(spark)
+    rows = p.read_dataset(spark, "out").collect()
+    assert rows[0].tag == "live.base"  # literal untouched
+    assert res["out"] is not None
+
+    p2 = Pipeline("subst2", str(tmp_path / "pl2"))
+    p2.table("only", "SELECT * FROM live.missing")
+    with pytest.raises(ValueError, match="live.missing"):
+        p2.run(spark)
+
+
+def test_csv_field_rescue(spark, tmp_path):
+    from dataengineeringworkshop_spark.streaming.autoingest import AutoIngest
+
+    src = tmp_path / "csv_src"
+    src.mkdir()
+    (src / "a.csv").write_text("id,ts,name\n1,1000,alice\n2,not_a_number,bob\n")
+    ing = AutoIngest(
+        source_dir=str(src),
+        checkpoint_dir=str(tmp_path / "chk"),
+        target_dir=str(tmp_path / "tgt"),
+        fmt="csv",
+        schema_hints="ts long",
+    )
+    ing.run_once(spark)
+    out = ing.read_target(spark)
+    ok = out.filter(F.col("id") == 1).collect()[0]
+    assert ok.ts == 1000 and ok._rescued_data is None
+    bad = out.filter(F.col("id") == 2).collect()[0]
+    # the drifted value is RESCUED, not silently nulled
+    assert bad.ts is None
+    assert bad._rescued_data is not None and "not_a_number" in bad._rescued_data
+
+
+def test_zero_norm_vector_never_outranks_real_neighbors(spark):
+    from dataengineeringworkshop_spark.llmops.similarity import exact_cosine_topk
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 + 1) for j in range(4)]) for i in range(20)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # zero-norm poison vector
+    e = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    q = e.filter(F.col("vec_id") == 0)
+    top = exact_cosine_topk(e, q, "vec_id", "embedding", k=5)
+    ids = [r.neighbor_id for r in top.orderBy("sim_rank").collect()]
+    assert 99 not in ids  # NaN/undefined cosine must not win rank 1
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from dataengineeringworkshop_spark.llmops.clusters import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "d1 BIGINT, d2 BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and converges fine with enough rounds
+    got = {r.member: r.component for r in connected_components(chain, max_iter=10).collect()}
+    assert set(got.values()) == {1}
