@@ -133,7 +133,8 @@ def ann_topk_ivf(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc_nulls_last(), F.col("vid"))
     return (
-        scored.withColumn("sim_rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())  # zero-norm pairs: no result
+        .withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= k)
         .select(
             F.col("qid").alias("query_id"),

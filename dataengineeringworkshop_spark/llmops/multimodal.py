@@ -127,9 +127,9 @@ def byte_histogram_features(media: DataFrame, dim: int = 64) -> DataFrame:
             feats, ents = [], []
             for b in pdf["content"]:
                 arr = np.frombuffer(b or b"\x00", dtype=np.uint8)
-                hist = np.bincount(arr >> (8 - dim.bit_length() + 1), minlength=dim)[
-                    :dim
-                ].astype(np.float64)
+                # uniform 0..255 -> 0..dim-1 bucketing, valid for ANY dim
+                buckets = (arr.astype(np.int32) * dim) >> 8
+                hist = np.bincount(buckets, minlength=dim)[:dim].astype(np.float64)
                 total = hist.sum() or 1.0
                 p = hist / total
                 nz = p[p > 0]

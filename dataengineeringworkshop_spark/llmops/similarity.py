@@ -52,7 +52,8 @@ def exact_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("neighbor_id"))
     return (
-        scored.withColumn("sim_rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())  # zero-norm pairs: no result
+        .withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "sim_rank")
     )
@@ -139,7 +140,8 @@ def ann_topk_lsh(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc_nulls_last(), F.col("vid"))
     return (
-        scored.withColumn("sim_rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())  # zero-norm pairs: no result
+        .withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= k)
         .select(
             F.col("qid").alias("query_id"),

@@ -55,9 +55,30 @@ def expectation_metric_rows(
 def expectation_metrics(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """One row per expectation: (constraint_name, passed_records,
     failed_records) — the event-log schema of `3 Delta Live Tables
-    Setup.py:138-151`.  Empty expectation list -> empty frame."""
-    rows = expectation_metric_rows(df, expectations)
-    return df.sparkSession.createDataFrame(rows, _METRIC_SCHEMA)
+    Setup.py:138-151`.  Lazy, single scan; empty list -> empty frame."""
+    if not expectations:
+        return df.sparkSession.createDataFrame([], _METRIC_SCHEMA)
+    return _lazy_metrics(df, expectations)
+
+
+def _lazy_metrics(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Lazy single-scan metrics: one agg row unpivoted with stack() —
+    no job runs unless the caller materializes the frame."""
+    aggs = []
+    for e in expectations:
+        pred = F.expr(e.predicate)
+        aggs.append(F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"__p_{e.name}"))
+        aggs.append(F.sum(F.when(pred, 0).otherwise(1)).cast("long").alias(f"__f_{e.name}"))
+    stack_args = ", ".join(
+        f"'{e.name}', coalesce(__p_{e.name}, 0L), coalesce(__f_{e.name}, 0L)"
+        for e in expectations
+    )
+    return df.agg(*aggs).select(
+        F.expr(
+            f"stack({len(expectations)}, {stack_args}) "
+            "AS (constraint_name, passed_records, failed_records)"
+        )
+    )
 
 
 def apply_expectations(
@@ -65,16 +86,23 @@ def apply_expectations(
 ) -> tuple[DataFrame, DataFrame]:
     """Return (dataset, metrics).  ``drop`` expectations filter the dataset;
     ``fail`` expectations raise if any row violates; ``warn`` only record.
-    The input is scanned once for all metrics regardless of expectation
-    count (the fail checks read the already-collected row)."""
-    rows = expectation_metric_rows(df, expectations)
-    by_name = {name: failed for name, _, failed in rows}
-    for e in expectations:
-        if e.mode == "fail" and by_name.get(e.name, 0) > 0:
-            raise ExpectationFailed(f"expectation {e.name!r} violated")
+
+    Metrics always cost ONE scan of ``df``.  With no fail-mode
+    expectations the metrics frame is returned LAZY (no job at call
+    time); fail mode forces an eager check so the raise happens here."""
+    if not expectations:
+        return df, df.sparkSession.createDataFrame([], _METRIC_SCHEMA)
+    if any(e.mode == "fail" for e in expectations):
+        rows = expectation_metric_rows(df, expectations)
+        by_name = {name: failed for name, _, failed in rows}
+        for e in expectations:
+            if e.mode == "fail" and by_name.get(e.name, 0) > 0:
+                raise ExpectationFailed(f"expectation {e.name!r} violated")
+        metrics = df.sparkSession.createDataFrame(rows, _METRIC_SCHEMA)
+    else:
+        metrics = _lazy_metrics(df, expectations)
     out = df
     for e in expectations:
         if e.mode == "drop":
             out = out.filter(F.expr(e.predicate))
-    metrics = df.sparkSession.createDataFrame(rows, _METRIC_SCHEMA)
     return out, metrics

@@ -71,7 +71,16 @@ class DatasetSpec:
     def upstreams(self) -> list[str]:
         if not self.sql:
             return []
-        return [a or b for a, b in _LIVE_RE.findall(self.sql)]
+        # skip string literals — same scoping as _substitute, so a quoted
+        # 'live.x' never creates a phantom DAG edge
+        from dataengineeringworkshop_spark.sqlcompat import _split_literals
+
+        return [
+            a or b
+            for is_lit, seg in _split_literals(self.sql)
+            if not is_lit
+            for a, b in _LIVE_RE.findall(seg)
+        ]
 
 
 class Pipeline:

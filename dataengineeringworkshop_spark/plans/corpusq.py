@@ -66,6 +66,72 @@ def cp_quality_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cp_clean_text_stats",
+    oracle="""
+        WITH cleaned AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(text, 'https?://[^ ]+', ' ', 'g'),
+                       ' +', ' ', 'g')) AS clean
+            FROM documents
+        )
+        SELECT doc_id, LENGTH(clean) AS clean_chars,
+               len(string_split(clean, ' ')) AS clean_words
+        FROM cleaned
+    """,
+    tags=("ext-text", "ext-corpus"),
+)
+def cp_clean_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning pass: strip URLs, collapse whitespace — the regex
+    subset shared by Java (Spark) and RE2-ish (DuckDB) dialects, so both
+    engines transform identically."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH cleaned AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(text, 'https?://[^ ]+', ' '),
+                       ' +', ' ')) AS clean
+            FROM dew_documents
+        )
+        SELECT doc_id, LENGTH(clean) AS clean_chars,
+               size(split(clean, ' ')) AS clean_words
+        FROM cleaned
+        """
+    )
+
+
+@query(
+    "cp_pii_pattern_scan",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS INT) AS n_phoneish,
+               (regexp_matches(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')
+                OR regexp_matches(text, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS has_pii
+        FROM documents
+    """,
+    tags=("ext-text", "ext-corpus"),
+)
+def cp_pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern scan (emails, phone-shaped numbers) — the redaction
+    pre-pass every public-corpus pipeline runs.  Counts per doc + flag;
+    patterns restricted to the dialect-portable regex subset."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               size(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', 0)) AS n_emails,
+               size(regexp_extract_all(text, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', 0)) AS n_phoneish,
+               (text RLIKE '[A-Za-z0-9._]+@[A-Za-z0-9.]+'
+                OR text RLIKE '[0-9]{3}-[0-9]{3,4}-[0-9]{4}') AS has_pii
+        FROM dew_documents
+        """
+    )
+
+
+@query(
     "cp_stratified_sample",
     oracle=f"""
         WITH rated AS (

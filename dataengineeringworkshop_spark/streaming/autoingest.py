@@ -131,10 +131,30 @@ class AutoIngest:
             # is filtered before parsing
             raw = spark.readStream.schema("value string").text(self.source_dir)
             if self.fmt == "csv":
-                header_line = ",".join(f.name for f in schema.fields)
-                raw = raw.filter(F.col("value") != F.lit(header_line))
                 ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
                 loose_ddl = ", ".join(f"{f.name} string" for f in schema.fields)
+                # header detection by PARSE, not exact string match: a line
+                # is a header iff every parsed field is null or equals its
+                # own column name (and at least one equals).  Robust to
+                # hint-added columns absent from the file, quoted headers,
+                # and never drops real data unless a row literally repeats
+                # the column names.
+                probe = F.from_csv(F.col("value"), loose_ddl)
+                field_ok = [
+                    probe.getField(f.name).isNull()
+                    | (probe.getField(f.name) == F.lit(f.name))
+                    for f in schema.fields
+                ]
+                any_eq = [
+                    probe.getField(f.name) == F.lit(f.name) for f in schema.fields
+                ]
+                import functools
+                import operator
+
+                is_header = functools.reduce(operator.and_, field_ok) & (
+                    F.coalesce(functools.reduce(operator.or_, any_eq), F.lit(False))
+                )
+                raw = raw.filter(~is_header)
 
                 def parse_typed(c):
                     return F.from_csv(c, ddl)

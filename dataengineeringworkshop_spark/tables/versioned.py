@@ -239,18 +239,26 @@ class VersionedTable:
         cols = cur.columns
         # Delta raises when several source rows match one target row; a
         # full-outer join would silently DUPLICATE the target instead.
-        # For the standard conjunctive-equality ON form we can check the
-        # source side directly: duplicate source key tuples are rejected.
-        key_pairs = re.findall(r"t\.(\w+)\s*=\s*s\.(\w+)|s\.(\w+)\s*=\s*t\.(\w+)", on)
-        s_keys = [s1 or s2 for _, s1, s2, _ in key_pairs if (s1 or s2)]
-        if s_keys:
-            dup = (
-                source.groupBy(*s_keys).count().filter(F.col("count") > 1).limit(1).count()
-            )
-            if dup:
+        # Checkable only for the pure conjunctive-equality ON form; the
+        # guard fires only when the duplicate key actually MATCHES a
+        # target row (duplicate not-matched keys legally insert twice).
+        terms = [t.strip() for t in re.split(r"(?i)\s+AND\s+", on.strip())]
+        pair_re = re.compile(r"^(?:t\.(\w+)\s*=\s*s\.(\w+)|s\.(\w+)\s*=\s*t\.(\w+))$")
+        matches = [pair_re.match(t) for t in terms]
+        if all(matches):
+            pairs = [
+                ((m.group(1) or m.group(4)), (m.group(2) or m.group(3)))
+                for m in matches
+            ]
+            t_keys = [p[0] for p in pairs]
+            s_keys = [p[1] for p in pairs]
+            dup_keys = source.groupBy(*s_keys).count().filter(F.col("count") > 1)
+            tgt_keys = cur.select(*[F.col(tc).alias(sc) for tc, sc in pairs]).distinct()
+            dup_matched = dup_keys.join(tgt_keys, s_keys).limit(1).count()
+            if dup_matched:
                 raise ValueError(
-                    f"MERGE source has duplicate rows for join key {s_keys} — "
-                    "multiple source rows would match one target row"
+                    f"MERGE source has multiple rows per join key {s_keys} that "
+                    "match one target row — Delta semantics forbid this"
                 )
         src = source.alias("s")
         joined = (

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+from tests.conftest import SF_SMOKE
 
 
 def _vt(spark, df):
@@ -49,7 +50,7 @@ def test_merge_rejects_duplicate_source_keys(spark):
     df = spark.createDataFrame([(1, "a")], "id INT, v STRING")
     vt = _vt(spark, df)
     dup_src = spark.createDataFrame([(1, "x"), (1, "y")], "id INT, v STRING")
-    with pytest.raises(ValueError, match="duplicate"):
+    with pytest.raises(ValueError, match="multiple rows per join key"):
         vt.merge(dup_src, on="t.id = s.id")
 
 
@@ -130,3 +131,88 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and converges fine with enough rounds
     got = {r.member: r.component for r in connected_components(chain, max_iter=10).collect()}
     assert set(got.values()) == {1}
+
+
+def test_merge_allows_duplicate_unmatched_source_keys(spark):
+    """Delta semantics: duplicate source keys that match NO target row
+    insert normally; only duplicates matching a target row raise."""
+    df = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    vt = _vt(spark, df)
+    src = spark.createDataFrame([(2, "x"), (2, "y")], "id INT, v STRING")
+    vt.merge(src, on="t.id = s.id")  # both rows insert (not matched)
+    assert vt.read().count() == 3
+
+
+def test_upstreams_ignore_string_literals(spark, tmp_path):
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    p = Pipeline("lit_dag", str(tmp_path / "pl"))
+    p.table("a", "SELECT x, 'live.b' AS tag FROM live.base")
+    p.table("base", None, fn=lambda s, _r: s.createDataFrame([(1,)], "x INT"))
+    p.table("b", "SELECT * FROM live.a")
+    # no phantom a->b edge from the literal: this must run, not cycle-error
+    res = p.run(spark)
+    assert set(res) == {"a", "base", "b"}
+
+
+def test_expectation_metrics_lazy_and_correct(spark):
+    from dataengineeringworkshop_spark.operators.expectations import (
+        Expectation,
+        apply_expectations,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (30,)], "x INT")
+    out, metrics = apply_expectations(
+        df, [Expectation("small", "x < 10", mode="drop"),
+             Expectation("positive", "x > 0", mode="warn")]
+    )
+    got = {r.constraint_name: (r.passed_records, r.failed_records)
+           for r in metrics.collect()}
+    assert got == {"small": (2, 1), "positive": (3, 0)}
+    assert out.count() == 2
+
+
+def test_csv_header_detected_with_hint_added_column(spark, tmp_path):
+    from dataengineeringworkshop_spark.streaming.autoingest import AutoIngest
+
+    src = tmp_path / "csv_src2"
+    src.mkdir()
+    (src / "a.csv").write_text("id,name\n1,alice\n")
+    ing = AutoIngest(
+        source_dir=str(src),
+        checkpoint_dir=str(tmp_path / "chk2"),
+        target_dir=str(tmp_path / "tgt2"),
+        fmt="csv",
+        schema_hints="extra long",   # not in the file -> header line differs
+    )
+    ing.run_once(spark)
+    out = ing.read_target(spark)
+    # exactly one DATA row; the header did not leak through as garbage
+    assert out.count() == 1
+    row = out.collect()[0]
+    assert row.id == 1 and row.name == "alice" and row.extra is None
+
+
+def test_zero_norm_query_returns_no_rows(spark):
+    from dataengineeringworkshop_spark.llmops.similarity import exact_cosine_topk
+
+    rows = [(i, [float(i + j + 1) for j in range(4)]) for i in range(5)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+    e = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    zq = e.filter(F.col("vec_id") == 99)
+    assert exact_cosine_topk(e, zq, "vec_id", "embedding", k=3).count() == 0
+
+
+def test_byte_histogram_non_power_of_two_dim(spark):
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        byte_histogram_features,
+        documents_as_media,
+    )
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    media = documents_as_media(load_table(spark, SF_SMOKE, "documents").limit(5))
+    out = byte_histogram_features(media, dim=100).collect()
+    assert all(len(r.features) == 100 for r in out)
+    # ASCII text bytes land across the range; the top bins must not be
+    # structurally dead (bucketing is uniform, not a truncating shift)
+    assert all(abs(sum(r.features) - 1.0) < 1e-9 for r in out)
