@@ -4,15 +4,21 @@ quantization scale path, complementing the hyperplane-LSH variant in
 
 Construction (FAISS IVF-Flat shape, relational):
 
-1. **Train**: k-means (MLlib, fixed seed → deterministic) over the corpus
-   embeddings gives ``nlist`` centroids — tiny driver-side model.
-2. **Assign**: every corpus vector joins the broadcast centroid table and
-   keeps its argmin-L2 cell → the inverted lists are just a (cell_id)
-   column; at scale you ``repartition(cell_id)`` / partition the parquet
-   by cell so a probe is a partition-pruned scan.
-3. **Probe**: each query picks its ``nprobe`` nearest cells, then
-   candidates come from an EQUI join on cell_id (never a cross join);
-   exact JVM-expression cosine reranks and a window takes top-k.
+1. **Train**: k-means (MLlib, fixed seed → deterministic) over a bounded
+   corpus sample gives ``nlist`` centroids — tiny driver-side model
+   (nlist×dim doubles: broadcastable metadata, not data).
+2. **Assign**: cell assignment is a PURE MAP — the centroid table is
+   inlined as an array literal and each vector computes its argmin-L2
+   cell with ``transform``/``sort_array`` JVM expressions.  No join, no
+   window, zero shuffle; at 100 TB this is embarrassingly parallel and
+   the materialized index can be parquet-partitioned by cell_id so a
+   probe is a partition-pruned scan.
+3. **Probe**: queries pick their ``nprobe`` nearest cells the same
+   map-only way; candidates come from BROADCASTING the (small) probe set
+   against the materialized index on cell_id — never a cross join, never
+   a corpus shuffle.  Exact JVM-expression cosine reranks and a window
+   takes top-k: the ONLY shuffle in the whole probe is the final
+   per-query top-k.
 
 Scan fraction ≈ nprobe/nlist of the corpus per query — the classic IVF
 trade: recall vs cells probed (measured in tests/test_llmops.py against
@@ -21,7 +27,7 @@ the brute-force baseline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: trained-quantizer cache: key -> [(cell_id, centroid)].  An IVF index's
@@ -30,6 +36,31 @@ from pyspark.sql import functions as F
 _CENTROID_CACHE: dict[str, list] = {}
 
 from dataengineeringworkshop_spark.llmops.expr import DOT_DOUBLE as _DOT
+
+
+def _train_centroid_rows(
+    corpus: DataFrame,
+    vec_col: str,
+    nlist: int,
+    seed: int,
+    max_iter: int,
+    max_train_rows: int,
+    cache_key: str | None,
+) -> list:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    full_key = f"{cache_key}:k{nlist}:s{seed}:i{max_iter}" if cache_key else None
+    if full_key is not None and full_key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[full_key]
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).limit(max_train_rows)
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    if full_key is not None:
+        _CENTROID_CACHE[full_key] = rows
+    return rows
 
 
 def train_centroids(
@@ -43,49 +74,65 @@ def train_centroids(
 ) -> DataFrame:
     """k-means centroids as a (cell_id, centroid array<double>) DataFrame.
 
-    MLlib's k-means|| init with a fixed seed is deterministic; the model
-    itself is nlist×dim doubles — broadcastable metadata, not data.
-    Training reads at most ``max_train_rows`` vectors: coarse-quantizer
-    quality needs a representative sample, not the full corpus (at 100 TB
-    you never fit k-means on every vector)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    MLlib's k-means|| init with a fixed seed is deterministic.  Training
+    reads at most ``max_train_rows`` vectors: coarse-quantizer quality
+    needs a representative sample, not the full corpus (at 100 TB you
+    never fit k-means on every vector)."""
+    rows = _train_centroid_rows(
+        corpus, vec_col, nlist, seed, max_iter, max_train_rows, cache_key
+    )
+    return corpus.sparkSession.createDataFrame(
+        rows, "cell_id INT, centroid ARRAY<DOUBLE>"
+    )
 
-    spark = corpus.sparkSession
-    full_key = f"{cache_key}:k{nlist}:s{seed}:i{max_iter}" if cache_key else None
-    if full_key is not None and full_key in _CENTROID_CACHE:
-        rows = _CENTROID_CACHE[full_key]
-    else:
-        train = corpus.select(
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-        ).limit(max_train_rows)
-        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
-        rows = [
-            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-        ]
-        if full_key is not None:
-            _CENTROID_CACHE[full_key] = rows
-    return spark.createDataFrame(rows, "cell_id INT, centroid ARRAY<DOUBLE>")
+
+def _nearest_cells(vec: Column, centroid_rows: list, n_cells: int) -> Column:
+    """array<struct<d,cell_id>> of the ``n_cells`` nearest centroids —
+    pure expression, no shuffle.  Sorted by (sq_dist asc, cell_id asc):
+    struct ordering gives the deterministic tiebreak for free."""
+    # ONE SQL-parsed literal, not nlist×dim F.lit() Py4J round-trips —
+    # building the literal column-by-column costs more driver time than
+    # the whole probe
+    cents_sql = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(repr(float(x)) for x in centroid))
+            for _, centroid in sorted(centroid_rows)
+        )
+    )
+    cents = F.expr(cents_sql)
+    v = vec.cast("array<double>")
+    dist_structs = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("d"),
+            i.cast("int").alias("cell_id"),
+        ),
+    )
+    return F.slice(F.sort_array(dist_structs), 1, n_cells)
 
 
 def assign_cells(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n_cells: int = 1
 ) -> DataFrame:
-    """(id, cell_id, cell_rank): each vector's ``n_cells`` nearest
-    centroids by L2.  Broadcast join (centroid table is tiny) + window
-    argmin — the blowup is nlist× on a two-column projection only."""
-    sq_dist = F.expr(
-        "aggregate(zip_with(CAST(v AS ARRAY<DOUBLE>), centroid, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
-    )
-    w = Window.partitionBy("vid").orderBy(F.col("sq_dist").asc(), F.col("cell_id").asc())
+    """(vid, cell_id, cell_rank): each vector's ``n_cells`` nearest
+    centroids by L2 — map-only (centroids inlined as a literal; argmin
+    via transform/sort_array), so assignment never shuffles the corpus."""
+    rows = [(r.cell_id, list(r.centroid)) for r in centroids.collect()]
+    nearest = _nearest_cells(F.col(vec_col), rows, n_cells)
     return (
-        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        .join(F.broadcast(centroids))
-        .withColumn("sq_dist", sq_dist)
-        .withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= n_cells)
-        .select("vid", "cell_id", "cell_rank")
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(nearest).alias("rank0", "cell"),
+        )
+        .select(
+            "vid",
+            F.col("cell.cell_id").alias("cell_id"),
+            (F.col("rank0") + 1).alias("cell_rank"),
+        )
     )
 
 
@@ -100,28 +147,48 @@ def ann_topk_ivf(
     seed: int = 42,
     index_key: str | None = None,
 ) -> DataFrame:
-    """(query_id, neighbor_id, cosine, sim_rank) — IVF probe + exact rerank."""
-    centroids = train_centroids(
-        corpus, vec_col, nlist=nlist, seed=seed, cache_key=index_key
-    )
-    c_cells = assign_cells(corpus, centroids, id_col, vec_col, n_cells=1).select(
-        "vid", "cell_id"
-    )
-    q_cells = assign_cells(queries, centroids, id_col, vec_col, n_cells=nprobe).select(
-        F.col("vid").alias("qid"), "cell_id"
-    )
-    c_vec = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"))
-    q_vec = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+    """(query_id, neighbor_id, cosine, sim_rank) — IVF probe + exact rerank.
 
-    cand = (
-        q_cells.join(c_cells, "cell_id")  # equi join on cell — the IVF probe
-        .filter(F.col("qid") != F.col("vid"))
-        .select("qid", "vid")
-        .distinct()
+    With ``index_key`` the inverted lists (vid, cell_id, vector) are
+    built once and materialized to parquet — index-build vs serve
+    separation; the probe then touches only the index artifact."""
+    centroid_rows = _train_centroid_rows(
+        corpus, vec_col, nlist, seed, max_iter=5, max_train_rows=100_000,
+        cache_key=index_key,
+    )
+    # index BUILD: map-only cell assignment carried with the vector, so a
+    # probe needs no join back to the corpus table
+    c_index = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(_nearest_cells(F.col(vec_col), centroid_rows, 1), 1)
+        .getField("cell_id")
+        .alias("cell_id"),
+    )
+    if index_key:
+        from dataengineeringworkshop_spark.operators.materialize import materialize
+
+        c_index = materialize(
+            c_index,
+            label="ivf_index",
+            cache_key=f"{index_key}:k{nlist}:s{seed}:cells",
+        )
+    # PROBE: queries assigned to their nprobe cells map-only, then
+    # broadcast against the index — a corpus vector lives in exactly one
+    # cell, so (qid, vid) pairs are already unique: no distinct needed
+    q_probe = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(
+                _nearest_cells(F.col(vec_col), centroid_rows, nprobe),
+                lambda s: s.getField("cell_id"),
+            )
+        ).alias("cell_id"),
     )
     scored = (
-        cand.join(c_vec, "vid")
-        .join(F.broadcast(q_vec), "qid")
+        c_index.join(F.broadcast(q_probe), "cell_id")
+        .filter(F.col("qid") != F.col("vid"))
         .withColumn("q_nrm", F.expr(_DOT.format(a="q_vec", b="q_vec")))
         .withColumn("c_nrm", F.expr(_DOT.format(a="c_vec", b="c_vec")))
         .withColumn(

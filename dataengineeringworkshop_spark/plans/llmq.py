@@ -100,7 +100,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
-    return ann_topk_lsh(e, q, "vec_id", "embedding", dim=64, k=10, nbits=32, bands=8)
+    return ann_topk_lsh(
+        e, q, "vec_id", "embedding", dim=64, k=10, nbits=32, bands=8,
+        index_key=f"embeddings:{sf_dir}",
+    )
 
 
 @query("ann_ivf_topk", bench=True, tags=("ext-sim", "ivf"))
