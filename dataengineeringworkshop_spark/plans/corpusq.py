@@ -132,6 +132,110 @@ def cp_pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cp_decontaminate",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
+                                           ELSE [array_to_string(list_slice(w, i, i + 7), ' ')
+                                                 FOR i IN range(1, len(w) - 6)] END) AS gram
+                FROM toks
+            )
+        ),
+        eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+        )
+        SELECT g.doc_id, COUNT(*) AS n_hit_grams
+        FROM grams g JOIN eval_grams e ON g.gram = e.gram
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY g.doc_id
+    """,
+    tags=("ext-corpus", "ext-dedup"),
+)
+def cp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    8-gram with a held-out eval set (docs with doc_id % 97 = 0 stand in
+    for the benchmark).  The n-gram-overlap scan every serious pretraining
+    corpus runs before training.
+
+    Scale shape: DISTINCT per-doc grams (bounded by doc length), eval
+    gram set built once; the contamination check is an equi join on the
+    gram — at 100 TB the eval set's grams are small enough to BROADCAST,
+    making the scan a single map-side pass over the corpus index."""
+    from dataengineeringworkshop_spark.llmops.minhash import word_shingles
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = materialize(
+        word_shingles(d, "doc_id", "text", 8).withColumnRenamed("doc", "doc_id"),
+        "decon_grams",
+        cache_key=f"documents:{sf_dir}:sh8",
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
+@query(
+    "cp_repetition_filter",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, unnest(CASE WHEN len(w) < 5 THEN []
+                                       ELSE [array_to_string(list_slice(w, i, i + 4), ' ')
+                                             FOR i IN range(1, len(w) - 3)] END) AS gram
+            FROM toks
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_grams,
+               COUNT(DISTINCT gram) AS n_distinct,
+               ROUND(1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6) AS rep_ratio
+        FROM grams
+        GROUP BY doc_id
+    """,
+    tags=("ext-corpus", "ext-text"),
+)
+def cp_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signal: fraction of word 5-gram
+    occurrences that are repeats (the MassiveText-style repetition
+    filter).  High rep_ratio marks boilerplate/spam for removal.
+
+    Map-side explode + one groupBy(doc_id) — the grouping key is the
+    document id, so the shuffle is balanced by construction and the
+    distinct-count is per-group, never global."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH toks AS (
+            SELECT doc_id, split(text, ' ') AS w FROM dew_documents
+        ),
+        grams AS (
+            SELECT doc_id, explode(CASE WHEN size(w) < 5 THEN array()
+                                        ELSE transform(sequence(1, size(w) - 4),
+                                                       i -> concat_ws(' ', slice(w, i, 5))) END) AS gram
+            FROM toks
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_grams,
+               COUNT(DISTINCT gram) AS n_distinct,
+               ROUND(1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6) AS rep_ratio
+        FROM grams
+        GROUP BY doc_id
+        """
+    )
+
+
+@query(
     "cp_stratified_sample",
     oracle=f"""
         WITH rated AS (
