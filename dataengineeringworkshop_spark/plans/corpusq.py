@@ -236,6 +236,61 @@ def cp_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cp_sequence_packing",
+    oracle="""
+        WITH sized AS (
+            SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+            FROM sized
+        )
+        SELECT source, pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed GROUP BY source, pack_id
+    """,
+    tags=("ext-corpus",),
+)
+def cp_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents stream in
+    deterministic (source, doc_id) order and each is assigned to the
+    4096-token context window its START offset lands in — the packing
+    layout step between a cleaned corpus and a training shard.
+
+    Scale shape: one window cumsum PARTITIONED BY source (parallel
+    across sources, each partition's scan is a single pass) + one
+    grouped agg.  No global sort: the only total order needed is within
+    a source, which is exactly the window partitioning."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH sized AS (
+            SELECT source, doc_id, size(split(text, ' ')) AS n_tokens
+            FROM dew_documents
+        ),
+        packed AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+            FROM sized
+        )
+        SELECT source, pack_id,
+               COUNT(*) AS n_docs,
+               SUM(CAST(n_tokens AS BIGINT)) AS pack_tokens
+        FROM packed GROUP BY source, pack_id
+        """
+    )
+
+
+@query(
     "cp_stratified_sample",
     oracle=f"""
         WITH rated AS (

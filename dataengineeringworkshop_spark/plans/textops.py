@@ -144,6 +144,50 @@ def t_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_bpe_pair_counts",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        pairs AS (
+            SELECT unnest(CASE WHEN len(w) < 2 THEN []
+                               ELSE [array_to_string(list_slice(w, i, i + 1), ' ')
+                                     FOR i IN range(1, len(w))] END) AS pair
+            FROM toks
+        )
+        SELECT pair, COUNT(*) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 200
+    """,
+    tags=("ext-text",),
+)
+def t_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair frequencies, top-200 — one merge iteration of
+    BPE/WordPiece tokenizer training, corpus-wide.  Map-side explode +
+    partial-agg groupBy: the shuffle carries (pair, partial count), never
+    raw pairs, so cost scales with distinct pairs, not corpus tokens."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("documents",),
+        """
+        WITH toks AS (
+            SELECT doc_id, split(text, ' ') AS w FROM dew_documents
+        ),
+        pairs AS (
+            SELECT explode(CASE WHEN size(w) < 2 THEN array()
+                                ELSE transform(sequence(1, size(w) - 1),
+                                               i -> concat_ws(' ', slice(w, i, 2))) END) AS pair
+            FROM toks
+        )
+        SELECT pair, COUNT(*) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 200
+        """,
+    )
+
+
+@query(
     "t_lang_guess",
     oracle="""
         WITH tok AS (
