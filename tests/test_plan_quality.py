@@ -115,3 +115,39 @@ def test_relational_core_stays_jvm_side(spark, registry):
         assert "Batched: true" in plan, (name, plan[:400])
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
             assert marker not in plan, (name, marker)
+
+
+def test_ivf_probe_single_shuffle_no_python(spark, registry):
+    """IVF probe (warm index): map-only cell assignment — no join, no
+    window, no Python — feeding a broadcast probe join; the ONLY
+    exchange is the final per-query top-k window."""
+    df = registry["ann_ivf_topk"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    ops = _ops(plan)
+    # probe join is broadcast-driven; assignment added no extra joins
+    assert ops["BroadcastHashJoin"] == 1, ops
+    assert ops["CartesianProduct"] == 0 and ops["BroadcastNestedLoopJoin"] == 0, ops
+    # one shuffle total: the top-k window partitioning
+    assert ops["Window"] == 1, ops
+    assert ops["Exchange"] == 1, ops
+    # cell assignment is pure JVM expressions, not pandas
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, registry):
+    """The contamination check joins the corpus gram index against the
+    (bounded) eval gram set — eval side must broadcast, corpus must not
+    reshuffle into a sort-merge join."""
+    plan = _plan(registry["cp_decontaminate"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops["BroadcastHashJoin"] >= 1, ops
+    assert ops["SortMergeJoin"] == 0 and ops["CartesianProduct"] == 0, ops
+
+
+def test_bpe_pairs_partial_agg_before_shuffle(spark, registry):
+    """Pair counting must map-side combine: partial + final HashAggregate
+    so the shuffle carries (pair, partial count), not raw exploded pairs."""
+    ops = _ops(_plan(registry["t_bpe_pair_counts"].fn(spark, SF_SMOKE)))
+    assert ops["HashAggregate"] >= 2, ops
+    assert ops["SortAggregate"] == 0, ops
