@@ -236,6 +236,78 @@ def cp_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cp_source_mix",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        totals AS (
+            SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
+            FROM sized GROUP BY source
+        ),
+        weighted AS (
+            SELECT source, source_tokens,
+                   CASE WHEN source IN ('src0', 'src1') THEN 40 ELSE 10 END AS target_pct
+            FROM totals
+        ),
+        sampled AS (
+            SELECT s.doc_id, s.source, s.n_tokens
+            FROM sized s JOIN weighted w ON s.source = w.source
+            WHERE (s.doc_id * {_KNUTH}) % 100 < w.target_pct
+        )
+        SELECT sa.source,
+               w.target_pct,
+               w.source_tokens,
+               COUNT(*) AS n_docs_sampled,
+               CAST(SUM(sa.n_tokens) AS BIGINT) AS tokens_sampled
+        FROM sampled sa JOIN weighted w ON sa.source = w.source
+        GROUP BY sa.source, w.target_pct, w.source_tokens
+    """,
+    tags=("ext-corpus",),
+)
+def cp_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly: per-source target sampling rates applied
+    with the deterministic Knuth-hash bucket, with before/after token
+    accounting — the reweighting step that turns a cleaned corpus into a
+    training mixture, re-derivable run-to-run and engine-to-engine.
+
+    Scale shape: per-source token totals are one partial-agg groupBy;
+    the sampling predicate is map-side arithmetic on the id; the rate
+    table (one row per source) broadcasts."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        WITH sized AS (
+            SELECT doc_id, source, size(split(text, ' ')) AS n_tokens
+            FROM dew_documents
+        ),
+        totals AS (
+            SELECT source, SUM(CAST(n_tokens AS BIGINT)) AS source_tokens
+            FROM sized GROUP BY source
+        ),
+        weighted AS (
+            SELECT source, source_tokens,
+                   CASE WHEN source IN ('src0', 'src1') THEN 40 ELSE 10 END AS target_pct
+            FROM totals
+        ),
+        sampled AS (
+            SELECT s.doc_id, s.source, s.n_tokens
+            FROM sized s JOIN weighted w ON s.source = w.source
+            WHERE (s.doc_id * {_KNUTH}) % 100 < w.target_pct
+        )
+        SELECT sa.source,
+               w.target_pct,
+               w.source_tokens,
+               COUNT(*) AS n_docs_sampled,
+               SUM(CAST(sa.n_tokens AS BIGINT)) AS tokens_sampled
+        FROM sampled sa JOIN weighted w ON sa.source = w.source
+        GROUP BY sa.source, w.target_pct, w.source_tokens
+        """
+    )
+
+
+@query(
     "cp_sequence_packing",
     oracle="""
         WITH sized AS (
