@@ -20,6 +20,7 @@ band with MinHash first (see llmops.minhash for the oracle-less scale path).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dataengineeringworkshop_spark.plans.registry import query
 from dataengineeringworkshop_spark.plans.tables import register_views
@@ -367,6 +368,102 @@ LIMIT 200
 """
 
 _JACCARD_MAXDF = 100
+
+# incremental dedup: "new" docs (doc_id % 10 = 0) probed against the
+# standing corpus index — best corpus match per new doc by 3-gram Jaccard
+_INCR_DUCK = """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []
+                                   ELSE [array_to_string(list_slice(w, i, i + 2), ' ')
+                                         FOR i IN range(1, len(w) - 1)] END) AS shingle
+        FROM tok
+    )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {maxdf}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+pairs AS (
+    SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc, COUNT(*) AS inter
+    FROM shf n JOIN shf c ON n.shingle = c.shingle
+    WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    GROUP BY n.doc_id, c.doc_id
+),
+scored AS (
+    SELECT new_doc, corpus_doc, inter,
+           ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON pairs.new_doc = s1.doc_id
+    JOIN sizes s2 ON pairs.corpus_doc = s2.doc_id
+    WHERE inter * 10 >= (s1.sz + s2.sz - inter) * 1
+),
+ranked AS (
+    SELECT new_doc, corpus_doc, inter, jaccard,
+           row_number() OVER (PARTITION BY new_doc
+                              ORDER BY jaccard DESC, corpus_doc ASC) AS rn
+    FROM scored
+)
+SELECT new_doc, corpus_doc, inter, jaccard FROM ranked WHERE rn = 1
+"""
+
+
+@query(
+    "d_incremental_dedup_probe",
+    oracle=_INCR_DUCK.format(maxdf=_JACCARD_MAXDF),
+    tags=("ext-dedup", "ext-corpus"),
+)
+def d_incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, production shape: newly-arrived documents
+    (doc_id % 10 = 0) probe the STANDING shingle index of the corpus —
+    best existing match per new doc by 3-gram Jaccard, or absent if no
+    candidate clears the 0.1 floor.
+
+    Scale shape: the shingle index is the same materialized artifact the
+    batch near-dup queries use (built once, served here); the probe
+    joins only the new docs' shingles against it — cost scales with the
+    BATCH size, never the corpus.  This is the nightly-ingest dedup gate:
+    batch in, matches out, no corpus rescan."""
+    from pyspark.sql import Window
+
+    from dataengineeringworkshop_spark.llmops.minhash import word_shingles
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = materialize(
+        word_shingles(d, "doc_id", "text", 3),
+        "jaccard_sh",
+        cache_key=f"documents:{sf_dir}:sh3",
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _JACCARD_MAXDF
+    ).select("shingle")
+    shf = sh.join(rare, "shingle")
+    new_sh = shf.filter(F.col("doc") % 10 == 0)
+    corpus_sh = shf.filter(F.col("doc") % 10 != 0)
+    pairs = (
+        new_sh.alias("n")
+        .join(corpus_sh.alias("c"), F.col("n.shingle") == F.col("c.shingle"))
+        .groupBy(F.col("n.doc").alias("new_doc"), F.col("c.doc").alias("corpus_doc"))
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        pairs.join(sizes.select(F.col("doc").alias("new_doc"), F.col("sz").alias("sz1")), "new_doc")
+        .join(sizes.select(F.col("doc").alias("corpus_doc"), F.col("sz").alias("sz2")), "corpus_doc")
+        .withColumn("uni", F.col("sz1") + F.col("sz2") - F.col("inter"))
+        .filter(F.col("inter") * 10 >= F.col("uni") * 1)
+        .withColumn("jaccard", F.round(F.col("inter").cast("double") / F.col("uni"), 6))
+    )
+    w = Window.partitionBy("new_doc").orderBy(F.col("jaccard").desc(), F.col("corpus_doc").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_doc", "corpus_doc", "inter", "jaccard")
+    )
 
 
 @query(
