@@ -151,3 +151,10 @@ def test_bpe_pairs_partial_agg_before_shuffle(spark, registry):
     ops = _ops(_plan(registry["t_bpe_pair_counts"].fn(spark, SF_SMOKE)))
     assert ops["HashAggregate"] >= 2, ops
     assert ops["SortAggregate"] == 0, ops
+
+
+def test_incremental_probe_no_cartesian(spark, registry):
+    """New-batch dedup probe: equi joins on the shingle only — a missing
+    join key here would silently cross-join batch × corpus."""
+    ops = _ops(_plan(registry["d_incremental_dedup_probe"].fn(spark, SF_SMOKE)))
+    assert ops["CartesianProduct"] == 0 and ops["BroadcastNestedLoopJoin"] == 0, ops
