@@ -90,5 +90,6 @@ def load_all() -> dict[str, QuerySpec]:
     import dataengineeringworkshop_spark.plans.streamq  # noqa: F401
     import dataengineeringworkshop_spark.plans.corpusq  # noqa: F401
     import dataengineeringworkshop_spark.plans.extraq  # noqa: F401
+    import dataengineeringworkshop_spark.plans.searchq  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,424 @@
+"""Retrieval scoring + embedding-representation operators — the last
+mile of a training-data pipeline after cleaning/dedup: statistical LM
+quality filtering (CCNet-style), BM25 keyword retrieval, SemDeDup-style
+semantic dedup, and int8 scalar quantization of embeddings.
+
+No reference counterpart (the workshop ends at gold reporting tables);
+these are north-star extensions per BASELINE.json, built from the same
+determinism toolkit as the rest of the registry:
+
+- integer/count arithmetic stays integral until one explicit
+  ``CAST(... AS DOUBLE)`` division (IEEE-exact, identical in Spark and
+  DuckDB);
+- double sums always go through a DECIMAL fold (order-independent);
+- transcendentals are avoided entirely — BM25 uses the *rational* idf
+  ``(N - df + 0.5) / (df + 0.5)`` (the argument of the classic
+  ``ln``-idf) so ranks hash-match across engines, and the LM score is a
+  mean conditional probability rather than log-perplexity.  Both are
+  monotone in the usual variants, so thresholds/rankings are preserved;
+  the deviation is documented here on purpose.
+
+Scale posture (100 TB):
+
+- the bigram model and BM25 statistics are Zipf-distributed — at scale
+  cap the model to the top-K bigrams / query-term rows and broadcast;
+  here they flow through ordinary shuffled joins with map-side partial
+  aggregation (shuffle carries (gram, partial count), never raw text).
+- SemDeDup's cell assignment is a map-only broadcast cross join
+  (centroids are tiny); the pairwise stage is bounded per cell —
+  sum(cell²) not N².  Seed-vector centroids keep the oracle exact; on a
+  cluster you'd swap in the trained k-means quantizer from
+  ``llmops.ivf`` (same assignment shape).
+- quantization is a pure map over vectors (one pass, no shuffle) — the
+  4× storage cut is what makes a 100 TB embedding store scannable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.tables import register_views
+
+_BM25_TERMS = "('spark', 'join', 'window', 'hash')"
+_K1 = "CAST(1.2 AS DOUBLE)"
+_B = "CAST(0.75 AS DOUBLE)"
+
+
+@query(
+    "cp_bigram_lm_score",
+    oracle="""
+        WITH ex AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS i,
+                   unnest(string_split(text, ' ')) AS wd
+            FROM documents
+        ),
+        big AS (
+            SELECT a.doc_id, a.wd AS w1, b.wd AS w2
+            FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        ),
+        docbig AS (
+            SELECT doc_id, w1, w2, COUNT(*) AS n FROM big GROUP BY doc_id, w1, w2
+        ),
+        bc AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM docbig GROUP BY w1, w2),
+        pc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM docbig GROUP BY w1),
+        voc AS (SELECT COUNT(DISTINCT wd) AS v FROM ex),
+        scored AS (
+            SELECT d.doc_id, d.n,
+                   CAST(d.n AS DOUBLE) *
+                   (CAST(bc.c12 + 1 AS DOUBLE) / CAST(pc.c1 + voc.v AS DOUBLE)) AS np
+            FROM docbig d
+            JOIN bc ON d.w1 = bc.w1 AND d.w2 = bc.w2
+            JOIN pc ON d.w1 = pc.w1
+            CROSS JOIN voc
+        )
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(np AS DECIMAL(28,14))) AS DOUBLE) / SUM(n), 6) AS lm_score
+        FROM scored GROUP BY doc_id
+    """,
+    bench=True,
+    tags=("ext-text", "ext-corpus"),
+)
+def cp_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score (CCNet-style filter): the
+    corpus itself is the training set; each document is scored by its
+    mean add-one-smoothed conditional bigram probability
+    ``avg((C(w1,w2)+1) / (C(w1)+|V|))``.  Low scores = text unlike the
+    corpus (gibberish / boilerplate) — the thresholding signal CCNet
+    gets from a KenLM perplexity, in exact rational arithmetic.
+
+    Spark shape: one explode pass builds bigrams WITHOUT a self-join
+    (``transform`` over an index sequence), then two partial-agg
+    groupBys build the model and one shuffled join scores occurrences.
+    """
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH ws AS (
+            SELECT doc_id, split(text, ' ') AS w FROM dew_documents
+        ),
+        big AS (
+            SELECT doc_id, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+            FROM (SELECT * FROM ws WHERE size(w) >= 2)
+            LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+        ),
+        docbig AS (
+            SELECT doc_id, w1, w2, COUNT(*) AS n FROM big GROUP BY doc_id, w1, w2
+        ),
+        bc AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM docbig GROUP BY w1, w2),
+        pc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM docbig GROUP BY w1),
+        voc AS (
+            SELECT COUNT(DISTINCT wd) AS v
+            FROM (SELECT explode(w) AS wd FROM ws)
+        ),
+        scored AS (
+            SELECT d.doc_id, d.n,
+                   CAST(d.n AS DOUBLE) *
+                   (CAST(bc.c12 + 1 AS DOUBLE) / CAST(pc.c1 + voc.v AS DOUBLE)) AS np
+            FROM docbig d
+            JOIN bc ON d.w1 = bc.w1 AND d.w2 = bc.w2
+            JOIN pc ON d.w1 = pc.w1
+            CROSS JOIN voc
+        )
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(np AS DECIMAL(28,14))) AS DOUBLE) / SUM(n), 6) AS lm_score
+        FROM scored GROUP BY doc_id
+        """
+    )
+
+
+@query(
+    "cp_bm25_search",
+    oracle=f"""
+        WITH ex AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+        ),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, wd, COUNT(*) AS tf
+            FROM ex WHERE wd IN {_BM25_TERMS}
+            GROUP BY doc_id, wd
+        ),
+        df AS (SELECT wd, COUNT(*) AS df FROM tf GROUP BY wd),
+        term_scores AS (
+            SELECT tf.doc_id, tf.wd,
+                   ((CAST(corpus.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * ((CAST(tf.tf AS DOUBLE) * ({_K1} + CAST(1 AS DOUBLE)))
+                      / (CAST(tf.tf AS DOUBLE)
+                         + {_K1} * ((CAST(1 AS DOUBLE) - {_B})
+                                    + {_B} * (CAST(dl.dl AS DOUBLE) / corpus.avgdl)))) AS s
+            FROM tf
+            JOIN df ON tf.wd = df.wd
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN corpus
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_terms_matched,
+                   ROUND(CAST(SUM(CAST(s AS DECIMAL(28,14))) AS DOUBLE), 6) AS bm25
+            FROM term_scores GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms_matched, bm25, bm25_rank FROM (
+            SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS bm25_rank
+            FROM ranked
+        ) WHERE bm25_rank <= 20
+    """,
+    bench=True,
+    tags=("ext-text", "ext-corpus"),
+)
+def cp_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 keyword retrieval over documents for a fixed query
+    term set (k1=1.2, b=0.75).  Uses the *rational* idf
+    ``(N-df+0.5)/(df+0.5)`` (the argument of the classic log-idf —
+    rank-order identical for any single term, and hash-deterministic
+    across engines, unlike ``ln``).
+
+    Spark shape: explode → IN-list filter (pushed to the scan) →
+    partial-agg tf; df/avgdl are tiny aggregates broadcast into the
+    scoring join; global top-20 is a single-partition window over ≤N
+    scored docs (bounded because the term filter prunes first).
+    """
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        WITH ex AS (
+            SELECT doc_id, explode(split(text, ' ')) AS wd FROM dew_documents
+        ),
+        dl AS (
+            SELECT doc_id, size(split(text, ' ')) AS dl FROM dew_documents
+        ),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, wd, COUNT(*) AS tf
+            FROM ex WHERE wd IN {_BM25_TERMS}
+            GROUP BY doc_id, wd
+        ),
+        df AS (SELECT wd, COUNT(*) AS df FROM tf GROUP BY wd),
+        term_scores AS (
+            SELECT tf.doc_id, tf.wd,
+                   ((CAST(corpus.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * ((CAST(tf.tf AS DOUBLE) * ({_K1} + CAST(1 AS DOUBLE)))
+                      / (CAST(tf.tf AS DOUBLE)
+                         + {_K1} * ((CAST(1 AS DOUBLE) - {_B})
+                                    + {_B} * (CAST(dl.dl AS DOUBLE) / corpus.avgdl)))) AS s
+            FROM tf
+            JOIN df ON tf.wd = df.wd
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN corpus
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_terms_matched,
+                   ROUND(CAST(SUM(CAST(s AS DECIMAL(28,14))) AS DOUBLE), 6) AS bm25
+            FROM term_scores GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms_matched, bm25, bm25_rank FROM (
+            SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS bm25_rank
+            FROM ranked
+        ) WHERE bm25_rank <= 20
+        """
+    )
+
+
+@query(
+    "sd_semantic_dedup",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+            FROM embeddings
+        ),
+        nrm AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY vec_id
+        ),
+        cents AS (SELECT vec_id AS cell, i, v FROM ex WHERE vec_id < 8),
+        cdot AS (
+            SELECT ex.vec_id, c.cell,
+                   CAST(SUM(CAST(CAST(ex.v AS DOUBLE) * CAST(c.v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+            FROM ex JOIN cents c ON ex.i = c.i
+            GROUP BY ex.vec_id, c.cell
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT cdot.vec_id, cdot.cell,
+                       row_number() OVER (
+                           PARTITION BY cdot.vec_id
+                           ORDER BY ((n1.nrm - (CAST(2 AS DOUBLE) * cdot.dot)) + n2.nrm) ASC,
+                                    cdot.cell ASC
+                       ) AS rn
+                FROM cdot
+                JOIN nrm n1 ON cdot.vec_id = n1.vec_id
+                JOIN nrm n2 ON cdot.cell = n2.vec_id
+            ) WHERE rn = 1
+        ),
+        pdot AS (
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   CAST(SUM(CAST(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+            FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+            JOIN assigned x ON a.vec_id = x.vec_id
+            JOIN assigned y ON b.vec_id = y.vec_id AND x.cell = y.cell
+            GROUP BY a.vec_id, b.vec_id
+        ),
+        dups AS (
+            SELECT DISTINCT pdot.id2 AS vec_id
+            FROM pdot JOIN nrm n1 ON pdot.id1 = n1.vec_id
+                      JOIN nrm n2 ON pdot.id2 = n2.vec_id
+            WHERE pdot.dot / sqrt(n1.nrm * n2.nrm) >= 0.3
+        )
+        SELECT a.vec_id, a.cell,
+               CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+    bench=True,
+    tags=("ext-dedup", "ext-sim"),
+)
+def sd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) shape: coarse-cluster the embedding
+    space, then mark within-cell cosine near-duplicates (τ=0.3), keeping
+    the lowest vec_id of each near-dup pair as the survivor.
+
+    The coarse quantizer here is 8 deterministic seed vectors
+    (vec_id < 8) so the DuckDB oracle reproduces the assignment exactly;
+    at scale you swap in the trained MLlib k-means from ``llmops.ivf``
+    — the plan shape (broadcast centroids → map-side argmin → bounded
+    within-cell pair join) is identical.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+    from dataengineeringworkshop_spark.plans.simops import _DOT, _norms
+
+    e = _norms(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    crossed = e.join(F.broadcast(cents))
+    dist2 = (
+        F.col("nrm")
+        - (F.lit(2).cast("double") * F.expr(_DOT.format(a="embedding", b="c_emb")))
+    ) + F.col("c_nrm")
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cell").asc())
+    # The assignment feeds three branches (both pair-join sides + the
+    # final output); materialize it once — one corpus pass, and exactly
+    # the persisted cell-assignment table a production SemDeDup keeps.
+    assigned = materialize(
+        crossed.withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "embedding", "nrm"),
+        label="semdedup_cells",
+        cache_key=f"semdedup:{sf_dir}",
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id1"), F.col("cell"),
+        F.col("embedding").alias("v1"), F.col("nrm").alias("n1"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id2"), F.col("cell"),
+        F.col("embedding").alias("v2"), F.col("nrm").alias("n2"),
+    )
+    pairs = a.join(b, ["cell"]).filter(F.col("id1") < F.col("id2"))
+    cos = F.expr(_DOT.format(a="v1", b="v2")) / F.sqrt(F.col("n1") * F.col("n2"))
+    dups = pairs.filter(cos >= 0.3).select(F.col("id2").alias("dup_id")).distinct()
+    return (
+        assigned.join(dups, assigned.vec_id == dups.dup_id, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("dup_id").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_dup"),
+        )
+    )
+
+
+@query(
+    "sim_embed_quantize",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+        ),
+        mm AS (
+            SELECT vec_id, MIN(v) AS mn, MAX(v) AS mx,
+                   (MAX(v) - MIN(v)) / CAST(255 AS DOUBLE) AS scale
+            FROM ex GROUP BY vec_id
+        ),
+        q AS (
+            SELECT ex.vec_id, ex.v, mm.mn, mm.scale,
+                   CASE WHEN mm.scale = 0 THEN 0
+                        ELSE CAST(LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+                             FLOOR((ex.v - mm.mn) / mm.scale + CAST(0.5 AS DOUBLE)))) AS INT)
+                   END AS qv
+            FROM ex JOIN mm ON ex.vec_id = mm.vec_id
+        )
+        SELECT vec_id,
+               COUNT(*) AS n_dims,
+               MIN(qv) AS q_min,
+               MAX(qv) AS q_max,
+               ROUND(CAST(SUM(CAST(
+                   (v - (mn + (qv * scale))) * (v - (mn + (qv * scale)))
+                   AS DECIMAL(28,14))) AS DOUBLE), 6) AS sse
+        FROM q GROUP BY vec_id
+    """,
+    tags=("ext-sim",),
+)
+def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-range scalar quantization of embeddings (per-vector min/max
+    affine code, 0..255) with exact reconstruction SSE — the 4× storage
+    cut that makes a 100 TB embedding store scannable.  Pure map over
+    vectors: no shuffle except the per-vector explode/agg pair, which
+    stays within one exchange on vec_id.
+
+    FLOOR(x + 0.5) instead of ROUND keeps the code point identical in
+    both engines (ROUND's half-even/half-up behavior differs on
+    doubles); all arithmetic is single-rounding IEEE ops on identical
+    operand trees.
+    """
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(
+        """
+        WITH ex AS (
+            SELECT vec_id, CAST(v0 AS DOUBLE) AS v
+            FROM (SELECT vec_id, explode(embedding) AS v0 FROM dew_embeddings)
+        ),
+        mm AS (
+            SELECT vec_id, MIN(v) AS mn, MAX(v) AS mx,
+                   (MAX(v) - MIN(v)) / CAST(255 AS DOUBLE) AS scale
+            FROM ex GROUP BY vec_id
+        ),
+        q AS (
+            SELECT ex.vec_id, ex.v, mm.mn, mm.scale,
+                   CASE WHEN mm.scale = 0 THEN 0
+                        ELSE CAST(LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+                             FLOOR((ex.v - mm.mn) / mm.scale + CAST(0.5 AS DOUBLE)))) AS INT)
+                   END AS qv
+            FROM ex JOIN mm ON ex.vec_id = mm.vec_id
+        )
+        SELECT vec_id,
+               COUNT(*) AS n_dims,
+               MIN(qv) AS q_min,
+               MAX(qv) AS q_max,
+               ROUND(CAST(SUM(CAST(
+                   (v - (mn + (qv * scale))) * (v - (mn + (qv * scale)))
+                   AS DECIMAL(28,14))) AS DOUBLE), 6) AS sse
+        FROM q GROUP BY vec_id
+        """
+    )

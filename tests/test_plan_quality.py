@@ -158,3 +158,49 @@ def test_incremental_probe_no_cartesian(spark, registry):
     join key here would silently cross-join batch × corpus."""
     ops = _ops(_plan(registry["d_incremental_dedup_probe"].fn(spark, SF_SMOKE)))
     assert ops["CartesianProduct"] == 0 and ops["BroadcastNestedLoopJoin"] == 0, ops
+
+
+def test_semdedup_assignment_materialized_once(spark, registry):
+    """SemDeDup: the cell assignment feeds three branches — it must be
+    materialized (scans of a parquet intermediate), not recomputed as
+    three broadcast-cross-join subtrees over the corpus."""
+    df = registry["sd_semantic_dedup"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    ops = _ops(plan)
+    # assignment already ran at materialize time: no cross join left
+    assert ops["BroadcastNestedLoopJoin"] == 0 and ops["CartesianProduct"] == 0, ops
+    # pair join is the only heavyweight join; its sides scan the artifact
+    assert ops["SortMergeJoin"] <= 1, ops
+
+
+def test_bigram_lm_no_self_join_for_bigrams(spark, registry):
+    """Bigram construction must be one explode pass (Generate over an
+    index sequence), NOT a token self-join on (doc, i) = (doc, i+1);
+    model lookups partial-agg before their shuffles."""
+    plan = _plan(registry["cp_bigram_lm_score"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops["Generate"] >= 1, ops
+    assert ops["CartesianProduct"] == 0, ops
+    # map-side combine on every counting aggregate
+    assert ops["HashAggregate"] >= 4, ops
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_bm25_stats_broadcast_into_scoring(spark, registry):
+    """BM25: df/avgdl/N are tiny aggregates — they must broadcast into
+    the per-(doc,term) scoring join rather than reshuffle the tf side."""
+    plan = _plan(registry["cp_bm25_search"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops["BroadcastHashJoin"] >= 1, ops
+    assert ops["CartesianProduct"] == 0, ops
+
+
+def test_quantize_single_explode_agg_pass(spark, registry):
+    """Scalar quantization is a per-vector map: explode + two aggs that
+    share one hash partitioning on vec_id — no Python, no extra joins."""
+    plan = _plan(registry["sim_embed_quantize"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] <= 1, ops
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
