@@ -43,18 +43,30 @@ atexit.register(_cleanup)
 
 
 def materialize(
-    df: DataFrame, label: str = "intermediate", cache_key: str | None = None
+    df: DataFrame,
+    label: str = "intermediate",
+    cache_key: str | None = None,
+    partition_by: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Write ``df`` to temp parquet and return a fresh scan of it.
 
     With ``cache_key``, later calls under the same key skip the rebuild
     and re-scan the existing artifact (index-maintenance semantics — the
-    key must capture source identity + build parameters)."""
+    key must capture source identity + build parameters).
+
+    With ``partition_by``, the artifact is written hive-partitioned on
+    those columns — subsequent filters on them become PartitionFilters
+    (directory pruning: non-matching partitions are never listed, let
+    alone scanned), the layout move that makes a date-keyed 100 TB table
+    queryable."""
     if cache_key is not None and cache_key in _CACHE:
         return df.sparkSession.read.parquet(_CACHE[cache_key])
     path = tempfile.mkdtemp(prefix=f"dew_mat_{label}_")
     _TMP_DIRS.append(path)
-    df.write.mode("overwrite").parquet(path)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
     if cache_key is not None:
         _CACHE[cache_key] = path
     return df.sparkSession.read.parquet(path)

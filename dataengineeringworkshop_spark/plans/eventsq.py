@@ -174,3 +174,52 @@ def e_json_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("int")).cast("long").alias("k_total"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "pp_partition_pruned_events",
+    oracle=f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+               COUNT(*) AS n_events, {dsum("value", "total_value")}
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+        GROUP BY event_date, event_type
+    """,
+    tags=("ext-layout",),
+)
+def pp_partition_pruned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned table layout + partition pruning: the events
+    table is (re)written hive-partitioned on ``event_date`` once per
+    session (the artifact a production pipeline maintains as its
+    canonical layout), and a 3-day window query then touches only 3 of
+    ~30 date directories — the filter shows up as ``PartitionFilters``
+    in the scan, not as row-level filtering.  At 100 TB a date-keyed
+    layout like this is the difference between scanning 3 days and
+    scanning 3 years; see also ``sources/bucketing.py`` for the
+    join-key analog."""
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    e = load_table(spark, sf_dir, "events")
+    part = materialize(
+        e.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd")),
+        label="events_by_date",
+        cache_key=f"events_by_date:{sf_dir}",
+        partition_by=("event_date",),
+    )
+    # partition-type inference reads the directory values back as DATE;
+    # filter on that raw column (so the predicate stays a PartitionFilter)
+    # and re-format to string only in the output projection.
+    return (
+        part.filter(
+            F.col("event_date").between(
+                F.lit("2024-01-10").cast("date"), F.lit("2024-01-12").cast("date")
+            )
+        )
+        .groupBy(
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("CAST(SUM(CAST((value) AS DECIMAL(18,4))) AS DOUBLE)").alias("total_value"),
+        )
+    )

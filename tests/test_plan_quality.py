@@ -204,3 +204,14 @@ def test_quantize_single_explode_agg_pass(spark, registry):
     assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] <= 1, ops
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_partitioned_layout_prunes_directories(spark, registry):
+    """Date-partitioned layout: the 3-day window must appear as
+    PartitionFilters on the artifact scan (directory pruning), not as a
+    row-level data filter over all partitions."""
+    df = registry["pp_partition_pruned_events"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan[:2000]
+    assert ">=" in m.group(1) and "<=" in m.group(1), m.group(1)
