@@ -167,3 +167,88 @@ def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
+
+
+@query(
+    "st_stream_stream_join",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS user_id,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+    """,
+    tags=("ext-streaming", "ext-temporal", "ST-join"),
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click→purchase attribution within 10
+    minutes, as TWO Structured Streaming sources inner-joined on user_id
+    with an event-time range condition and 1-hour watermarks on both
+    sides (the watermark + interval bound is what lets Spark evict join
+    state — without it, both sides buffer forever).  Bounded
+    availableNow run ≡ the batch range join → same DuckDB oracle as
+    ``tj_range_click_purchase``.
+
+    Scale: join state is (watermark + interval) × arrival-rate per side,
+    keyed by user_id — bounded regardless of total stream length;
+    RocksDB state store on a cluster."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("c_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+    name = f"st_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dew_st_ssj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
