@@ -223,3 +223,45 @@ def pp_partition_pruned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(CAST((value) AS DECIMAL(18,4))) AS DOUBLE)").alias("total_value"),
         )
     )
+
+
+_ZSCORE_SQL = """
+    WITH stats AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,14))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,14))) AS DOUBLE) AS ss
+        FROM {table}
+        GROUP BY user_id
+    ),
+    mo AS (
+        SELECT user_id, n,
+               (s / n) AS mean,
+               sqrt((ss / n) - ((s / n) * (s / n))) AS std
+        FROM stats
+        WHERE n >= 10
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           ROUND((e.value - mo.mean) / mo.std, 6) AS z
+    FROM {table} e JOIN mo ON e.user_id = mo.user_id
+    WHERE mo.std > 0
+      AND ((e.value - mo.mean) / mo.std > 2 OR (e.value - mo.mean) / mo.std < -2)
+"""
+
+
+@query(
+    "e_user_zscore_outliers",
+    oracle=_ZSCORE_SQL.format(table="events"),
+    tags=("ext-text", "A3"),
+)
+def e_user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity anomaly detection: events whose value is >2 population
+    standard deviations from their user's mean (users with ≥10 events).
+    One partial-agg pass builds per-user moments (count / Σv / Σv² as
+    exact decimals), broadcast back into a second scan — the classic
+    two-pass z-score at corpus scale, no window over the full table.
+    Identical SQL text runs on both engines → bit-identical z."""
+    from dataengineeringworkshop_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_ZSCORE_SQL.format(table="dew_events"))

@@ -422,3 +422,117 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q GROUP BY vec_id
         """
     )
+
+
+@query(
+    "cl_kmeans_two_rounds",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS cell, i, v AS c FROM ex WHERE vec_id < 8),
+        d1 AS (
+            SELECT ex.vec_id, c0.cell,
+                   CAST(SUM(CAST((ex.v - c0.c) * (ex.v - c0.c) AS DECIMAL(28,14))) AS DOUBLE) AS dist2
+            FROM ex JOIN c0 ON ex.i = c0.i
+            GROUP BY ex.vec_id, c0.cell
+        ),
+        a1 AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ),
+        c1 AS (
+            SELECT a1.cell, ex.i,
+                   CAST(SUM(CAST(ex.v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS c
+            FROM ex JOIN a1 ON ex.vec_id = a1.vec_id
+            GROUP BY a1.cell, ex.i
+        ),
+        d2 AS (
+            SELECT ex.vec_id, c1.cell,
+                   CAST(SUM(CAST((ex.v - c1.c) * (ex.v - c1.c) AS DECIMAL(28,14))) AS DOUBLE) AS dist2
+            FROM ex JOIN c1 ON ex.i = c1.i
+            GROUP BY ex.vec_id, c1.cell
+        ),
+        a2 AS (
+            SELECT vec_id, cell, dist2 FROM (
+                SELECT vec_id, cell, dist2,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        )
+        SELECT cell, COUNT(*) AS n_members,
+               ROUND(CAST(SUM(CAST(dist2 AS DECIMAL(28,14))) AS DOUBLE), 6) AS inertia
+        FROM a2 GROUP BY cell
+    """,
+    tags=("ext-sim", "iterative"),
+)
+def cl_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations (k=8, seed centroids = vec_id < 8)
+    with an EXACT DuckDB oracle — assignment → mean update → reassignment,
+    reporting per-cell size and inertia.  Demonstrates iterative ML as
+    pure relational algebra with cross-engine bit-identical results
+    (decimal-fold distances, argmin tie-broken on cell id).
+
+    Spark shape: centroids stay DataFrames the whole way — 8-row tables
+    broadcast into zip_with distance folds (map-side), mean update is one
+    partial-agg groupBy, and the corpus is never collected to the driver.
+    The production many-round path with convergence checks is MLlib
+    k-means in ``llmops.ivf``; this query is the auditable relational
+    round."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    _SQDIST = (
+        "CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(28,14))), "
+        "CAST(0 AS DECIMAL(28,14)), (acc, v) -> CAST(acc + v AS DECIMAL(28,14))) AS DOUBLE)"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cell").asc())
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        crossed = e.join(F.broadcast(centroids))
+        return (
+            crossed.withColumn("dist2", F.expr(_SQDIST.format(a="embedding", b="c_emb")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell", "dist2")
+        )
+
+    c0 = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("c_emb"),
+    )
+    a1 = assign(c0)
+    # mean update: explode members, decimal-exact mean per (cell, dim),
+    # re-pack into ordered centroid arrays (sort on dim index -> the
+    # collect_list order is made deterministic before transform).
+    c1 = (
+        a1.select("cell", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(
+            (
+                F.expr("CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)")
+                / F.count("*")
+            ).alias("c")
+        )
+        .groupBy("cell")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("c_emb")
+        )
+    )
+    a2 = assign(c1)
+    return a2.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.expr("CAST(SUM(CAST(dist2 AS DECIMAL(28,14))) AS DOUBLE)"), 6
+        ).alias("inertia"),
+    )
