@@ -73,3 +73,142 @@ def pl_dag_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.read_dataset(spark, "gold_month_status").select(
         "order_month", "o_orderstatus", "n_lines", "revenue"
     )
+
+
+@query(
+    "cp_corpus_pipeline",
+    oracle="""
+        WITH gated AS (
+            SELECT doc_id, text, lang, source,
+                   LENGTH(text) AS n_chars_actual,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents
+            WHERE LENGTH(text) >= 120
+              AND len(string_split(text, ' ')) >= 20
+              AND lang IN ('en', 'de', 'fr')
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        ),
+        eval_grams AS (
+            SELECT DISTINCT gram FROM (
+                SELECT unnest(CASE WHEN len(w) < 8 THEN []
+                                   ELSE [array_to_string(list_slice(w, i, i + 7), ' ')
+                                         FOR i IN range(1, len(w) - 6)] END) AS gram
+                FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0)
+            )
+        ),
+        contaminated AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
+                                           ELSE [array_to_string(list_slice(w, i, i + 7), ' ')
+                                                 FOR i IN range(1, len(w) - 6)] END) AS gram
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM deduped)
+            ) g JOIN eval_grams e ON g.gram = e.gram
+        ),
+        clean AS (
+            SELECT * FROM deduped
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        assigned AS (
+            SELECT *, CASE WHEN (doc_id * 2654435761) % 1000 < 980 THEN 'train'
+                           WHEN (doc_id * 2654435761) % 1000 < 990 THEN 'val'
+                           ELSE 'test' END AS split
+            FROM clean
+        )
+        SELECT split, source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars_actual) AS BIGINT) AS total_chars,
+               CAST(SUM(n_words) AS BIGINT) AS total_words
+        FROM assigned GROUP BY split, source, lang
+    """,
+    bench=True,
+    tags=("pipeline", "ext-corpus", "E1", "E2"),
+)
+def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus build through the declarative DAG runner: the
+    full pretraining-data path — quality gate (as ON VIOLATION DROP
+    expectations with per-rule metrics), exact dedup keep-first,
+    benchmark decontamination (8-gram overlap against the held-out
+    eval docs), held-out removal, deterministic 98/1/1 split — ending
+    in the per-(split, source, lang) token-accounting table every
+    corpus release ships with.  Each stage is an auditable pipeline
+    dataset with event-log lineage, not an opaque script.
+
+    Scale: the gate/dedup/split stages are single-shuffle each; the
+    contamination stage joins the corpus gram explode against a
+    broadcastable eval gram set (eval benchmarks ≪ corpus); nothing
+    touches the driver."""
+    p = Pipeline("corpus", tempfile.mkdtemp(prefix="dew_plc_"))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__pl_corpus_src_docs")
+    p.view("src_docs", "SELECT * FROM __pl_corpus_src_docs")
+    p.table(
+        "gated",
+        """
+        SELECT doc_id, text, lang, source,
+               LENGTH(text) AS n_chars_actual,
+               size(split(text, ' ')) AS n_words
+        FROM live.src_docs
+        """,
+        expectations=[
+            Expectation("min_chars", "n_chars_actual >= 120", mode="drop"),
+            Expectation("min_words", "n_words >= 20", mode="drop"),
+            Expectation("lang_allowed", "lang IN ('en', 'de', 'fr')", mode="drop"),
+        ],
+    )
+    p.table(
+        "deduped",
+        """
+        SELECT doc_id, text, lang, source, n_chars_actual, n_words FROM (
+            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM live.gated
+        ) WHERE rn = 1
+        """,
+    )
+    p.table(
+        "eval_grams",
+        """
+        SELECT DISTINCT gram FROM (
+            SELECT explode(transform(sequence(1, size(w) - 7),
+                                     i -> array_join(slice(w, i, 8), ' '))) AS gram
+            FROM (SELECT split(text, ' ') AS w FROM live.src_docs
+                  WHERE doc_id % 97 = 0 AND size(split(text, ' ')) >= 8)
+        )
+        """,
+    )
+    p.table(
+        "clean",
+        """
+        SELECT d.* FROM live.deduped d
+        LEFT ANTI JOIN (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, explode(transform(sequence(1, size(w) - 7),
+                                                 i -> array_join(slice(w, i, 8), ' '))) AS gram
+                FROM (SELECT doc_id, split(text, ' ') AS w FROM live.deduped
+                      WHERE size(split(text, ' ')) >= 8)
+            ) g JOIN live.eval_grams e ON g.gram = e.gram
+        ) c ON d.doc_id = c.doc_id
+        WHERE d.doc_id % 97 <> 0
+        """,
+    )
+    p.table(
+        "gold_mix",
+        """
+        SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 980 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 1000 < 990 THEN 'val'
+                    ELSE 'test' END AS split,
+               source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars_actual) AS BIGINT) AS total_chars,
+               CAST(SUM(n_words) AS BIGINT) AS total_words
+        FROM live.clean GROUP BY 1, 2, 3
+        """,
+    )
+    p.run(spark)
+    return p.read_dataset(spark, "gold_mix").select(
+        "split", "source", "lang", "n_docs", "total_chars", "total_words"
+    )
