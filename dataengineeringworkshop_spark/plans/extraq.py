@@ -204,3 +204,98 @@ def a_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_d = abs(row.ad - row.ed) / row.ed < 0.05
     ok_m = row.p40 <= row.am <= row.p60
     return spark.createDataFrame([(ok_d, ok_m)], "distinct_ok BOOLEAN, median_ok BOOLEAN")
+
+
+@query(
+    "a10_grouping_sets",
+    oracle="""
+        SELECT n_name, o_orderstatus,
+               GROUPING(n_name) AS g_nation, GROUPING(o_orderstatus) AS g_status,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+    """,
+    tags=("extra", "A5"),
+)
+def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers — the general form
+    under ROLLUP/CUBE (a8/a9); one pass, Expand-based, no re-scan per
+    set."""
+    return _sql(
+        spark, sf_dir, ("orders", "customer", "nation"),
+        """
+        SELECT n_name, o_orderstatus,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               COUNT(*) AS n_orders
+        FROM dew_orders
+        JOIN dew_customer ON o_custkey = c_custkey
+        JOIN dew_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+        """,
+    )
+
+
+@query(
+    "w5_distribution_ranks",
+    oracle="""
+        SELECT c_custkey, n_name,
+               ntile(4) OVER w AS spend_quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    tags=("extra", "W2"),
+)
+def w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist per nation.  Unique (acctbal, custkey) ordering makes the
+    rank rationals engine-independent; one exchange on the partition
+    key serves all three functions."""
+    return _sql(
+        spark, sf_dir, ("customer", "nation"),
+        """
+        SELECT c_custkey, n_name,
+               ntile(4) OVER w AS spend_quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM dew_customer JOIN dew_nation ON c_nationkey = n_nationkey
+        WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
+    )
+
+
+@query(
+    "a11_exact_quantiles",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.5) AS median,
+               quantile_cont(l_quantity, 0.75) AS q75,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("extra", "A1"),
+)
+def a11_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``).  l_quantity is
+    integer-valued and the quantile fractions are dyadic, so the
+    interpolation arithmetic is exact in both engines — bit-identical
+    without rounding.  The approximate/mergeable path for 100 TB is
+    ``a_sketch_bounds`` (approx_percentile); this is the exact
+    small-group complement."""
+    return _sql(
+        spark, sf_dir, ("lineitem",),
+        """
+        SELECT l_returnflag,
+               percentile(l_quantity, 0.25) AS q25,
+               percentile(l_quantity, 0.5) AS median,
+               percentile(l_quantity, 0.75) AS q75,
+               COUNT(*) AS n
+        FROM dew_lineitem GROUP BY l_returnflag
+        """,
+    )
