@@ -299,3 +299,108 @@ def a11_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dew_lineitem GROUP BY l_returnflag
         """,
     )
+
+
+@query(
+    "j5_outer_semi_anti",
+    oracle="""
+        SELECT 'left_outer' AS join_type, COUNT(*) AS n,
+               COUNT(o_orderkey) AS n_matched
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        UNION ALL
+        SELECT 'full_outer', COUNT(*), COUNT(o_orderkey)
+        FROM customer FULL JOIN orders ON c_custkey = o_custkey
+        UNION ALL
+        SELECT 'semi', COUNT(*), COUNT(*)
+        FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'anti', COUNT(*), 0
+        FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("extra", "J1"),
+)
+def j5_outer_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join types the reference never uses but any engine user
+    expects: LEFT/FULL OUTER (null-extended counts) and LEFT SEMI/ANTI
+    (existence joins — Catalyst executes these without materializing
+    the probe side's payload)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = c.c_custkey == o.o_custkey
+    rows = [
+        (
+            "left_outer",
+            c.join(o, cond, "left").count(),
+            c.join(o, cond, "left").filter(F.col("o_orderkey").isNotNull()).count(),
+        ),
+        (
+            "full_outer",
+            c.join(o, cond, "full").count(),
+            c.join(o, cond, "full").filter(F.col("o_orderkey").isNotNull()).count(),
+        ),
+        ("semi", c.join(o, cond, "left_semi").count(), c.join(o, cond, "left_semi").count()),
+        ("anti", c.join(o, cond, "left_anti").count(), 0),
+    ]
+    return spark.createDataFrame(rows, "join_type STRING, n BIGINT, n_matched BIGINT")
+
+
+@query(
+    "c4_correlated_scalar_subquery",
+    oracle="""
+        SELECT n_name, c_custkey, c_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+            FROM customer c2
+            WHERE c2.c_nationkey = customer.c_nationkey
+        ) * 1.8
+    """,
+    tags=("extra", "C2"),
+)
+def c4_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers well above their nation's
+    mean balance) — Catalyst decorrelates it into an aggregate + join,
+    the rewrite the reference never exercises.  The comparison keeps
+    raw doubles out of the OUTPUT (only the filter uses the avg), and the
+    threshold average itself is a decimal-fold (exact, order-free) so
+    the filter boundary is bit-identical in both engines."""
+    return _sql(
+        spark, sf_dir, ("customer", "nation"),
+        """
+        SELECT n_name, c_custkey, c_acctbal
+        FROM dew_customer JOIN dew_nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+            FROM dew_customer c2
+            WHERE c2.c_nationkey = dew_customer.c_nationkey
+        ) * 1.8
+        """,
+    )
+
+
+@query(
+    "t_fuzzy_match_levenshtein",
+    oracle="""
+        WITH names AS (SELECT DISTINCT s_name AS nm FROM supplier),
+        probes AS (SELECT DISTINCT p_brand AS probe FROM part)
+        SELECT probe, nm, levenshtein(probe, nm) AS dist
+        FROM probes CROSS JOIN names
+        WHERE levenshtein(probe, nm) <= 12
+    """,
+    tags=("extra", "ext-text"),
+)
+def t_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity resolution's core primitive)
+    — bounded cross join of two SMALL distinct key sets, never row×row
+    over facts; at scale the distinct sets are the broadcastable sides
+    and a length/prefix block would pre-prune candidates."""
+    return _sql(
+        spark, sf_dir, ("supplier", "part"),
+        """
+        WITH names AS (SELECT DISTINCT s_name AS nm FROM dew_supplier),
+        probes AS (SELECT DISTINCT p_brand AS probe FROM dew_part)
+        SELECT probe, nm, levenshtein(probe, nm) AS dist
+        FROM probes CROSS JOIN names
+        WHERE levenshtein(probe, nm) <= 12
+        """,
+    )
