@@ -275,3 +275,29 @@ def vt_add_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt, _ = _orders_table(spark, sf_dir)
     vt.add_column("review_flag", "string")
     return vt.read().select("o_orderkey", "o_orderstatus", "review_flag")
+
+
+@query(
+    "vt_table_changes",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, 'update_preimage' AS _change_type
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 100, 'update_postimage'
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, 'insert'
+        FROM orders WHERE o_orderkey % 10 = 7
+    """,
+    tags=("D5", "D6", "ext-cdc"),
+)
+def vt_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed (Delta ``table_changes`` parity): after the
+    standard MERGE (v0→v1), emit the keyed change rows — the CDC export
+    a downstream incremental consumer (another medallion hop, a search
+    index, a feature store) reads instead of re-diffing snapshots."""
+    vt, o = _orders_table(spark, sf_dir)
+    vt.merge(_merge_source(o), on="t.o_orderkey = s.o_orderkey")
+    return vt.changes("o_orderkey", 0, 1).select(
+        "o_orderkey", "o_totalprice", "_change_type"
+    )

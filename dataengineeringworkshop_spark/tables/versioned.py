@@ -316,6 +316,54 @@ class VersionedTable:
         new_ddl = prev.schema_ddl[:-1] + f",{name}:{dtype}>"
         self._commit("ADD COLUMNS", prev.data_dirs, new_ddl, {"column": name, "type": dtype})
 
+    def changes(self, key: str, from_version: int, to_version: int) -> DataFrame:
+        """Change Data Feed between two versions (Delta `table_changes`
+        parity): one row per inserted/deleted key plus an
+        update_preimage/update_postimage pair per key whose non-key
+        columns changed, tagged in ``_change_type``.
+
+        Computed as a keyed full-outer diff of the two snapshots — one
+        shuffle on the key.  At 100 TB the commit log already records
+        per-version file sets, so unchanged files can be pruned from
+        both sides of the diff before the join; a physical CDF (change
+        files written at commit time, as Delta does) is the write-side
+        variant of the same contract."""
+        from pyspark.sql import functions as F
+
+        f = self.read(from_version)
+        t = self.read(to_version)
+        common = [c for c in t.columns if c in set(f.columns)]
+        non_key = [c for c in common if c != key]
+        fa = f.select([F.col(c).alias(f"__f_{c}") for c in common])
+        ta = t.select([F.col(c).alias(f"__t_{c}") for c in common])
+        j = fa.join(ta, fa[f"__f_{key}"] == ta[f"__t_{key}"], "full_outer")
+        changed = None
+        for c in non_key:
+            neq = ~F.col(f"__f_{c}").eqNullSafe(F.col(f"__t_{c}"))
+            changed = neq if changed is None else (changed | neq)
+        inserts = j.filter(F.col(f"__f_{key}").isNull()).select(
+            *[F.col(f"__t_{c}").alias(c) for c in common],
+            F.lit("insert").alias("_change_type"),
+        )
+        deletes = j.filter(F.col(f"__t_{key}").isNull()).select(
+            *[F.col(f"__f_{c}").alias(c) for c in common],
+            F.lit("delete").alias("_change_type"),
+        )
+        upd = j.filter(
+            F.col(f"__f_{key}").isNotNull()
+            & F.col(f"__t_{key}").isNotNull()
+            & (changed if changed is not None else F.lit(False))
+        )
+        pre = upd.select(
+            *[F.col(f"__f_{c}").alias(c) for c in common],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = upd.select(
+            *[F.col(f"__t_{c}").alias(c) for c in common],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
     # -------------------------------------------------------------- history
 
     def history(self) -> DataFrame:

@@ -91,3 +91,21 @@ def test_optimize_compacts_files(spark, vt, tmp_path):
     for d in latest_dirs:
         files += glob.glob(f"{t.path}/{d}/part-*.parquet")
     assert len(files) <= 2
+
+
+def test_changes_classifies_insert_update_delete(spark, vt):
+    """CDF: a delete + an update + an insert between v0 and v1 come back
+    with the right _change_type tags and nothing else."""
+    t, o = vt
+    t.delete("o_orderkey % 10 = 1")                      # -> v1 deletes
+    t.update({"o_totalprice": "o_totalprice + 5"},
+             condition="o_orderkey % 10 = 2")            # -> v2 updates
+    ch = t.changes("o_orderkey", 0, t._latest().version)
+    by_type = {r["_change_type"]: r["n"] for r in
+               ch.groupBy("_change_type").count().withColumnRenamed("count", "n").collect()}
+    n_del = o.filter(F.col("o_orderkey") % 10 == 1).count()
+    n_upd = o.filter(F.col("o_orderkey") % 10 == 2).count()
+    assert by_type.get("delete") == n_del
+    assert by_type.get("update_preimage") == n_upd
+    assert by_type.get("update_postimage") == n_upd
+    assert "insert" not in by_type
