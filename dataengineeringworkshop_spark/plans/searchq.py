@@ -536,3 +536,51 @@ def cl_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(CAST(dist2 AS DECIMAL(28,14))) AS DOUBLE)"), 6
         ).alias("inertia"),
     )
+
+
+@query(
+    "cp_chunk_documents",
+    oracle="""
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, s,
+                   array_to_string(list_slice(w, s, s + 63), ' ') AS chunk_text,
+                   len(list_slice(w, s, s + 63)) AS n_tokens
+            FROM ws, unnest(generate_series(1, len(w), 48)) AS t(s)
+        )
+        SELECT doc_id,
+               CAST((s - 1) / 48 AS INT) AS chunk_idx,
+               n_tokens,
+               chunk_text
+        FROM chunks
+    """,
+    tags=("ext-corpus", "ext-text"),
+)
+def cp_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion chunking: 64-word windows with stride 48 (16-word
+    overlap) per document — the chunk table an embedding/index stage
+    consumes.  Pure map + explode over an index sequence (no shuffle at
+    all until a downstream stage groups or joins); chunk identity
+    (doc_id, chunk_idx) is deterministic so re-runs are idempotent."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH ws AS (
+            SELECT doc_id, split(text, ' ') AS w FROM dew_documents
+        ),
+        chunks AS (
+            SELECT doc_id, s,
+                   array_join(slice(w, s, 64), ' ') AS chunk_text,
+                   size(slice(w, s, 64)) AS n_tokens
+            FROM ws
+            LATERAL VIEW explode(sequence(1, size(w), 48)) t AS s
+        )
+        SELECT doc_id,
+               CAST((s - 1) / 48 AS INT) AS chunk_idx,
+               n_tokens,
+               chunk_text
+        FROM chunks
+        """
+    )
