@@ -584,3 +584,116 @@ def cp_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chunks
         """
     )
+
+
+@query(
+    "rag_chunk_topk",
+    oracle=f"""
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, CAST((s - 1) / 48 AS INT) AS chunk_idx,
+                   list_slice(w, s, s + 63) AS cw
+            FROM ws, unnest(generate_series(1, len(w), 48)) AS t(s)
+        ),
+        ex AS (
+            SELECT doc_id, chunk_idx, unnest(cw) AS wd FROM chunks
+        ),
+        dl AS (SELECT doc_id, chunk_idx, len(cw) AS dl FROM chunks),
+        corpus AS (
+            SELECT COUNT(*) AS n_chunks,
+                   CAST(CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, chunk_idx, wd, COUNT(*) AS tf
+            FROM ex WHERE wd IN {_BM25_TERMS}
+            GROUP BY doc_id, chunk_idx, wd
+        ),
+        df AS (SELECT wd, COUNT(*) AS df FROM tf GROUP BY wd),
+        term_scores AS (
+            SELECT tf.doc_id, tf.chunk_idx,
+                   ((CAST(corpus.n_chunks - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * ((CAST(tf.tf AS DOUBLE) * ({_K1} + CAST(1 AS DOUBLE)))
+                      / (CAST(tf.tf AS DOUBLE)
+                         + {_K1} * ((CAST(1 AS DOUBLE) - {_B})
+                                    + {_B} * (CAST(dl.dl AS DOUBLE) / corpus.avgdl)))) AS s
+            FROM tf
+            JOIN df ON tf.wd = df.wd
+            JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_idx = dl.chunk_idx
+            CROSS JOIN corpus
+        ),
+        ranked AS (
+            SELECT doc_id, chunk_idx,
+                   ROUND(CAST(SUM(CAST(s AS DECIMAL(28,14))) AS DOUBLE), 6) AS bm25
+            FROM term_scores GROUP BY doc_id, chunk_idx
+        )
+        SELECT doc_id, chunk_idx, bm25, chunk_rank FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY bm25 DESC, doc_id ASC, chunk_idx ASC) AS chunk_rank
+            FROM ranked
+        ) WHERE chunk_rank <= 20
+    """,
+    tags=("ext-corpus", "ext-text"),
+)
+def rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval over CHUNKS: strided 64/48 chunking →
+    per-chunk BM25 against the query terms → global top-20 chunks.
+    Retrieval granularity is the chunk, not the document — the shape a
+    RAG serving index answers.  Same rational-idf determinism as
+    ``cp_bm25_search``; only term-matching chunks reach the final
+    window."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        WITH ws AS (
+            SELECT doc_id, split(text, ' ') AS w FROM dew_documents
+        ),
+        chunks AS (
+            SELECT doc_id, CAST((s - 1) / 48 AS INT) AS chunk_idx,
+                   slice(w, s, 64) AS cw
+            FROM ws
+            LATERAL VIEW explode(sequence(1, size(w), 48)) t AS s
+        ),
+        ex AS (
+            SELECT doc_id, chunk_idx, explode(cw) AS wd FROM chunks
+        ),
+        dl AS (SELECT doc_id, chunk_idx, size(cw) AS dl FROM chunks),
+        corpus AS (
+            SELECT COUNT(*) AS n_chunks,
+                   CAST(CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, chunk_idx, wd, COUNT(*) AS tf
+            FROM ex WHERE wd IN {_BM25_TERMS}
+            GROUP BY doc_id, chunk_idx, wd
+        ),
+        df AS (SELECT wd, COUNT(*) AS df FROM tf GROUP BY wd),
+        term_scores AS (
+            SELECT tf.doc_id, tf.chunk_idx,
+                   ((CAST(corpus.n_chunks - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * ((CAST(tf.tf AS DOUBLE) * ({_K1} + CAST(1 AS DOUBLE)))
+                      / (CAST(tf.tf AS DOUBLE)
+                         + {_K1} * ((CAST(1 AS DOUBLE) - {_B})
+                                    + {_B} * (CAST(dl.dl AS DOUBLE) / corpus.avgdl)))) AS s
+            FROM tf
+            JOIN df ON tf.wd = df.wd
+            JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_idx = dl.chunk_idx
+            CROSS JOIN corpus
+        ),
+        ranked AS (
+            SELECT doc_id, chunk_idx,
+                   ROUND(CAST(SUM(CAST(s AS DECIMAL(28,14))) AS DOUBLE), 6) AS bm25
+            FROM term_scores GROUP BY doc_id, chunk_idx
+        )
+        SELECT doc_id, chunk_idx, bm25, chunk_rank FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY bm25 DESC, doc_id ASC, chunk_idx ASC) AS chunk_rank
+            FROM ranked
+        ) WHERE chunk_rank <= 20
+        """
+    )
