@@ -252,3 +252,42 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "st_apply_changes_latest",
+    oracle="""
+        SELECT user_id, event_id, event_type, value FROM (
+            SELECT user_id, event_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    tags=("ext-streaming", "ext-cdc", "ST-state"),
+)
+def st_apply_changes_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO: the event stream upserts a keyed
+    latest-state-per-user table through foreachBatch + sequence-guarded
+    MERGE (streaming/apply_changes.py).  Bounded availableNow run ≡ the
+    batch window dedup → DuckDB-oracle-matched; out-of-order protection
+    across batches is pytest-covered (test_streaming_ext)."""
+    from dataengineeringworkshop_spark.streaming.apply_changes import apply_changes
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+    vt = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="dew_apc_") + "/user_state"
+    )
+    q = apply_changes(
+        stream, vt, key="user_id", sequence_col="event_id",
+        checkpoint=tempfile.mkdtemp(prefix="dew_apc_ck_"),
+    )
+    q.awaitTermination()
+    return vt.read()

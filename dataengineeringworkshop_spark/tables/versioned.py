@@ -85,6 +85,10 @@ class VersionedTable:
         commits = self._commits()
         return commits[-1] if commits else None
 
+    def exists(self) -> bool:
+        """True once the table has at least one commit."""
+        return bool(self._commits())
+
     def _commit(
         self,
         operation: str,

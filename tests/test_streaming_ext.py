@@ -173,3 +173,54 @@ def test_windowed_bounded_equals_batch(spark, tmp_path):
         )
     )
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_apply_changes_out_of_order_across_batches(spark, tmp_path):
+    """APPLY CHANGES: batch 2 carries a newer update, a STALE (lower
+    sequence) change for another key, and a brand-new key.  The stale
+    row must NOT overwrite state merged from batch 1."""
+    import pyspark.sql.functions as F
+
+    from dataengineeringworkshop_spark.streaming.apply_changes import apply_changes
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    vt = VersionedTable(spark, str(tmp_path / "state"))
+    schema = "k BIGINT, seq BIGINT, val STRING"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        apply_changes(stream, vt, key="k", sequence_col="seq",
+                      checkpoint=ck).awaitTermination()
+
+    def drop(rows, name):
+        # the file stream lists the base dir flat — stage the batch and
+        # move its part-file in as a single new arrival
+        import glob
+        import shutil
+
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    drop([(1, 10, "a1"), (2, 10, "b1"), (3, 10, "c1")], "batch1")
+    run()
+    assert {r["val"] for r in vt.read().collect()} == {"a1", "b1", "c1"}
+
+    drop(
+        [(2, 20, "b2"),   # newer -> must win
+         (3, 5, "stale"), # older than merged seq 10 -> must NOT win
+         (4, 1, "d1")],   # new key -> insert
+        "batch2",
+    )
+    run()
+    state = {r["k"]: (r["seq"], r["val"]) for r in vt.read().collect()}
+    assert state[1] == (10, "a1")
+    assert state[2] == (20, "b2")
+    assert state[3] == (10, "c1"), "stale out-of-order change overwrote newer state"
+    assert state[4] == (1, "d1")
