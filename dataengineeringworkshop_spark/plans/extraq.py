@@ -404,3 +404,50 @@ def t_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE levenshtein(probe, nm) <= 12
         """,
     )
+
+
+_PROFILE_SQL = """
+    SELECT 'l_orderkey' AS column_name, COUNT(*) AS n,
+           COUNT(*) - COUNT(l_orderkey) AS n_null,
+           COUNT(DISTINCT l_orderkey) AS n_distinct,
+           CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str
+    FROM {t}
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+           COUNT(DISTINCT l_quantity),
+           MIN(l_quantity), MAX(l_quantity), NULL, NULL
+    FROM {t}
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           MIN(l_extendedprice), MAX(l_extendedprice), NULL, NULL
+    FROM {t}
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag),
+           NULL, NULL, MIN(l_returnflag), MAX(l_returnflag)
+    FROM {t}
+    UNION ALL
+    SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+           COUNT(DISTINCT l_linestatus),
+           NULL, NULL, MIN(l_linestatus), MAX(l_linestatus)
+    FROM {t}
+"""
+
+
+@query(
+    "prof_column_stats",
+    oracle=_PROFILE_SQL.replace("CAST(NULL AS STRING)", "CAST(NULL AS VARCHAR)").format(t="lineitem"),
+    tags=("extra", "A1"),
+)
+def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE / data-quality-report surface):
+    per-column row count, null count, exact distinct count, and typed
+    min/max in one long-format result.  Each column's stats are one
+    aggregate over the shared scan; at 100 TB swap COUNT(DISTINCT) for
+    approx_count_distinct (see a_sketch_bounds) and let one pass compute
+    every column's profile."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_PROFILE_SQL.format(t="dew_lineitem"))
