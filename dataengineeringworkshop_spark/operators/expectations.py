@@ -106,3 +106,29 @@ def apply_expectations(
         if e.mode == "drop":
             out = out.filter(F.expr(e.predicate))
     return out, metrics
+
+
+def quarantine_split(
+    df: DataFrame, expectations: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine pattern: instead of silently dropping violations, route
+    them to a side table for repair/audit (the production alternative to
+    ON VIOLATION DROP ROW — nothing is lost, the main table stays clean).
+
+    Returns ``(kept, quarantined)`` where ``quarantined`` carries a
+    ``violated`` column: the comma-joined names of the failed
+    expectations in definition order.  One scan, no shuffle — the split
+    is two filters over the same tagged frame."""
+    if not expectations:
+        return df, df.limit(0).withColumn("violated", F.lit(""))
+    tags = F.concat_ws(
+        ",",
+        *[
+            F.when(~F.expr(e.predicate), F.lit(e.name))
+            for e in expectations
+        ],
+    )
+    tagged = df.withColumn("violated", tags)
+    kept = tagged.filter(F.col("violated") == "").drop("violated")
+    quarantined = tagged.filter(F.col("violated") != "")
+    return kept, quarantined

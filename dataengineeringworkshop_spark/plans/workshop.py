@@ -183,3 +183,41 @@ def s2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="dew_json_") + "/supplier_json"
     write_single_file(s.select("s_suppkey", "s_name", "s_nationkey"), out, fmt="json")
     return read_json(spark, out).select("s_suppkey", "s_name", "s_nationkey")
+
+
+@query(
+    "ws_expectation_quarantine",
+    oracle="""
+        SELECT doc_id,
+               concat_ws(',',
+                   CASE WHEN NOT (LENGTH(text) >= 120) THEN 'min_chars' END,
+                   CASE WHEN NOT (len(string_split(text, ' ')) >= 20) THEN 'min_words' END,
+                   CASE WHEN NOT (lang IN ('en', 'de', 'fr')) THEN 'lang_allowed' END
+               ) AS violated
+        FROM documents
+        WHERE NOT (LENGTH(text) >= 120)
+           OR NOT (len(string_split(text, ' ')) >= 20)
+           OR NOT (lang IN ('en', 'de', 'fr'))
+    """,
+    tags=("E1", "E2", "ext-corpus"),
+)
+def ws_expectation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine pattern (the production alternative to ON VIOLATION
+    DROP ROW, N4:90-95): violating rows are routed to a side table
+    tagged with WHICH rules failed, instead of being silently dropped —
+    auditable and repairable.  Returns the quarantine table for the
+    documents quality rules."""
+    from dataengineeringworkshop_spark.operators.expectations import (
+        Expectation,
+        quarantine_split,
+    )
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = [
+        Expectation("min_chars", "LENGTH(text) >= 120", mode="drop"),
+        Expectation("min_words", "size(split(text, ' ')) >= 20", mode="drop"),
+        Expectation("lang_allowed", "lang IN ('en', 'de', 'fr')", mode="drop"),
+    ]
+    _kept, quarantined = quarantine_split(d, rules)
+    return quarantined.select("doc_id", "violated")

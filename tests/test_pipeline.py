@@ -212,3 +212,27 @@ def test_fail_mode_aborts(spark, tmp_path):
     )
     with pytest.raises(ExpectationFailed):
         p.run(spark)
+
+
+def test_quarantine_split_partitions_exactly(spark):
+    """kept ∪ quarantined == input, disjoint; violated names in
+    definition order."""
+    from dataengineeringworkshop_spark.operators.expectations import (
+        Expectation,
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, "en"), (2, 50, "xx"), (3, 1, "xx"), (4, 50, "en")],
+        "id INT, n INT, lang STRING",
+    )
+    kept, quar = quarantine_split(
+        df,
+        [
+            Expectation("big_enough", "n >= 10", mode="drop"),
+            Expectation("lang_ok", "lang = 'en'", mode="drop"),
+        ],
+    )
+    assert {r["id"] for r in kept.collect()} == {4}
+    got = {r["id"]: r["violated"] for r in quar.collect()}
+    assert got == {1: "big_enough", 2: "lang_ok", 3: "big_enough,lang_ok"}
