@@ -451,3 +451,40 @@ def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     every column's profile."""
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_PROFILE_SQL.format(t="dew_lineitem"))
+
+
+@query(
+    "f19_date_arithmetic",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
+               date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-01-01') AS days_to_2024,
+               strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus_3_months,
+               strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+               strftime(CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE), '%Y-%m-%d') AS month_end,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow
+        FROM orders
+    """,
+    tags=("extra", "F6"),
+)
+def f19_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic breadth — datediff, add_months, month trunc,
+    last_day, day-of-week — the calendar toolkit every reporting layer
+    needs (the reference only formats, F3/F6).  Spark DATEDIFF(end,
+    start) ≡ DuckDB date_diff('day', start, end); Spark dayofweek is
+    1-based (Sunday=1), DuckDB 0-based — the oracle adds 1.  Dates surface as formatted strings (the repo-wide
+    convention: the driver hashes values, and string dates are
+    unambiguous across engines)."""
+    return _sql(
+        spark, sf_dir, ("orders",),
+        """
+        SELECT o_orderkey,
+               date_format(CAST(o_orderdate AS DATE), 'yyyy-MM-dd') AS order_day,
+               DATEDIFF(DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_to_2024,
+               date_format(add_months(CAST(o_orderdate AS DATE), 3), 'yyyy-MM-dd') AS plus_3_months,
+               date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd') AS month_start,
+               date_format(last_day(CAST(o_orderdate AS DATE)), 'yyyy-MM-dd') AS month_end,
+               dayofweek(CAST(o_orderdate AS DATE)) AS dow
+        FROM dew_orders
+        """,
+    )
