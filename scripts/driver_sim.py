@@ -39,6 +39,18 @@ SAMPLE = [
     "f15_schema_of_json",
     "cp_stratified_sample",
     "cp_split_assignment",
+    "cp_bigram_lm_score",
+    "cp_bm25_search",
+    "sd_semantic_dedup",
+    "sim_embed_quantize",
+    "cl_kmeans_two_rounds",
+    "pp_partition_pruned_events",
+    "cp_corpus_pipeline",
+    "vt_table_changes",
+    "st_apply_changes_latest",
+    "rag_chunk_topk",
+    "ws_expectation_quarantine",
+    "f19_date_arithmetic",
 ]
 
 
