@@ -265,3 +265,43 @@ def e_user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "events")
     return spark.sql(_ZSCORE_SQL.format(table="dew_events"))
+
+
+_CORR_SQL = """
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(user_id AS DECIMAL(28,14))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,14))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(value * CAST(user_id AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS sxy
+        FROM {table}
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((sxy / n) - ((sx / n) * (sy / n)), 6) AS covar_pop,
+           ROUND(((sxy / n) - ((sx / n) * (sy / n)))
+                 / (sqrt((sxx / n) - ((sx / n) * (sx / n)))
+                    * sqrt((syy / n) - ((sy / n) * (sy / n)))), 6) AS corr
+    FROM m
+"""
+
+
+@query(
+    "a12_corr_covar",
+    oracle=_CORR_SQL.format(table="events"),
+    tags=("extra", "A3"),
+)
+def a12_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance + Pearson correlation per group, computed
+    from exact decimal moment sums (n, Σx, Σy, Σx², Σy², Σxy) instead of
+    the engines' corr/covar built-ins — one partial-agg pass, and the
+    derived doubles are bit-identical across engines because every
+    division/sqrt runs on identical operands.  The mergeable-moments
+    formulation is also exactly what a 100 TB profile computes per
+    partition and combines."""
+    from dataengineeringworkshop_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_CORR_SQL.format(table="dew_events"))
