@@ -108,9 +108,19 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float | None = 0.5,
     index_key: str | None = None,
+    verify_max_df: int = 1024,
 ) -> DataFrame:
     """Candidates via LSH, then (optionally) exact-Jaccard verification
-    restricted to the candidate set.  Returns (d1, d2[, jaccard])."""
+    restricted to the candidate set.  Returns (d1, d2[, jaccard]).
+
+    ``verify_max_df`` caps the document frequency of shingles entering
+    the verify self-join (same idiom as ``_JACCARD_MAXDF`` in
+    ``plans/textops.py``): a boilerplate shingle shared by M candidate
+    docs would otherwise fan out O(M²) rows inside the join even though
+    the LSH bucket cap already bounded the PAIR set.  Dropping hot
+    shingles only UNDERCOUNTS intersections for boilerplate-dominated
+    pairs (their jaccard is already inflated by template text); normal
+    pairs — every shingle under the cap — are computed exactly."""
     rows_per_band = num_hashes // bands
     if jaccard_threshold is None:
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -132,13 +142,33 @@ def minhash_dedup_pairs(
         "minhash_sigs",
         cache_key=f"{index_key}:sh{shingle_n}:mh{num_hashes}" if index_key else None,
     )
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # the candidate pair set feeds the doc filter AND the final semi-join
+    # — materialize so the LSH band pipeline runs once, not per consumer
+    cand = materialize(
+        lsh_candidate_pairs(sigs, bands, rows_per_band), "minhash_cand"
+    )
     # inverted-index intersection counts, restricted to candidate docs
     cand_docs = cand.select(F.col("d1").alias("doc")).union(
         cand.select("d2")
     ).distinct()
-    sh_c = sh.join(F.broadcast(cand_docs), "doc")
+    # hot-shingle cap: df computed over candidate docs only, so the cap
+    # adapts to the verify working set, not the whole corpus
+    sh_cand = materialize(
+        sh.join(F.broadcast(cand_docs), "doc"), "verify_shingles"
+    )
+    rare = (
+        sh_cand.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= verify_max_df)
+        .select("shingle")
+    )
+    # the capped index has 3 consumers (sizes + both self-join sides):
+    # materialize once, re-scan parquet instead of re-joining
+    sh_c = materialize(sh_cand.join(rare, "shingle"), "verify_shingles_capped")
+    # sizes over the SAME capped shingle space, so jaccard is the exact
+    # Jaccard of the non-boilerplate shingle sets (1.0 for exact dups
+    # even when they contain boilerplate; unchanged when nothing is hot)
+    sizes = sh_c.groupBy("doc").agg(F.count("*").alias("sz"))
     inter = (
         sh_c.alias("a")
         .join(sh_c.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))

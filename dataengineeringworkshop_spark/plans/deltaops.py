@@ -15,6 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataengineeringworkshop_spark.operators.materialize import materialize
 from dataengineeringworkshop_spark.plans.registry import query
 from dataengineeringworkshop_spark.plans.tables import load_table
 from dataengineeringworkshop_spark.tables.versioned import VersionedTable
@@ -113,6 +114,31 @@ def vt_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.merge(_merge_source(o), on="t.o_orderkey = s.o_orderkey")
     vt.optimize(zorder_by=["o_orderkey"])
     return vt.history().select("version", "operation")
+
+
+@query(
+    "vt_history_time_travel",
+    oracle="""
+        SELECT o.*, 'CREATE TABLE AS SELECT->MERGE' AS history_ops FROM orders o
+    """,
+    tags=("D5", "D6"),
+)
+def vt_history_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY + time travel in one composite (N1:196-212):
+    after a MERGE (v0→v1), ``VERSION AS OF 0`` must return the original
+    rows, annotated with the deterministic operation sequence from the
+    history log — proving both the history record and the version read
+    path against the relational recomputation."""
+    vt, o = _orders_table(spark, sf_dir)
+    vt.merge(_merge_source(o), on="t.o_orderkey = s.o_orderkey")
+    v0 = vt.read(version=0)
+    ops = vt.history().agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(version, operation))),"
+            " x -> x.operation), '->')"
+        ).alias("history_ops")
+    )
+    return v0.crossJoin(F.broadcast(ops))
 
 
 @query("vt_optimize_roundtrip", oracle="SELECT * FROM orders", tags=("D7",))
@@ -255,7 +281,9 @@ def ddl_ctas_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parquet"
     ).saveAsTable("dew_scratch.nation_customers_copy")
     out = spark.table("dew_scratch.nation_customers_copy")
-    result = out.sparkSession.createDataFrame(out.collect(), out.schema)
+    # snapshot to a temp parquet (distributed write, nothing through the
+    # driver) so the result survives the DROPs below
+    result = materialize(out, label="ctas_lifecycle")
     spark.sql("DROP TABLE IF EXISTS dew_scratch.nation_customers")
     spark.sql("DROP TABLE IF EXISTS dew_scratch.nation_customers_copy")
     return result

@@ -194,16 +194,16 @@ def a_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins ERROR BOUNDS instead: approx within 5% of exact distinct;
     approx median within the exact p40–p60 band."""
     o = load_table(spark, sf_dir, "orders")
-    row = o.agg(
+    return o.agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("ad"),
         F.countDistinct("o_custkey").alias("ed"),
         F.percentile_approx("o_totalprice", 0.5).alias("am"),
         F.expr("percentile(o_totalprice, 0.4)").alias("p40"),
         F.expr("percentile(o_totalprice, 0.6)").alias("p60"),
-    ).collect()[0]
-    ok_d = abs(row.ad - row.ed) / row.ed < 0.05
-    ok_m = row.p40 <= row.am <= row.p60
-    return spark.createDataFrame([(ok_d, ok_m)], "distinct_ok BOOLEAN, median_ok BOOLEAN")
+    ).select(
+        (F.abs(F.col("ad") - F.col("ed")) / F.col("ed") < 0.05).alias("distinct_ok"),
+        ((F.col("p40") <= F.col("am")) & (F.col("am") <= F.col("p60"))).alias("median_ok"),
+    )
 
 
 @query(

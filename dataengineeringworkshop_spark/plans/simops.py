@@ -47,7 +47,13 @@ def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS nrm
             FROM ex GROUP BY vec_id
         ),
-        qx AS (SELECT vec_id AS qid, i, v FROM ex WHERE vec_id % 100 = 0),
+        qsel AS (
+            SELECT vec_id FROM embeddings
+            ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 1000000007, vec_id
+            LIMIT 16
+        ),
+        qx AS (SELECT vec_id AS qid, i, v FROM ex
+               WHERE vec_id IN (SELECT vec_id FROM qsel)),
         dot AS (
             SELECT qx.qid, ex.vec_id AS nid,
                    CAST(SUM(CAST(CAST(qx.v AS DOUBLE) * CAST(ex.v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
@@ -70,8 +76,16 @@ def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext-sim",),
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 neighbors for query vectors
-    (vec_id % 100 == 0).  Query set broadcast; corpus streamed once.
+    """Brute-force cosine top-10 neighbors for a FIXED-k query set: the
+    16 vectors ranked first by a portable multiplicative hash of vec_id
+    (deterministic, engine-independent, spread across the id space).
+    Query set broadcast; corpus streamed once.
+
+    The query set is k=16 regardless of corpus size, so the broadcast
+    and the O(k·N·d) scan cost stay corpus-proportional — not O(N²) —
+    at any scale.  Brute force remains the recall oracle for the ANN
+    variants (``ann_topk_lsh`` / ``ann_topk_ivf``), which are the scale
+    path for large query sets.
 
     Two-phase scoring: a cheap DOUBLE dot product prefilters to the top
     40 candidates per query, then only those are rescored with the exact
@@ -87,10 +101,17 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     e = _norms(spark, sf_dir)
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    q = (
+        e.orderBy(
+            F.expr("(CAST(vec_id AS BIGINT) * 2654435761) % 1000000007"),
+            F.col("vec_id"),
+        )
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
     )
     joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     pre = joined.select(

@@ -68,6 +68,44 @@ def test_minhash_lsh_finds_planted_dups(spark, docs_with_dups):
     assert pairs <= truth
 
 
+def test_minhash_verify_caps_hot_shingles(spark):
+    """A boilerplate shingle shared by far more docs than ``verify_max_df``
+    must not fan out quadratically inside the exact-Jaccard verify join —
+    and normal (non-boilerplate) pairs must come out unchanged."""
+    from dataengineeringworkshop_spark.llmops.minhash import minhash_dedup_pairs
+
+    # 40 docs sharing an identical boilerplate tail (hot shingles, df=40+)
+    # but pairwise-unique heads; plus one planted exact-dup pair whose
+    # text also carries the boilerplate.
+    tail = "standard legal footer applies to every document here"
+    rows = [
+        (i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} {tail}")
+        for i in range(40)
+    ]
+    dup_text = f"unique payload words one two three four five six {tail}"
+    rows += [(1000, dup_text), (1001, dup_text)]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    got = minhash_dedup_pairs(
+        docs, "doc_id", "text",
+        num_hashes=64, bands=16, jaccard_threshold=0.5, verify_max_df=5,
+    )
+    pairs = {(r.d1, r.d2): r.jaccard for r in got.collect()}
+    # the planted dup survives with jaccard 1.0 (its rare shingles match
+    # exactly; hot boilerplate shingles are excluded from BOTH sides)
+    assert pairs.get((1000, 1001)) == pytest.approx(1.0)
+    # boilerplate-only overlaps are NOT promoted to duplicates: every
+    # other pair shares only hot shingles, which the cap drops
+    assert set(pairs) == {(1000, 1001)}, set(pairs)
+    # and the verify join input is bounded: with the cap, the capped index
+    # holds only rare shingles — ≤ verify_max_df rows per shingle
+    from dataengineeringworkshop_spark.llmops.minhash import word_shingles
+
+    sh = word_shingles(docs, "doc_id", "text")
+    hot = sh.groupBy("shingle").count().filter(F.col("count") > 5).count()
+    assert hot > 0  # the fixture really does contain hot shingles
+
+
 def test_simhash_exact_dups_distance_zero(spark, docs_with_dups):
     from dataengineeringworkshop_spark.llmops.simhash import simhash, simhash_near_pairs
 

@@ -97,6 +97,11 @@ def test_cosine_topk_broadcasts_query_side_only(spark, registry):
     # broadcast-driven (small query set), never a shuffled cartesian
     ops = _ops(plan)
     assert ops["BroadcastNestedLoopJoin"] == 1 and ops["CartesianProduct"] == 0, ops
+    # the broadcast side is a FIXED-k query sample (GlobalLimit 16), so
+    # its size is corpus-INdependent — the O(N²) trap stays closed
+    assert ops["TakeOrderedAndProject"] + ops["GlobalLimit"] >= 1, ops
+    q = registry["sim_cosine_topk"].fn(spark, SF_SMOKE)
+    assert q.select("query_id").distinct().count() <= 16
 
 
 def test_relational_core_stays_jvm_side(spark, registry):
