@@ -265,7 +265,13 @@ def rb_time_funcs_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-function family (N2:268-339, Utils/Define-Functions.py:27):
     from_unixtime default format (F2), custom format (F3),
     unix_timestamp on a timestamp (F4), unix_timestamp STRING parse (F5,
-    via the format→parse round-trip epoch_rt == epoch_s)."""
+    via the format→parse round-trip epoch_rt == epoch_s).
+
+    The round-trip is only unambiguous because ``load_table`` →
+    ``ensure_session_defaults`` pins ``spark.sql.session.timeZone=UTC``
+    (runtime-settable, so it holds even when the driver builds the
+    session under another zone): UTC has no DST fold, so every epoch
+    formats to a unique wall-clock string."""
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",

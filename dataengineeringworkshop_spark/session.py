@@ -14,6 +14,9 @@ only local-mode-specific knob is ``spark.driver.memory``.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -31,6 +34,33 @@ RUNTIME_DEFAULTS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors (``sc.addPyFile``).
+
+    Pandas-UDF / applyInPandasWithState closures are cloudpickled *by
+    reference* to their defining module, so Python workers must be able to
+    ``import dataengineeringworkshop_spark`` — which fails when the driver
+    imported us via a ``sys.path`` insert (e.g. ``__spark_entry__`` loaded
+    by file path from another cwd).  Shipping a zip of the package through
+    ``addPyFile`` fixes local *and* real-cluster workers; on a managed
+    cluster ``--py-files`` would do the same job.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_dew_pkg_shipped", False):
+        return
+    pkg_root = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.mkdtemp(prefix="dew_pkg_")) / "dataengineeringworkshop_spark.zip"
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg_root.rglob("*.py")):
+            zf.write(py, arcname=str(Path(pkg_root.name) / py.relative_to(pkg_root)))
+    try:
+        sc.addPyFile(str(zip_path))
+    except Exception:
+        # already added under this name (session restart on a shared context)
+        pass
+    sc._dew_pkg_shipped = True
+
+
 def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     """Assert runtime confs on an existing session (idempotent, cheap)."""
     for k, v in RUNTIME_DEFAULTS.items():
@@ -39,6 +69,7 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
         except Exception:
             # non-runtime-settable in this build — session-level default applies
             pass
+    _ship_package(spark)
     return spark
 
 

