@@ -11,8 +11,9 @@ Pipeline (the standard shingle→minhash→band→bucket-join construction):
 3. **LSH bands**: split the k-vector into b bands of r rows; band key =
    hash of the band slice.  Documents sharing any band key are
    candidates — a self-join on (band, key), never a cross join.
-4. **Verify** (optional): exact Jaccard on candidates only, via a
-   shingle inverted-index join restricted to the candidate pair set.
+4. **Verify** (optional): exact Jaccard on candidates only, routed
+   through the candidate pair list (pairs ⋈ shingles(d1) ⋈ shingles(d2))
+   so hot boilerplate shingles can't fan out quadratically.
 
 Scale: for b bands the candidate join shuffles (doc, band_key) pairs —
 b rows per doc regardless of document size.  Hot buckets (boilerplate
@@ -108,19 +109,20 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float | None = 0.5,
     index_key: str | None = None,
-    verify_max_df: int = 1024,
 ) -> DataFrame:
-    """Candidates via LSH, then (optionally) exact-Jaccard verification
+    """Candidates via LSH, then (optionally) EXACT-Jaccard verification
     restricted to the candidate set.  Returns (d1, d2[, jaccard]).
 
-    ``verify_max_df`` caps the document frequency of shingles entering
-    the verify self-join (same idiom as ``_JACCARD_MAXDF`` in
-    ``plans/textops.py``): a boilerplate shingle shared by M candidate
-    docs would otherwise fan out O(M²) rows inside the join even though
-    the LSH bucket cap already bounded the PAIR set.  Dropping hot
-    shingles only UNDERCOUNTS intersections for boilerplate-dominated
-    pairs (their jaccard is already inflated by template text); normal
-    pairs — every shingle under the cap — are computed exactly."""
+    The verify step routes the intersection join THROUGH the candidate
+    pair list instead of self-joining the shingle inverted index: pairs
+    ⋈ shingles(d1) ⋈ shingles(d2).  A shingle self-join fans out O(df²)
+    rows for a boilerplate shingle shared by df docs (and capping df
+    there either over- or under-estimates jaccard depending on which
+    side of the ratio the cap touches); the pair-routed join is exact
+    and its size is structurally bounded at
+    ``|candidates| × shingles_per_doc`` — and the candidate set is
+    already bounded by the LSH ``max_bucket`` guard (≤ bands·max_bucket
+    pairs per doc), independent of corpus-wide shingle frequencies."""
     rows_per_band = num_hashes // bands
     if jaccard_threshold is None:
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -142,39 +144,30 @@ def minhash_dedup_pairs(
         "minhash_sigs",
         cache_key=f"{index_key}:sh{shingle_n}:mh{num_hashes}" if index_key else None,
     )
-    # the candidate pair set feeds the doc filter AND the final semi-join
+    # the candidate pair set feeds both verify joins and the doc filter
     # — materialize so the LSH band pipeline runs once, not per consumer
     cand = materialize(
         lsh_candidate_pairs(sigs, bands, rows_per_band), "minhash_cand"
     )
-    # inverted-index intersection counts, restricted to candidate docs
+    # restrict the shingle index to docs that appear in any candidate
+    # pair; sizes are exact (uncapped) per-doc distinct-shingle counts
     cand_docs = cand.select(F.col("d1").alias("doc")).union(
         cand.select("d2")
     ).distinct()
-    # hot-shingle cap: df computed over candidate docs only, so the cap
-    # adapts to the verify working set, not the whole corpus
     sh_cand = materialize(
         sh.join(F.broadcast(cand_docs), "doc"), "verify_shingles"
     )
-    rare = (
-        sh_cand.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= verify_max_df)
-        .select("shingle")
-    )
-    # the capped index has 3 consumers (sizes + both self-join sides):
-    # materialize once, re-scan parquet instead of re-joining
-    sh_c = materialize(sh_cand.join(rare, "shingle"), "verify_shingles_capped")
-    # sizes over the SAME capped shingle space, so jaccard is the exact
-    # Jaccard of the non-boilerplate shingle sets (1.0 for exact dups
-    # even when they contain boilerplate; unchanged when nothing is hot)
-    sizes = sh_c.groupBy("doc").agg(F.count("*").alias("sz"))
+    sizes = sh_cand.groupBy("doc").agg(F.count("*").alias("sz"))
+    # exact intersection, routed through the pair list:
+    #   (d1, d2) ⋈ sh(d1) → (d1, d2, shingle) ⋈ sh(d2) → count
     inter = (
-        sh_c.alias("a")
-        .join(sh_c.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        cand.join(sh_cand.withColumnRenamed("doc", "d1"), "d1")
+        .join(
+            sh_cand.select(F.col("doc").alias("d2"), "shingle"),
+            ["d2", "shingle"],
+        )
+        .groupBy("d1", "d2")
         .agg(F.count("*").alias("inter"))
-        .join(cand, ["d1", "d2"])  # keep only LSH candidates
     )
     out = (
         inter.join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")

@@ -68,11 +68,17 @@ def test_minhash_lsh_finds_planted_dups(spark, docs_with_dups):
     assert pairs <= truth
 
 
-def test_minhash_verify_caps_hot_shingles(spark):
-    """A boilerplate shingle shared by far more docs than ``verify_max_df``
-    must not fan out quadratically inside the exact-Jaccard verify join —
-    and normal (non-boilerplate) pairs must come out unchanged."""
-    from dataengineeringworkshop_spark.llmops.minhash import minhash_dedup_pairs
+def test_minhash_verify_exact_with_hot_shingles(spark):
+    """Boilerplate (hot) shingles must not fan out quadratically inside
+    the verify join, and must not distort jaccard either way: the pair-
+    routed verify is EXACT, so an exact dup reports 1.0 and boilerplate-
+    only overlaps stay below threshold."""
+    from dataengineeringworkshop_spark.llmops.minhash import (
+        lsh_candidate_pairs,
+        minhash_dedup_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
 
     # 40 docs sharing an identical boilerplate tail (hot shingles, df=40+)
     # but pairwise-unique heads; plus one planted exact-dup pair whose
@@ -87,23 +93,27 @@ def test_minhash_verify_caps_hot_shingles(spark):
     docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
 
     got = minhash_dedup_pairs(
-        docs, "doc_id", "text",
-        num_hashes=64, bands=16, jaccard_threshold=0.5, verify_max_df=5,
+        docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
     )
     pairs = {(r.d1, r.d2): r.jaccard for r in got.collect()}
-    # the planted dup survives with jaccard 1.0 (its rare shingles match
-    # exactly; hot boilerplate shingles are excluded from BOTH sides)
+    # exact dup → exact jaccard 1.0 despite hot shingles in its text
     assert pairs.get((1000, 1001)) == pytest.approx(1.0)
-    # boilerplate-only overlaps are NOT promoted to duplicates: every
-    # other pair shares only hot shingles, which the cap drops
+    # boilerplate-only overlap: exact jaccard of any head pair is
+    # 6 shared tail shingles / (12+12-6) = 1/3 < 0.5 → never promoted
     assert set(pairs) == {(1000, 1001)}, set(pairs)
-    # and the verify join input is bounded: with the cap, the capped index
-    # holds only rare shingles — ≤ verify_max_df rows per shingle
-    from dataengineeringworkshop_spark.llmops.minhash import word_shingles
-
+    # the fixture really does contain hot shingles…
     sh = word_shingles(docs, "doc_id", "text")
     hot = sh.groupBy("shingle").count().filter(F.col("count") > 5).count()
-    assert hot > 0  # the fixture really does contain hot shingles
+    assert hot > 0
+    # …and the verify join input is structurally bounded by the pair
+    # list: |cand ⋈ sh(d1)| ≤ |cand| × max shingles per doc, regardless
+    # of shingle document frequency.
+    sigs = minhash_signatures(docs, "doc_id", "text", 64)
+    cand = lsh_candidate_pairs(sigs, 16, 4)
+    n_cand = cand.count()
+    max_doc_sh = sh.groupBy("doc").count().agg(F.max("count")).collect()[0][0]
+    fanout = cand.join(sh.withColumnRenamed("doc", "d1"), "d1").count()
+    assert fanout <= n_cand * max_doc_sh
 
 
 def test_simhash_exact_dups_distance_zero(spark, docs_with_dups):
