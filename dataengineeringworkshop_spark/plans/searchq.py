@@ -44,6 +44,11 @@ _BM25_TERMS = "('spark', 'join', 'window', 'hash')"
 _K1 = "CAST(1.2 AS DOUBLE)"
 _B = "CAST(0.75 AS DOUBLE)"
 
+#: above this many embedding rows, sd_semantic_dedup swaps its 8-seed
+#: oracle-exact quantizer for the trained √N-cell quantizer
+#: (llmops.semdedup) — fixed block counts are quadratic at scale.
+SD_SCALE_THRESHOLD = 100_000
+
 
 @query(
     "cp_bigram_lm_score",
@@ -294,11 +299,15 @@ def sd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     space, then mark within-cell cosine near-duplicates (τ=0.3), keeping
     the lowest vec_id of each near-dup pair as the survivor.
 
-    The coarse quantizer here is 8 deterministic seed vectors
-    (vec_id < 8) so the DuckDB oracle reproduces the assignment exactly;
-    at scale you swap in the trained MLlib k-means from ``llmops.ivf``
-    — the plan shape (broadcast centroids → map-side argmin → bounded
-    within-cell pair join) is identical.
+    Two regimes, same plan shape (broadcast/inline centroids → map-side
+    argmin → bounded within-cell pair join):
+
+    - ≤ ``SD_SCALE_THRESHOLD`` rows: the coarse quantizer is 8
+      deterministic seed vectors (vec_id < 8) so the DuckDB oracle
+      reproduces the assignment exactly — the driver-checked path.
+    - above it: trained MLlib k-means (``llmops.semdedup``) with
+      ``nlist ≈ √N``, so the within-cell pair space is Σ cell² ≈ N^1.5
+      instead of O(N²/8) — the 100 TB path.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -307,6 +316,17 @@ def sd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineeringworkshop_spark.plans.simops import _DOT, _norms
 
     e = _norms(spark, sf_dir)
+    n = e.count()
+    if n > SD_SCALE_THRESHOLD:
+        from dataengineeringworkshop_spark.llmops.semdedup import (
+            scale_nlist,
+            semantic_dedup,
+        )
+
+        return semantic_dedup(
+            e, "vec_id", "embedding", tau=0.3, nlist=scale_nlist(n),
+            index_key=f"embeddings:{sf_dir}",
+        )
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"),
         F.col("embedding").alias("c_emb"),

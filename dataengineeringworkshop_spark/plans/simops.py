@@ -35,6 +35,11 @@ def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.withColumn("nrm", F.expr(_DOT.format(a="embedding", b="embedding")))
 
 
+#: above this many embedding rows, sim_cosine_neardup reblocks from the
+#: fixed-cardinality ``label`` onto trained √N IVF cells (llmops.semdedup).
+NEARDUP_SCALE_THRESHOLD = 100_000
+
+
 @query(
     "sim_cosine_topk",
     oracle="""
@@ -174,10 +179,33 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.3) within a
-    blocking key — here ``label``; in a 100 TB pipeline the block is an
-    IVF cell id (llmops.ivf), which bounds the pair space to
-    sum(block²) instead of N².  Exact within blocks → oracle-matched."""
+    blocking key.
+
+    At driver scale (≤ ``NEARDUP_SCALE_THRESHOLD`` rows) the block is
+    ``label`` — exact within blocks, oracle-matched.  Above it, blocking
+    on a fixed-cardinality key is O(N²/blocks), so the query reblocks on
+    trained IVF cells with ``nlist ≈ √N`` (``llmops.semdedup``): the
+    pair space becomes Σ cell² ≈ N^1.5.  The scale path reports each
+    pair's id1-side label (pairs may cross labels within a cell)."""
     e = _norms(spark, sf_dir)
+    n = e.count()
+    if n > NEARDUP_SCALE_THRESHOLD:
+        from dataengineeringworkshop_spark.llmops.semdedup import (
+            assign_trained_cells,
+            cell_neardup_pairs,
+            scale_nlist,
+        )
+
+        assigned = assign_trained_cells(
+            e, "vec_id", "embedding", nlist=scale_nlist(n),
+            index_key=f"embeddings:{sf_dir}", keep_cols=("label",),
+        )
+        labels = assigned.select(F.col("vec_id").alias("id1"), "label")
+        return (
+            cell_neardup_pairs(assigned, tau=0.3)
+            .join(labels, "id1")
+            .select("id1", "id2", "label", "cosine")
+        )
     a = e.select(
         F.col("vec_id").alias("id1"), F.col("label"),
         F.col("embedding").alias("v1"), F.col("nrm").alias("n1"),

@@ -1,0 +1,92 @@
+"""Scale-path guards for the semantic near-dup family: above their
+thresholds, sd_semantic_dedup / sim_cosine_neardup must block on TRAINED
+√N IVF cells (llmops.semdedup), and the within-cell pair space must be
+bounded by the quantizer — the round-2 verdict's two scale-killers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_scale_nlist_grows_with_corpus():
+    from dataengineeringworkshop_spark.llmops.semdedup import scale_nlist
+
+    assert scale_nlist(0) == 8
+    assert scale_nlist(100) == 10
+    assert scale_nlist(1_000_000) == 1000
+    # 100 TB of 1 KB docs ≈ 1e11 rows → ~316k cells, cell size ~316k:
+    # pair work Σcell² ≈ N^1.5, not N²/const
+    assert scale_nlist(10**11) == 316_227
+
+
+def test_semantic_dedup_trained_path_flags_planted_dups(spark):
+    from dataengineeringworkshop_spark.llmops.semdedup import (
+        assign_trained_cells,
+        semantic_dedup,
+    )
+
+    # 4 well-separated clusters of 30 vectors + one planted exact dup pair
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0], 3: [-10.0, 0.0, 0.0]}
+    rows = []
+    for i in range(120):
+        c = i % 4
+        jit = 0.01 * (i % 7)
+        rows.append((i, [v + jit if j == 1 else v for j, v in enumerate(base[c])]))
+    rows.append((1000, [10.0, 0.05, 0.0]))
+    rows.append((1001, [10.0, 0.05, 0.0]))  # exact dup of 1000
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    out = semantic_dedup(df, "vec_id", "embedding", tau=0.999, nlist=4)
+    got = {r.vec_id: (r.cell, r.is_dup) for r in out.collect()}
+    assert len(got) == 122
+    # the higher-id member of the planted exact-dup pair is marked
+    assert got[1001][1] == 1
+    assert got[1000][0] == got[1001][0]  # same trained cell
+    assert set(v for _, v in got.values()) <= {0, 1}
+
+    # bounded pair space: Σ cell² must be far below the all-pairs N²
+    assigned = assign_trained_cells(df, "vec_id", "embedding", nlist=4)
+    sizes = [r.n for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()]
+    n = len(rows)
+    assert sum(s * s for s in sizes) < n * n / 2
+    assert len(sizes) > 1  # the quantizer actually split the space
+
+
+def test_sd_semantic_dedup_routes_to_trained_quantizer(spark, monkeypatch):
+    import dataengineeringworkshop_spark.plans.searchq as searchq
+
+    monkeypatch.setattr(searchq, "SD_SCALE_THRESHOLD", 0)
+    out = searchq.sd_semantic_dedup(spark, SF_SMOKE)
+    assert out.columns == ["vec_id", "cell", "is_dup"]
+    rows = out.collect()
+    n = rows and len(rows)
+    assert n == 500  # one row per embedding, scale path included
+    # √500 → 22 trained cells requested; assert the blocking key really
+    # has more than the 8 fixed seeds (the round-2 scale-killer)
+    n_cells = len({r.cell for r in rows})
+    assert n_cells > 8
+
+
+def test_sim_cosine_neardup_routes_to_cell_blocking(spark, monkeypatch):
+    import dataengineeringworkshop_spark.plans.simops as simops
+
+    monkeypatch.setattr(simops, "NEARDUP_SCALE_THRESHOLD", 0)
+    out = simops.sim_cosine_neardup(spark, SF_SMOKE)
+    assert out.columns == ["id1", "id2", "label", "cosine"]
+    rows = out.collect()
+    for r in rows:
+        assert r.id1 < r.id2
+        assert r.cosine >= 0.3 - 1e-9
+
+
+def test_thresholds_keep_driver_scale_on_oracle_path():
+    """The driver runs at sf0.01 (500 embeddings) — both thresholds must
+    keep that regime on the oracle-exact fixed-block path."""
+    import dataengineeringworkshop_spark.plans.searchq as searchq
+    import dataengineeringworkshop_spark.plans.simops as simops
+
+    assert searchq.SD_SCALE_THRESHOLD >= 10_000
+    assert simops.NEARDUP_SCALE_THRESHOLD >= 10_000
