@@ -44,7 +44,7 @@ import re
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from dataengineeringworkshop_spark.operators.expectations import (
@@ -190,10 +190,10 @@ class Pipeline:
                     continue
                 if spec.kind == "table":
                     df = self._build_batch(spark, spec)
-                    kept, metrics = self._expectations_batch(df, spec)
+                    kept, finish = self._prepare_node_write(df, spec)
                     vt = VersionedTable(spark, self._table_dir(spec.name))
                     vt.write(kept, mode="overwrite")
-                    n = vt.read().count()
+                    n, metrics = finish()
                     results[spec.name] = {"rows": n, "expectations": metrics}
                     self._emit(ev, "flow_progress", spec.name, {
                         "num_output_rows": n,
@@ -254,6 +254,70 @@ class Pipeline:
         if _CLOUD_FILES_RE.search(spec.sql or ""):
             raise ValueError("cloud_files sources must be incremental tables")
         return spark.sql(self._substitute(spark, spec.sql, streaming=False))
+
+    def _prepare_node_write(self, df: DataFrame, spec: DatasetSpec):
+        """(kept_df, finish) — expectation metrics and the output row
+        count ride the caller's single materializing action via
+        ``df.observe()`` (no per-node ``.count()`` re-executing the
+        plan).  Call ``finish()`` AFTER the write action; it returns
+        ``(rows_written, metrics)``.
+
+        ``fail``-mode expectations are the exception: their violation
+        check must abort BEFORE any rows are committed, so that mode
+        keeps the eager pre-scan (one extra aggregate, only when a
+        fail-mode expectation is declared)."""
+        expectations = spec.expectations
+        if any(e.mode == "fail" for e in expectations):
+            kept, metrics = self._expectations_batch(df, spec)  # may raise
+            obs = Observation()
+            kept = kept.observe(obs, F.count(F.lit(1)).alias("__rows"))
+
+            def finish_fail_path():
+                return obs.get["__rows"], metrics
+
+            return kept, finish_fail_path
+
+        # observation sits BEFORE the drop filters, so metrics see every
+        # input row while only kept rows flow to the write
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for i, e in enumerate(expectations):
+            pred = F.expr(e.predicate)
+            aggs.append(
+                F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"__p_{i}")
+            )
+        drop_preds = [e.predicate for e in expectations if e.mode == "drop"]
+        if drop_preds:
+            keep_sql = " AND ".join(f"({p})" for p in drop_preds)
+            aggs.append(
+                F.sum(F.when(F.expr(keep_sql), 1).otherwise(0))
+                .cast("long")
+                .alias("__kept")
+            )
+        obs = Observation()
+        kept = df.observe(obs, *aggs)
+        for p in drop_preds:
+            kept = kept.filter(F.expr(p))
+
+        def finish():
+            vals = obs.get
+            total = vals["__total"] or 0
+            metrics = []
+            for i, e in enumerate(expectations):
+                passed = vals[f"__p_{i}"] or 0
+                failed = total - passed  # null predicate counts as failed
+                metrics.append(
+                    {
+                        "name": e.name,
+                        "mode": e.mode,
+                        "passed_records": passed,
+                        "failed_records": failed,
+                        "dropped_records": failed if e.mode == "drop" else 0,
+                    }
+                )
+            n = (vals["__kept"] or 0) if drop_preds else total
+            return n, metrics
+
+        return kept, finish
 
     def _expectations_batch(self, df: DataFrame, spec: DatasetSpec):
         metrics = []
@@ -316,12 +380,16 @@ class Pipeline:
         target = self._incr_dir(spec.name)
 
         def handle(batch_df: DataFrame, batch_id: int):
-            kept, metrics = self._expectations_batch_static(batch_df, expectations, spec.name)
+            # metrics + row count observe the ONE write action per batch
+            # (previously an extra .count() re-executed the batch plan)
+            batch_spec = DatasetSpec(
+                name=spec.name, kind="table", expectations=expectations
+            )
+            kept, finish = self._prepare_node_write(batch_df, batch_spec)
+            kept.write.mode("append").parquet(target)
+            cnt, metrics = finish()
             state["metrics"] = _merge_metrics(state["metrics"], metrics)
-            cnt = kept.count()
             state["rows"] += cnt
-            if cnt:
-                kept.write.mode("append").parquet(target)
 
         q = (
             sdf.writeStream.foreachBatch(handle)
@@ -336,10 +404,6 @@ class Pipeline:
             empty = spark.createDataFrame([], sdf.schema)
             empty.write.mode("append").parquet(target)
         return state["rows"], state["metrics"]
-
-    def _expectations_batch_static(self, df: DataFrame, expectations, dataset_name):
-        spec = DatasetSpec(name=dataset_name, kind="table", expectations=expectations)
-        return self._expectations_batch(df, spec)
 
     @staticmethod
     def _emit(fh, event_type: str, flow_name: str, details: dict) -> None:
