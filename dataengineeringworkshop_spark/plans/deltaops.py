@@ -152,6 +152,31 @@ def vt_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vt_stats_skipping",
+    oracle="""
+        SELECT o.*, TRUE AS files_pruned
+        FROM orders o
+        WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+    """,
+    tags=("D7",),
+)
+def vt_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZORDER point-lookup data skipping (`2 Medaillon
+    architecture.py:436-465`): OPTIMIZE records per-file min/max in the
+    commit log, and a point read prunes non-overlapping files.  The
+    ``files_pruned`` column is computed from the actual scan-file lists,
+    so the oracle's TRUE literal FAILS the hash check if skipping ever
+    stops working."""
+    vt, _ = _orders_table(spark, sf_dir)
+    vt.optimize(zorder_by=["o_orderkey"], target_files=4)
+    mn = vt.read().agg(F.min("o_orderkey")).collect()[0][0]
+    pruned = len(vt.scan_files(where=f"o_orderkey = {mn}")) < len(vt.scan_files())
+    return vt.read(where=f"o_orderkey = {mn}").withColumn(
+        "files_pruned", F.lit(bool(pruned))
+    )
+
+
+@query(
     "vt_delete_where",
     # NULL-correct DELETE semantics: rows where the condition is not TRUE survive
     oracle="SELECT * FROM orders WHERE o_orderstatus IS NULL OR NOT (o_orderstatus = 'P')",

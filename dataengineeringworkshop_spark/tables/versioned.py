@@ -54,6 +54,10 @@ class Commit:
     data_dirs: list[str]  # relative to table root; complete active set
     schema_ddl: str  # struct DDL of the table at this version
     metrics: dict
+    # per-file column stats for data skipping (Delta's stats field):
+    # {rel_file: {col: [min, max]}} — recorded by OPTIMIZE for the
+    # zorder columns; empty for other commits (older logs load fine).
+    file_stats: dict = None
 
 
 class VersionedTable:
@@ -96,6 +100,7 @@ class VersionedTable:
         schema_ddl: str,
         params: dict | None = None,
         metrics: dict | None = None,
+        file_stats: dict | None = None,
     ) -> Commit:
         prev = self._latest()
         version = 0 if prev is None else prev.version + 1
@@ -107,6 +112,7 @@ class VersionedTable:
             data_dirs=data_dirs,
             schema_ddl=schema_ddl,
             metrics=metrics or {},
+            file_stats=file_stats or {},
         )
         os.makedirs(f"{self.path}/{_LOG_DIR}", exist_ok=True)
         tmp = self._log_path(version) + f".tmp-{uuid.uuid4().hex}"
@@ -163,21 +169,53 @@ class VersionedTable:
 
     # ----------------------------------------------------------------- read
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read; ``version`` = time travel (`VERSION AS OF n`,
-        N1:210-212).  Missing columns (pre-ADD COLUMN files) surface as
-        nulls — Delta's schema-evolution read semantics."""
+    def _resolve_commit(self, version: int | None) -> Commit:
         commits = self._commits()
         if not commits:
             raise FileNotFoundError(f"no such versioned table: {self.path}")
         if version is None:
-            c = commits[-1]
+            return commits[-1]
+        matching = [x for x in commits if x.version == version]
+        if not matching:
+            raise ValueError(f"version {version} not in table history")
+        return matching[0]
+
+    def scan_files(self, version: int | None = None, where: str | None = None) -> list[str]:
+        """Absolute parquet paths a read of this snapshot scans.  With
+        ``where`` and recorded file stats (post-OPTIMIZE), files whose
+        min/max range cannot satisfy the predicate are SKIPPED —
+        Delta-style data skipping from the commit log.  Directories
+        without stats, and predicates the conjunctive-comparison parser
+        doesn't understand, are kept conservatively."""
+        c = self._resolve_commit(version)
+        stats = c.file_stats or {}
+        bounds = _parse_conjunctive_bounds(where) if where else []
+        out: list[str] = []
+        for d in c.data_dirs:
+            for fn in sorted(os.listdir(f"{self.path}/{d}")):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = f"{d}/{fn}"
+                if bounds and rel in stats and _stats_exclude(stats[rel], bounds):
+                    continue
+                out.append(f"{self.path}/{rel}")
+        return out
+
+    def read(self, version: int | None = None, where: str | None = None) -> DataFrame:
+        """Snapshot read; ``version`` = time travel (`VERSION AS OF n`,
+        N1:210-212).  Missing columns (pre-ADD COLUMN files) surface as
+        nulls — Delta's schema-evolution read semantics.
+
+        ``where`` applies the predicate AND, when the commit carries
+        file stats (OPTIMIZE records min/max for its zorder columns),
+        prunes non-overlapping files before the scan — reproducing the
+        reference's ZORDER point-lookup exercise (`2 Medaillon
+        architecture.py:436-465`) on the parquet-backed format."""
+        c = self._resolve_commit(version)
+        if where:
+            paths = self.scan_files(version, where)
         else:
-            matching = [x for x in commits if x.version == version]
-            if not matching:
-                raise ValueError(f"version {version} not in table history")
-            c = matching[0]
-        paths = [f"{self.path}/{d}" for d in c.data_dirs]
+            paths = [f"{self.path}/{d}" for d in c.data_dirs]
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         # evolve to the committed schema (ADD COLUMN fills nulls)
         from pyspark.sql.types import StructType
@@ -186,7 +224,8 @@ class VersionedTable:
         for field in committed.fields:
             if field.name not in df.columns:
                 df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
-        return df.select(*[f.name for f in committed.fields])
+        out = df.select(*[f.name for f in committed.fields])
+        return out.filter(F.expr(where)) if where else out
 
     # ------------------------------------------------------------------ DML
 
@@ -304,8 +343,15 @@ class VersionedTable:
         prev = self._latest()
         rel = self._new_data_dir(prev.version + 1)
         out.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        # per-file min/max for the sort columns, read from the parquet
+        # footers (no data scan) — the commit-log stats that make
+        # read(where=...) skip files, like Delta's per-file stats field
+        stats = (
+            _footer_stats(f"{self.path}/{rel}", rel, zorder_by) if zorder_by else {}
+        )
         self._commit(
-            "OPTIMIZE", [rel], prev.schema_ddl, {"zorder_by": zorder_by or []}
+            "OPTIMIZE", [rel], prev.schema_ddl, {"zorder_by": zorder_by or []},
+            file_stats=stats,
         )
 
     def add_column(self, name: str, dtype: str) -> None:
@@ -386,6 +432,93 @@ class VersionedTable:
             rows,
             "version long, timestamp_ms long, operation string, operation_params string, n_data_dirs int",
         )
+
+
+def _footer_stats(abs_dir: str, rel_dir: str, columns: list[str]) -> dict:
+    """{rel_file: {col: [min, max]}} from parquet footer row-group stats —
+    metadata-only, no data scan.  Columns whose stats are absent (or of
+    non-JSON-serializable types) are omitted for that file, which simply
+    disables skipping there."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for fn in sorted(os.listdir(abs_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(f"{abs_dir}/{fn}").metadata
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        col_stats: dict = {}
+        for col in columns:
+            if col not in name_to_idx:
+                continue
+            idx = name_to_idx[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not mins:
+                continue
+            lo, hi = min(mins), max(maxs)
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str)):
+                continue  # timestamps/decimals: skip rather than mis-encode
+            col_stats[col] = [lo, hi]
+        if col_stats:
+            out[f"{rel_dir}/{fn}"] = col_stats
+    return out
+
+
+_CMP_RE = re.compile(
+    r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _parse_conjunctive_bounds(where: str) -> list[tuple[str, str, object]]:
+    """``a = 5 AND b >= 'x'`` → [(col, op, literal)…].  Any term the
+    parser doesn't recognize disables skipping entirely (returns []) —
+    pruning must never be wrong, only conservative."""
+    bounds = []
+    for term in re.split(r"(?i)\s+AND\s+", where.strip()):
+        m = _CMP_RE.match(term)
+        if not m:
+            return []
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        val: object = lit[1:-1] if lit.startswith("'") else (
+            float(lit) if "." in lit else int(lit)
+        )
+        bounds.append((col, op, val))
+    return bounds
+
+
+def _stats_exclude(file_stats: dict, bounds: list[tuple[str, str, object]]) -> bool:
+    """True iff some bound PROVES the file holds no matching row."""
+    for col, op, val in bounds:
+        if col not in file_stats:
+            continue
+        lo, hi = file_stats[col]
+        if not isinstance(val, type(lo)) and not (
+            isinstance(val, (int, float)) and isinstance(lo, (int, float))
+        ):
+            continue  # incomparable types: keep the file
+        if op == "=" and (val < lo or val > hi):
+            return True
+        if op in ("<", "<=") and lo > val:
+            return True
+        if op == "<" and lo == val:
+            return True
+        if op in (">", ">=") and hi < val:
+            return True
+        if op == ">" and hi == val:
+            return True
+    return False
 
 
 def _ddl_of(simple_string: str) -> str:

@@ -109,3 +109,51 @@ def test_changes_classifies_insert_update_delete(spark, vt):
     assert by_type.get("update_preimage") == n_upd
     assert by_type.get("update_postimage") == n_upd
     assert "insert" not in by_type
+
+
+def test_optimize_records_file_stats_and_read_skips(spark, vt):
+    """The reference's ZORDER point-lookup exercise (`2 Medaillon
+    architecture.py:436-465`): after OPTIMIZE ZORDER BY, a point
+    predicate must scan FEWER files, with identical results."""
+    t, o = vt
+    t.optimize(zorder_by=["o_orderkey"], target_files=4)
+
+    c = t._latest()
+    assert c.file_stats, "OPTIMIZE must record per-file min/max stats"
+    for st in c.file_stats.values():
+        lo, hi = st["o_orderkey"]
+        assert lo <= hi
+
+    key = o.agg(F.max("o_orderkey")).collect()[0][0]  # lives in ONE range file
+    all_files = t.scan_files()
+    point_files = t.scan_files(where=f"o_orderkey = {key}")
+    assert len(all_files) >= 3  # compaction really produced several files
+    assert len(point_files) < len(all_files)
+    assert len(point_files) == 1  # range-partitioned: key in exactly one file
+
+    got = t.read(where=f"o_orderkey = {key}").collect()
+    want = t.read().filter(F.col("o_orderkey") == key).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_read_where_is_conservative_without_stats(spark, vt):
+    """Before any OPTIMIZE there are no stats: read(where=) must still
+    answer correctly (filter applies, nothing pruned)."""
+    t, o = vt
+    n = t.read(where="o_orderstatus = 'O'").count()
+    assert n == o.filter(F.col("o_orderstatus") == "O").count()
+    assert len(t.scan_files(where="o_orderstatus = 'O'")) == len(t.scan_files())
+
+
+def test_stats_skip_range_and_unparsable_predicates(spark, vt):
+    t, o = vt
+    t.optimize(zorder_by=["o_orderkey"], target_files=4)
+    lo_key = o.agg(F.min("o_orderkey")).collect()[0][0]
+    # range predicate: files entirely above the cutoff are skipped
+    n_range = len(t.scan_files(where=f"o_orderkey <= {lo_key}"))
+    assert n_range == 1
+    # unparsable predicate: conservatively scans everything, still correct
+    weird = t.scan_files(where="o_orderkey % 2 = 0")
+    assert len(weird) == len(t.scan_files())
+    n = t.read(where="o_orderkey % 2 = 0").count()
+    assert n == o.filter(F.col("o_orderkey") % 2 == 0).count()
