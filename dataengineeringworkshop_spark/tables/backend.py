@@ -1,0 +1,156 @@
+"""Versioned-table backend seam.
+
+The engine's table DML surface — write / snapshot read / time travel /
+MERGE / UPDATE / DELETE / OPTIMIZE / ADD COLUMN / history — is the
+:class:`TableBackend` protocol.  Two implementations:
+
+- :class:`~dataengineeringworkshop_spark.tables.versioned.VersionedTable`
+  — parquet + JSON commit log, always available; what this container
+  runs (the ``delta-spark`` wheel is not installed here — documented
+  deviation, see README).
+- :class:`DeltaBackend` (this module) — a thin adapter over
+  ``delta.tables.DeltaTable``, selected automatically by
+  :func:`open_table` when ``delta-spark`` is importable.  On a real
+  cluster (reference: `1 Data ingestion.py:127-130`,
+  ``CREATE TABLE … USING DELTA``) this backend gives ACID commits,
+  concurrent writers, and file-stats skipping from Delta itself.
+
+Callers that depend only on :func:`open_table` + the protocol (the
+pipeline runner, the ``vt_*`` plan queries via ``VersionedTable``
+directly) can switch backends without code changes.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Protocol, runtime_checkable
+
+from pyspark.sql import DataFrame, SparkSession
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+
+@runtime_checkable
+class TableBackend(Protocol):
+    """The DML surface every table backend provides (SURVEY §2.10)."""
+
+    def exists(self) -> bool: ...
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> "TableBackend": ...
+
+    def read(self, version: int | None = None) -> DataFrame: ...
+
+    def update(self, set_exprs: dict[str, str], condition: str | None = None) -> None: ...
+
+    def delete(self, condition: str) -> None: ...
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        update_condition: str | None = None,
+        insert: bool = True,
+    ) -> None: ...
+
+    def optimize(self, zorder_by: list[str] | None = None, target_files: int = 4) -> None: ...
+
+    def add_column(self, name: str, dtype: str) -> None: ...
+
+    def history(self) -> DataFrame: ...
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class DeltaBackend:
+    """``TableBackend`` over delta-spark (unused in this container —
+    delta-spark is not installed; the adapter exists so a cluster deploy
+    swaps backends at :func:`open_table` without touching callers)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    def _dt(self):
+        from delta.tables import DeltaTable
+
+        return DeltaTable.forPath(self.spark, self.path)
+
+    def exists(self) -> bool:
+        from delta.tables import DeltaTable
+
+        return DeltaTable.isDeltaTable(self.spark, self.path)
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> "DeltaBackend":
+        (
+            df.write.format("delta")
+            .mode(mode)
+            .option("mergeSchema", "true")
+            .save(self.path)
+        )
+        return self
+
+    def read(self, version: int | None = None) -> DataFrame:
+        r = self.spark.read.format("delta")
+        if version is not None:
+            r = r.option("versionAsOf", version)
+        return r.load(self.path)
+
+    def update(self, set_exprs: dict[str, str], condition: str | None = None) -> None:
+        self._dt().update(condition=condition, set=set_exprs)
+
+    def delete(self, condition: str) -> None:
+        self._dt().delete(condition)
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        update_condition: str | None = None,
+        insert: bool = True,
+    ) -> None:
+        m = (
+            self._dt()
+            .alias("t")
+            .merge(source.alias("s"), on)
+            .whenMatchedUpdateAll(condition=update_condition)
+        )
+        if insert:
+            m = m.whenNotMatchedInsertAll()
+        m.execute()
+
+    def optimize(self, zorder_by: list[str] | None = None, target_files: int = 4) -> None:
+        opt = self._dt().optimize()
+        if zorder_by:
+            opt.executeZOrderBy(*zorder_by)
+        else:
+            opt.executeCompaction()
+
+    def add_column(self, name: str, dtype: str) -> None:
+        self.spark.sql(
+            f"ALTER TABLE delta.`{self.path}` ADD COLUMNS ({name} {dtype})"
+        )
+
+    def history(self) -> DataFrame:
+        return self._dt().history()
+
+
+def open_table(spark: SparkSession, path: str, backend: str | None = None):
+    """Open (or create-on-first-write) a versioned table at ``path``.
+
+    ``backend``: ``"delta"`` / ``"versioned"`` force a choice; ``None``
+    picks Delta when delta-spark is importable, else the parquet +
+    commit-log :class:`VersionedTable`."""
+    if backend not in (None, "delta", "versioned"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend == "delta" or (backend is None and delta_available()):
+        return DeltaBackend(spark, path)
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    return VersionedTable(spark, path)

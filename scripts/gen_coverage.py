@@ -116,6 +116,27 @@ NON_QUERY_PROOF = {
 }
 
 
+def _latest_correctness() -> tuple[str | None, dict]:
+    """(filename, {query: green?}) from the newest CORRECTNESS_r*.json.
+    green = no error and every *_match field the driver recorded is true."""
+    import json
+    import re
+
+    files = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if not files:
+        return None, {}
+    with open(files[-1]) as f:
+        data = json.load(f)
+    green = {}
+    for name, rec in data.items():
+        checks = [v for k, v in rec.items() if k.endswith("_match")]
+        green[name] = rec.get("err") is None and all(checks)
+    return files[-1].name, green
+
+
 def main() -> None:
     from dataengineeringworkshop_spark.plans.registry import load_all
 
@@ -125,31 +146,48 @@ def main() -> None:
         for tag in spec.tags:
             by_tag[tag].append(name)
 
+    corr_file, driver_green = _latest_correctness()
+    prefix = set(list(registry)[:50])  # the driver's evidence window
+
     lines = [
         "# COVERAGE — SURVEY.md §2 inventory → `__spark_entry__.queries()`",
         "",
         "Generated by `scripts/gen_coverage.py` from the tags on each",
-        "registered query.  ✅oracle = DuckDB-hash-checked at sf0.01;",
-        "✅rows = rows-only driver check + pytest ground-truth tests.",
+        "registered query, cross-referenced against the newest driver",
+        f"correctness record ({corr_file or 'none yet'}).  States:",
+        "",
+        "- **✅driver** — a query for this row is green in the driver's",
+        "  correctness file (rows+schema+value-hash vs DuckDB at sf0.01).",
+        "- **🟡driver-next** — in the driver's 50-row evidence prefix now,",
+        "  green under the repo's own DuckDB oracle harness, but not yet in",
+        "  a recorded driver run (will be checked next round).",
+        "- **🟡local-only** — oracle-paired and green under",
+        "  `tests/test_queries_vs_duckdb.py`, but outside the driver prefix.",
+        "- **🟡tests-only** — no SQL oracle; proven by dedicated pytest",
+        "  ground-truth suites only.",
         "",
         "| § | capability | status | queries / proof |",
         "| --- | --- | --- | --- |",
     ]
-    covered = missing = 0
+    covered = missing = n_driver = 0
     for tag, label in INVENTORY:
         qs = by_tag.get(tag, [])
         if qs:
-            status = (
-                "✅oracle"
-                if any(registry[q].oracle for q in qs)
-                else "✅rows"
-            )
+            if any(driver_green.get(q) for q in qs):
+                status = "✅driver"
+                n_driver += 1
+            elif any(q in prefix for q in qs):
+                status = "🟡driver-next"
+            elif any(registry[q].oracle for q in qs):
+                status = "🟡local-only"
+            else:
+                status = "🟡tests-only"
             proof = ", ".join(f"`{q}`" for q in qs)
             if tag in NON_QUERY_PROOF:
                 proof += f"; {NON_QUERY_PROOF[tag]}"
             covered += 1
         elif tag in NON_QUERY_PROOF:
-            status = "✅tests"
+            status = "🟡tests-only"
             proof = NON_QUERY_PROOF[tag]
             covered += 1
         else:
@@ -163,7 +201,8 @@ def main() -> None:
     )
     lines += [
         "",
-        f"**{covered}/{covered + missing} inventory rows covered**"
+        f"**{covered}/{covered + missing} inventory rows covered** "
+        f"({n_driver} with recorded driver evidence)"
         + (f"; MISSING: {missing}" if missing else ""),
         "",
         f"Registry total: {len(registry)} queries, "
