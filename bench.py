@@ -36,8 +36,12 @@ def main() -> None:
     registry = load_all()
     bench_specs = {n: s for n, s in registry.items() if s.bench}
 
-    # warm-up: JIT/codegen + file listing
-    bench_specs["flagship_region_month_revenue"].fn(spark, sf_dir).count()
+    # warm-up: one full pass over the headline set — JVM JIT + codegen
+    # keep warming well past the first query, so timing without a full
+    # warm pass measures JIT, not the queries (seen as a uniform ~1.5×
+    # inflation on whichever queries run first alphabetically)
+    for spec in bench_specs.values():
+        spec.fn(spark, sf_dir).count()
 
     per_query: dict[str, float] = {}
     total = 0.0

@@ -15,9 +15,34 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import LongType
+
 from dataengineeringworkshop_spark.plans.registry import query
 from dataengineeringworkshop_spark.plans.tables import load_table
 from dataengineeringworkshop_spark.streaming.windows import windowed_agg
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File STREAM over the events table with ``ts`` normalized to
+    TIMESTAMP (watermarks reject NTZ; session tz is pinned UTC so the
+    instant semantics match the batch loader).
+
+    The driver parquet stores ``ts`` as INT64 TIMESTAMP(NANOS): Spark
+    ≥4.1 reads it natively as a µs-truncated ``timestamp_ntz``, older
+    Sparks (under ``nanosAsLong``) as a raw nanosecond long — handle
+    both, mirroring :func:`plans.tables.load_table`.
+    """
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        # file stream sources require a DIRECTORY base path; glob-filter
+        # down to the events table inside the sf dir
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @query(
@@ -36,17 +61,7 @@ def st_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows with a 1-hour watermark over a
     parquet file STREAM of events, run to completion with availableNow.
     Bounded-input result ≡ batch group-by → DuckDB-oracle-matched."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        # file stream sources require a DIRECTORY base path; glob-filter
-        # down to the events table inside the sf dir
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        # watermark requires TIMESTAMP (not NTZ); session tz is pinned UTC so
-        # the instant semantics match the batch loader
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _events_stream(spark, sf_dir)
     out = windowed_agg(
         stream,
         ts_col="ts",
@@ -98,13 +113,7 @@ def st_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     an event exactly gap seconds after the previous one merges in both
     formulations only when timestamps are microsecond-distinct — true of
     the testdata at every sf.)"""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _events_stream(spark, sf_dir)
     out = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
@@ -136,17 +145,7 @@ def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed restarts."""
     from dataengineeringworkshop_spark.streaming.stateful import running_user_totals
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        # file stream sources require a DIRECTORY base path; glob-filter
-        # down to the events table inside the sf dir
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        # watermark requires TIMESTAMP (not NTZ); session tz is pinned UTC so
-        # the instant semantics match the batch loader
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _events_stream(spark, sf_dir)
     out = running_user_totals(stream)
     name = f"st_state_{uuid.uuid4().hex[:8]}"
     q = (
@@ -196,15 +195,8 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: join state is (watermark + interval) × arrival-rate per side,
     keyed by user_id — bounded regardless of total stream length;
     RocksDB state store on a cluster."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
     def _stream():
-        return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
+        return _events_stream(spark, sf_dir)
 
     clicks = (
         _stream()

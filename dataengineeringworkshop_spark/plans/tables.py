@@ -5,17 +5,19 @@ into the scan, so callers should select/filter on the returned DataFrame
 rather than materializing it.
 
 ``events`` needs special handling: the driver-generated parquet stores
-``ts`` as INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects
-outright.  With ``spark.sql.legacy.parquet.nanosAsLong=true`` the column
-arrives as a raw nanosecond long; we truncate to microseconds with integer
-division (matching DuckDB's ns→µs truncation exactly) and expose a
-``timestamp_ntz`` — the same type the other testdata timestamps read as.
+``ts`` as INT64 TIMESTAMP(NANOS).  Spark ≥4.1 reads that natively as a
+µs-truncated ``timestamp_ntz`` (verified identical to DuckDB's ns→µs
+truncation); older Sparks reject it unless
+``spark.sql.legacy.parquet.nanosAsLong=true`` hands us a raw nanosecond
+long, which we truncate to µs ourselves.  ``load_table`` inspects the
+type it actually got so both paths expose the same ``timestamp_ntz``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from dataengineeringworkshop_spark.session import ensure_session_defaults
 
@@ -41,8 +43,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_defaults(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    if name == "events":
-        # raw nanos long -> µs (truncating, like DuckDB) -> naive timestamp
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # legacy nanosAsLong path (Spark <4.1): raw nanos long -> µs
+        # (truncating, like DuckDB) -> naive timestamp
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
