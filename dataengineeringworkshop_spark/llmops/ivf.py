@@ -157,13 +157,17 @@ def ann_topk_ivf(
         cache_key=index_key,
     )
     # index BUILD: map-only cell assignment carried with the vector, so a
-    # probe needs no join back to the corpus table
+    # probe needs no join back to the corpus table.  The vector's squared
+    # norm is part of the index artifact: computed once per vector at
+    # build time, not once per (query, vector) pair at probe time —
+    # probe-side pair work drops from 3 dot products to 1
     c_index = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("c_vec"),
         F.element_at(_nearest_cells(F.col(vec_col), centroid_rows, 1), 1)
         .getField("cell_id")
         .alias("cell_id"),
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("c_nrm"),
     )
     if index_key:
         from dataengineeringworkshop_spark.operators.materialize import materialize
@@ -179,6 +183,7 @@ def ann_topk_ivf(
     q_probe = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("q_vec"),
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("q_nrm"),
         F.explode(
             F.transform(
                 _nearest_cells(F.col(vec_col), centroid_rows, nprobe),
@@ -189,8 +194,6 @@ def ann_topk_ivf(
     scored = (
         c_index.join(F.broadcast(q_probe), "cell_id")
         .filter(F.col("qid") != F.col("vid"))
-        .withColumn("q_nrm", F.expr(_DOT.format(a="q_vec", b="q_vec")))
-        .withColumn("c_nrm", F.expr(_DOT.format(a="c_vec", b="c_vec")))
         .withColumn(
             # zero-norm guard: 0/0 = NaN would outrank every real cosine
             "cosine",

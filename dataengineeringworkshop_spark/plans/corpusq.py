@@ -3,9 +3,13 @@ data pipeline actually ends with: quality gating, deterministic
 sampling, and split assignment (north-star extensions, BASELINE.json).
 
 Determinism device: sampling/splits use a Knuth multiplicative hash on
-the integer doc id (``(doc_id * 2654435761) % M``) — pure BIGINT
-arithmetic that Spark and DuckDB evaluate identically, unlike engine
-hash() builtins.  In production the same arithmetic runs on a stable
+the integer doc id (``((doc_id % 1000000007) * 2654435761) % M``) —
+pure BIGINT arithmetic that Spark and DuckDB evaluate identically,
+unlike engine hash() builtins.  The pre-reduction mod the prime keeps
+the product under 2^63 for ANY 64-bit id (the unreduced form overflows
+at id ≈ 3.5e9 — a real bug at 100 TB corpus scale, caught by the sf1
+scaling smoke; under ANSI mode it's a hard error, without it silent
+wrong buckets).  In production the same arithmetic runs on a stable
 64-bit content id, making samples reproducible across runs AND engines
 — the property that matters when a training mix must be re-derivable.
 """
@@ -254,7 +258,7 @@ def cp_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled AS (
             SELECT s.doc_id, s.source, s.n_tokens
             FROM sized s JOIN weighted w ON s.source = w.source
-            WHERE (s.doc_id * {_KNUTH}) % 100 < w.target_pct
+            WHERE ((s.doc_id % 1000000007) * {_KNUTH}) % 100 < w.target_pct
         )
         SELECT sa.source,
                w.target_pct,
@@ -294,7 +298,7 @@ def cp_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled AS (
             SELECT s.doc_id, s.source, s.n_tokens
             FROM sized s JOIN weighted w ON s.source = w.source
-            WHERE (s.doc_id * {_KNUTH}) % 100 < w.target_pct
+            WHERE ((s.doc_id % 1000000007) * {_KNUTH}) % 100 < w.target_pct
         )
         SELECT sa.source,
                w.target_pct,
@@ -367,7 +371,7 @@ def cp_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH rated AS (
             SELECT doc_id, lang, source,
-                   (doc_id * {_KNUTH}) % 100 AS bucket,
+                   ((doc_id % 1000000007) * {_KNUTH}) % 100 AS bucket,
                    CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END AS rate
             FROM documents
         )
@@ -384,7 +388,7 @@ def cp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH rated AS (
             SELECT doc_id, lang, source,
-                   (doc_id * {_KNUTH}) % 100 AS bucket,
+                   ((doc_id % 1000000007) * {_KNUTH}) % 100 AS bucket,
                    CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END AS rate
             FROM dew_documents
         )
@@ -397,7 +401,7 @@ def cp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cp_split_assignment",
     oracle=f"""
         WITH b AS (
-            SELECT doc_id, (doc_id * {_KNUTH}) % 1000 AS bucket FROM documents
+            SELECT doc_id, ((doc_id % 1000000007) * {_KNUTH}) % 1000 AS bucket FROM documents
         ),
         assigned AS (
             SELECT doc_id,
@@ -421,7 +425,7 @@ def cp_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         WITH b AS (
-            SELECT doc_id, (doc_id * {_KNUTH}) % 1000 AS bucket FROM dew_documents
+            SELECT doc_id, ((doc_id % 1000000007) * {_KNUTH}) % 1000 AS bucket FROM dew_documents
         ),
         assigned AS (
             SELECT doc_id,

@@ -91,15 +91,33 @@ def sh_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "doc_id", "text")
 
 
+def _query_sample(e, n: int = 32):
+    """Fixed-size deterministic query batch (overflow-free Knuth hash
+    order, ties by id).  A query set defined as a PERCENTAGE of the
+    corpus (the old ``vec_id % 100 == 0``) grows with the data, so
+    probe work scales O(N·|Q|) = O(N²/100) — the sf1 smoke measured
+    ann_ivf_topk at 56× on 10× data.  ANN serving has a bounded query
+    batch against a growing corpus; a fixed sample restores O(N) and
+    makes the broadcast-the-queries contract true by construction."""
+    return (
+        e.orderBy(
+            F.expr("((CAST(vec_id AS BIGINT) % 1000000007) * 2654435761) % 1000000007"),
+            F.col("vec_id"),
+        )
+        .limit(n)
+        .select("vec_id", "embedding")
+    )
+
+
 @query("ann_lsh_topk", bench=True, tags=("ext-sim",))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket candidates + exact rerank, top-10
-    for query vectors vec_id % 100 == 0.  Pytest measures recall vs the
-    brute-force oracle-paired sim_cosine_topk."""
+    for a fixed 32-vector deterministic query batch.  Pytest measures
+    recall vs the brute-force oracle-paired sim_cosine_topk."""
     from dataengineeringworkshop_spark.llmops.similarity import ann_topk_lsh
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
+    q = _query_sample(e)
     return ann_topk_lsh(
         e, q, "vec_id", "embedding", dim=64, k=10, nbits=32, bands=8,
         index_key=f"embeddings:{sf_dir}",
@@ -109,13 +127,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivf_topk", bench=True, tags=("ext-sim", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: k-means coarse quantizer (MLlib, fixed seed),
-    inverted-list probe as an equi join on cell_id, exact cosine rerank.
-    Scan fraction ≈ nprobe/nlist per query.  Pytest measures recall vs
-    the brute-force oracle-paired sim_cosine_topk."""
+    inverted-list probe as an equi join on cell_id, exact cosine rerank
+    over a fixed 32-vector deterministic query batch (norms precomputed
+    in the index/probe, one dot product per scored pair).  Scan fraction
+    ≈ nprobe/nlist per query.  Pytest measures recall vs the brute-force
+    oracle-paired sim_cosine_topk."""
     from dataengineeringworkshop_spark.llmops.ivf import ann_topk_ivf
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
+    q = _query_sample(e)
     return ann_topk_ivf(
         e, q, "vec_id", "embedding", k=10, nlist=16, nprobe=4,
         index_key=f"embeddings:{sf_dir}",

@@ -115,8 +115,8 @@ def pl_dag_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         ),
         assigned AS (
-            SELECT *, CASE WHEN (doc_id * 2654435761) % 1000 < 980 THEN 'train'
-                           WHEN (doc_id * 2654435761) % 1000 < 990 THEN 'val'
+            SELECT *, CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 980 THEN 'train'
+                           WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 990 THEN 'val'
                            ELSE 'test' END AS split
             FROM clean
         )
@@ -198,8 +198,8 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     p.table(
         "gold_mix",
         """
-        SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 980 THEN 'train'
-                    WHEN (doc_id * 2654435761) % 1000 < 990 THEN 'val'
+        SELECT CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 980 THEN 'train'
+                    WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 990 THEN 'val'
                     ELSE 'test' END AS split,
                source, lang,
                COUNT(*) AS n_docs,

@@ -191,8 +191,11 @@ def cp_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: explode → IN-list filter (pushed to the scan) →
     partial-agg tf; df/avgdl are tiny aggregates broadcast into the
-    scoring join; global top-20 is a single-partition window over ≤N
-    scored docs (bounded because the term filter prunes first).
+    scoring join; global top-20 is ORDER BY … LIMIT 20 — Catalyst's
+    TakeOrderedAndProject (per-partition heaps merged on the driver),
+    NOT a single-partition window over every matched doc, so it stays
+    O(k) per partition however many docs match the query terms; the
+    rank window then runs over just the 20 survivors.
     """
     register_views(spark, sf_dir, "documents")
     return spark.sql(
@@ -232,11 +235,13 @@ def cp_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) AS n_terms_matched,
                    ROUND(CAST(SUM(CAST(s AS DECIMAL(28,14))) AS DOUBLE), 6) AS bm25
             FROM term_scores GROUP BY doc_id
+        ),
+        topk AS (
+            SELECT * FROM ranked ORDER BY bm25 DESC, doc_id ASC LIMIT 20
         )
-        SELECT doc_id, n_terms_matched, bm25, bm25_rank FROM (
-            SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS bm25_rank
-            FROM ranked
-        ) WHERE bm25_rank <= 20
+        SELECT doc_id, n_terms_matched, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS bm25_rank
+        FROM topk
         """
     )
 

@@ -54,7 +54,7 @@ NEARDUP_SCALE_THRESHOLD = 100_000
         ),
         qsel AS (
             SELECT vec_id FROM embeddings
-            ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 1000000007, vec_id
+            ORDER BY ((CAST(vec_id AS BIGINT) % 1000000007) * 2654435761) % 1000000007, vec_id
             LIMIT 16
         ),
         qx AS (SELECT vec_id AS qid, i, v FROM ex
@@ -108,7 +108,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _norms(spark, sf_dir)
     q = (
         e.orderBy(
-            F.expr("(CAST(vec_id AS BIGINT) * 2654435761) % 1000000007"),
+            F.expr("((CAST(vec_id AS BIGINT) % 1000000007) * 2654435761) % 1000000007"),
             F.col("vec_id"),
         )
         .limit(16)

@@ -220,3 +220,13 @@ def test_partitioned_layout_prunes_directories(spark, registry):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_date" in m.group(1), plan[:2000]
     assert ">=" in m.group(1) and "<=" in m.group(1), m.group(1)
+
+
+def test_bm25_global_topk_is_take_ordered_not_global_window(spark, registry):
+    plan = _plan(registry["cp_bm25_search"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    # global top-20 must be TakeOrderedAndProject (per-partition heaps,
+    # driver merge): the ranked set never lands in one partition.  The
+    # single Window that remains runs AFTER the LIMIT, over ≤20 rows.
+    assert ops["TakeOrderedAndProject"] >= 1, ops
+    assert ops["Window"] == 1, ops

@@ -90,3 +90,31 @@ def test_thresholds_keep_driver_scale_on_oracle_path():
 
     assert searchq.SD_SCALE_THRESHOLD >= 10_000
     assert simops.NEARDUP_SCALE_THRESHOLD >= 10_000
+
+
+def test_knuth_bucket_no_overflow_at_64bit_ids(spark):
+    """The split/sample hash ``((id % 1000000007) * 2654435761) % M`` must
+    evaluate for ANY 64-bit id.  The unreduced form ``(id * K) % M``
+    overflows long at id ≈ 3.5e9 — ANSI Spark raises, non-ANSI silently
+    wraps to wrong buckets; either way the training split is broken at
+    corpus scale.  Caught by the sf1 scaling smoke (offset keys ≥ 1e9).
+    DuckDB must agree bit-for-bit: it is the driver's oracle engine."""
+    import duckdb
+
+    ids = [0, 1, 999_999_999, 3_500_000_000, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    frag = "((doc_id % 1000000007) * 2654435761) % 1000"
+    got = {
+        r.doc_id: r.bucket
+        for r in df.selectExpr("doc_id", f"{frag} AS bucket").collect()
+    }
+    con = duckdb.connect()
+    for i in ids:
+        want = con.execute(
+            f"SELECT (({i} % 1000000007) * 2654435761) % 1000"
+        ).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
+    # regression: the UNREDUCED form must actually overflow for the big
+    # ids (proving the guard is load-bearing, not decorative)
+    with pytest.raises(Exception):
+        df.selectExpr("(doc_id * 2654435761) % 1000 AS b").collect()
