@@ -93,12 +93,18 @@ def pl_dag_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM gated
             ) WHERE rn = 1
         ),
+        eval_docs AS (
+            SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+            ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id
+            LIMIT 64
+        ),
         eval_grams AS (
             SELECT DISTINCT gram FROM (
                 SELECT unnest(CASE WHEN len(w) < 8 THEN []
                                    ELSE [array_to_string(list_slice(w, i, i + 7), ' ')
                                          FOR i IN range(1, len(w) - 6)] END) AS gram
-                FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0)
+                FROM (SELECT string_split(text, ' ') AS w FROM documents
+                      WHERE doc_id IN (SELECT doc_id FROM eval_docs))
             )
         ),
         contaminated AS (
@@ -141,7 +147,9 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the gate/dedup/split stages are single-shuffle each; the
     contamination stage joins the corpus gram explode against a
-    broadcastable eval gram set (eval benchmarks ≪ corpus); nothing
+    broadcastable eval gram set — bounded by construction (the eval
+    benchmark is a FIXED 64-doc hash-ordered sample, not a corpus
+    percentage, so the broadcast cannot grow with the data); nothing
     touches the driver."""
     p = Pipeline("corpus", tempfile.mkdtemp(prefix="dew_plc_"))
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("__pl_corpus_src_docs")
@@ -170,13 +178,22 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     )
     p.table(
+        "eval_docs",
+        """
+        SELECT doc_id FROM live.src_docs WHERE doc_id % 97 = 0
+        ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id
+        LIMIT 64
+        """,
+    )
+    p.table(
         "eval_grams",
         """
         SELECT DISTINCT gram FROM (
             SELECT explode(transform(sequence(1, size(w) - 7),
                                      i -> array_join(slice(w, i, 8), ' '))) AS gram
             FROM (SELECT split(text, ' ') AS w FROM live.src_docs
-                  WHERE doc_id % 97 = 0 AND size(split(text, ' ')) >= 8)
+                  WHERE doc_id IN (SELECT doc_id FROM live.eval_docs)
+                    AND size(split(text, ' ')) >= 8)
         )
         """,
     )
