@@ -150,12 +150,16 @@ def minhash_dedup_pairs(
         lsh_candidate_pairs(sigs, bands, rows_per_band), "minhash_cand"
     )
     # restrict the shingle index to docs that appear in any candidate
-    # pair; sizes are exact (uncapped) per-doc distinct-shingle counts
+    # pair; sizes are exact (uncapped) per-doc distinct-shingle counts.
+    # NO broadcast hint: the candidate-doc set grows with corpus size
+    # and dup rate (unbounded at 100 TB) — AQE broadcasts it at runtime
+    # when it is actually small, and falls back to a shuffle join when
+    # it is not
     cand_docs = cand.select(F.col("d1").alias("doc")).union(
         cand.select("d2")
     ).distinct()
     sh_cand = materialize(
-        sh.join(F.broadcast(cand_docs), "doc"), "verify_shingles"
+        sh.join(cand_docs, "doc"), "verify_shingles"
     )
     sizes = sh_cand.groupBy("doc").agg(F.count("*").alias("sz"))
     # exact intersection, routed through the pair list:

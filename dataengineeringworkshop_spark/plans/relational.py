@@ -54,8 +54,11 @@ def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str) ->
 )
 def flagship_region_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold-style multi-way join + grouped agg + count-distinct
-    (`2 Medaillon architecture.py:558-568` shape).  Dims broadcast; the
-    lineitem⋈orders join shuffles on orderkey."""
+    (`2 Medaillon architecture.py:558-568` shape).  The constant-size
+    dims (nation 25, region 5) carry explicit broadcast hints; customer
+    SCALES with the data, so its join strategy is left to Catalyst/AQE —
+    broadcast while it fits, sort-merge beyond (forcing the hint would
+    OOM a 100 TB run).  lineitem⋈orders shuffles on orderkey."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -63,7 +66,7 @@ def flagship_region_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
@@ -249,7 +252,7 @@ def j1_two_way_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-way equi inner join (N4:177-181); small side broadcast."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
 
@@ -272,7 +275,7 @@ def j2_three_way_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus", "c_name")
     )
 
@@ -546,7 +549,7 @@ def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     spend = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "c_custkey", "c_name")
         .agg(
             F.expr(
