@@ -88,15 +88,29 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_key"),
     )
-    sized = band_entries.groupBy("band", "band_key").agg(
-        F.collect_list("doc").alias("docs"), F.count("*").alias("n")
-    ).filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
-    # pairs within each bucket (bounded by max_bucket, so the explode is
-    # at most max_bucket^2/2 per bucket)
-    a = sized.select(F.col("band"), F.col("band_key"), F.explode("docs").alias("d1"), F.col("docs"))
-    pairs = a.select(
-        "d1", F.explode("docs").alias("d2")
-    ).filter(F.col("d1") < F.col("d2")).distinct()
+    # two-pass shape: COUNT buckets first, keep the small ones, THEN
+    # self-join entries restricted to surviving buckets.  A
+    # collect_list-per-bucket would materialize a degenerate boilerplate
+    # bucket's entire member array in one aggregation task BEFORE the
+    # size filter could drop it — an executor OOM at corpus scale; the
+    # count aggregate carries only (band, key, n) however hot the key,
+    # and both passes shuffle on the same (band, band_key) so the
+    # exchange is reused
+    sizes = band_entries.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select(
+        "band", "band_key"
+    )
+    entries_ok = band_entries.join(ok, ["band", "band_key"])
+    pairs = (
+        entries_ok.select("band", "band_key", F.col("doc").alias("d1"))
+        .join(
+            entries_ok.select("band", "band_key", F.col("doc").alias("d2")),
+            ["band", "band_key"],
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
     return pairs
 
 

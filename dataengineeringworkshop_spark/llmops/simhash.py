@@ -62,18 +62,27 @@ def simhash_near_pairs(
             )
         ).alias("band", "band_key"),
     )
-    grouped = bands.groupBy("band", "band_key").agg(
-        F.collect_list(F.struct("doc", "simhash")).alias("members"), F.count("*").alias("n")
-    ).filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
-    m1 = grouped.select(F.explode("members").alias("a"), F.col("members"))
+    # two-pass: count buckets, keep small ones, then self-join entries
+    # within surviving buckets — never a collect_list whose array could
+    # grow with a degenerate boilerplate bucket before the size filter
+    # runs (see minhash.lsh_candidate_pairs)
+    sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select(
+        "band", "band_key"
+    )
+    b_ok = bands.join(ok, ["band", "band_key"])
     pairs = (
-        m1.select(
-            F.col("a.doc").alias("d1"),
-            F.col("a.simhash").alias("s1"),
-            F.explode("members").alias("b"),
+        b_ok.select(
+            "band", "band_key", F.col("doc").alias("d1"), F.col("simhash").alias("s1")
         )
-        .filter(F.col("d1") < F.col("b.doc"))
-        .select("d1", "s1", F.col("b.doc").alias("d2"), F.col("b.simhash").alias("s2"))
+        .join(
+            b_ok.select(
+                "band", "band_key", F.col("doc").alias("d2"), F.col("simhash").alias("s2")
+            ),
+            ["band", "band_key"],
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "s1", "d2", "s2")
         .distinct()
     )
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
