@@ -141,13 +141,24 @@ def ann_topk_lsh(
         .select("qid", "vid")
         .distinct()
     )
-    c_vec = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"))
-    q_vec = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+    # vector store half of the index artifact: (vid, vector, squared
+    # norm), norms computed ONCE at build time — the rerank then does a
+    # single dot product per candidate pair instead of three, and a
+    # probe joins the cached parquet artifact rather than re-scanning
+    # the corpus table (same build/serve split as the IVF index)
+    c_vec = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec")
+    ).withColumn("c_nrm", F.expr(_DOT.format(a="c_vec", b="c_vec")))
+    if index_key:
+        c_vec = materialize(
+            c_vec, label="lsh_vectors", cache_key=f"{index_key}:vecs"
+        )
+    q_vec = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_nrm", F.expr(_DOT.format(a="q_vec", b="q_vec")))
     scored = (
         cand.join(c_vec, "vid")
         .join(F.broadcast(q_vec), "qid")
-        .withColumn("q_nrm", F.expr(_DOT.format(a="q_vec", b="q_vec")))
-        .withColumn("c_nrm", F.expr(_DOT.format(a="c_vec", b="c_vec")))
         .withColumn(
             "cosine",
             F.expr(_DOT.format(a="q_vec", b="c_vec"))
