@@ -14,7 +14,9 @@ A pipeline is a DAG of dataset definitions:
 
 Execution semantics (N4:14-18, 38; SURVEY §7.4):
 - **table** (complete LIVE TABLE): fully recomputed each run and
-  committed to a VersionedTable (CREATE OR REPLACE; history preserved).
+  committed through the table-backend seam (``tables.backend.open_table``
+  — Delta when ``delta-spark`` is importable, else the parquet +
+  commit-log VersionedTable; CREATE OR REPLACE, history preserved).
 - **incremental_table**: executed as a Structured Streaming query with
   ``trigger(availableNow=True)`` reading only data unseen by its
   checkpoint — from a landing directory (``cloud_files``) or from an
@@ -52,7 +54,7 @@ from dataengineeringworkshop_spark.operators.expectations import (
     ExpectationFailed,
 )
 from dataengineeringworkshop_spark.session import ensure_session_defaults
-from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+from dataengineeringworkshop_spark.tables.backend import open_table
 
 _LIVE_RE = re.compile(r"STREAM\s*\(\s*live\.([A-Za-z_][A-Za-z_0-9]*)\s*\)|live\.([A-Za-z_][A-Za-z_0-9]*)")
 _CLOUD_FILES_RE = re.compile(r"cloud_files\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)")
@@ -160,7 +162,7 @@ class Pipeline:
         if spec.kind == "incremental_table":
             return spark.read.option("mergeSchema", "true").parquet(self._incr_dir(name))
         if spec.kind == "table":
-            return VersionedTable(spark, self._table_dir(name)).read()
+            return open_table(spark, self._table_dir(name)).read()
         raise ValueError(f"{name} is a view — not materialized")
 
     def event_log(self, spark: SparkSession) -> DataFrame:
@@ -191,7 +193,7 @@ class Pipeline:
                 if spec.kind == "table":
                     df = self._build_batch(spark, spec)
                     kept, finish = self._prepare_node_write(df, spec)
-                    vt = VersionedTable(spark, self._table_dir(spec.name))
+                    vt = open_table(spark, self._table_dir(spec.name))
                     vt.write(kept, mode="overwrite")
                     n, metrics = finish()
                     results[spec.name] = {"rows": n, "expectations": metrics}

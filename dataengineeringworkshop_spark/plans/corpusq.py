@@ -19,11 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.registry import kbucket, query
 from dataengineeringworkshop_spark.plans.tables import register_views
-
-_KNUTH = 2654435761
-
 
 @query(
     "cp_quality_gate_stats",
@@ -192,7 +189,7 @@ def cp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_docs = (
         d.filter(F.col("doc_id") % 97 == 0)
         .orderBy(
-            F.expr("((doc_id % 1000000007) * 2654435761) % 1000000007"), "doc_id"
+            F.expr(kbucket("doc_id", 1000000007)), "doc_id"
         )
         .limit(64)
         .select("doc_id")
@@ -278,7 +275,7 @@ def cp_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled AS (
             SELECT s.doc_id, s.source, s.n_tokens
             FROM sized s JOIN weighted w ON s.source = w.source
-            WHERE ((s.doc_id % 1000000007) * {_KNUTH}) % 100 < w.target_pct
+            WHERE {kbucket('s.doc_id', 100)} < w.target_pct
         )
         SELECT sa.source,
                w.target_pct,
@@ -318,7 +315,7 @@ def cp_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled AS (
             SELECT s.doc_id, s.source, s.n_tokens
             FROM sized s JOIN weighted w ON s.source = w.source
-            WHERE ((s.doc_id % 1000000007) * {_KNUTH}) % 100 < w.target_pct
+            WHERE {kbucket('s.doc_id', 100)} < w.target_pct
         )
         SELECT sa.source,
                w.target_pct,
@@ -391,7 +388,7 @@ def cp_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH rated AS (
             SELECT doc_id, lang, source,
-                   ((doc_id % 1000000007) * {_KNUTH}) % 100 AS bucket,
+                   {kbucket('doc_id', 100)} AS bucket,
                    CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END AS rate
             FROM documents
         )
@@ -408,7 +405,7 @@ def cp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH rated AS (
             SELECT doc_id, lang, source,
-                   ((doc_id % 1000000007) * {_KNUTH}) % 100 AS bucket,
+                   {kbucket('doc_id', 100)} AS bucket,
                    CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END AS rate
             FROM dew_documents
         )
@@ -421,7 +418,7 @@ def cp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cp_split_assignment",
     oracle=f"""
         WITH b AS (
-            SELECT doc_id, ((doc_id % 1000000007) * {_KNUTH}) % 1000 AS bucket FROM documents
+            SELECT doc_id, {kbucket('doc_id', 1000)} AS bucket FROM documents
         ),
         assigned AS (
             SELECT doc_id,
@@ -445,7 +442,7 @@ def cp_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         WITH b AS (
-            SELECT doc_id, ((doc_id % 1000000007) * {_KNUTH}) % 1000 AS bucket FROM dew_documents
+            SELECT doc_id, {kbucket('doc_id', 1000)} AS bucket FROM dew_documents
         ),
         assigned AS (
             SELECT doc_id,

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.registry import kbucket, query
 from dataengineeringworkshop_spark.plans.tables import load_table, register_views
 
 
@@ -101,7 +101,7 @@ def _query_sample(e, n: int = 32):
     makes the broadcast-the-queries contract true by construction."""
     return (
         e.orderBy(
-            F.expr("((CAST(vec_id AS BIGINT) % 1000000007) * 2654435761) % 1000000007"),
+            F.expr(kbucket("CAST(vec_id AS BIGINT)", 1000000007)),
             F.col("vec_id"),
         )
         .limit(n)

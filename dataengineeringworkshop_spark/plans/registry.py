@@ -76,8 +76,29 @@ def davg(expr: str, alias: str, scale: int = 4) -> str:
     )
 
 
+def kbucket(expr: str, m: int) -> str:
+    """Overflow-free Knuth multiplicative-hash bucket — the engine's ONE
+    deterministic sampling/split device, identical fragment for Spark
+    SQL and DuckDB.
+
+    The pre-reduction mod the prime 1000000007 keeps the product under
+    2^63 for ANY 64-bit id (the unreduced ``id * 2654435761`` overflows
+    at id ≈ 3.5e9: ANSI Spark raises, non-ANSI silently mis-buckets);
+    for id < 1e9 the value equals the classic unreduced form.  Some
+    plan modules inline this fragment in plain SQL strings —
+    tests/test_scale_paths.py scans the source and rejects any
+    occurrence of the multiplier without the guard."""
+    return f"(({expr} % 1000000007) * 2654435761) % {m}"
+
+
+#: width of the external driver's correctness-evidence window: it records
+#: rows/schema/hash for exactly the first DRIVER_PREFIX entries of
+#: ``queries()``.  gen_coverage.py, driver_sim.py and the registry-order
+#: tests all derive from this one constant.
+DRIVER_PREFIX = 50
+
 # The external driver records correctness evidence for a bounded PREFIX of
-# the registry (historically the first 50 entries of ``queries()``).  Spend
+# the registry (the first DRIVER_PREFIX entries of ``queries()``).  Spend
 # that budget deliberately: the flagship, then one composite per operator
 # family (rb_*), then the versioned-table / workshop / streaming families,
 # then the strongest LLM-pipeline extension queries.  Everything else stays

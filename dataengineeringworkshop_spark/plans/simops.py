@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.registry import kbucket, query
 from dataengineeringworkshop_spark.plans.tables import load_table
 
 # exact decimal fold of sum(x_i * y_i) over two float arrays, as Spark SQL
@@ -108,7 +108,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _norms(spark, sf_dir)
     q = (
         e.orderBy(
-            F.expr("((CAST(vec_id AS BIGINT) % 1000000007) * 2654435761) % 1000000007"),
+            F.expr(kbucket("CAST(vec_id AS BIGINT)", 1000000007)),
             F.col("vec_id"),
         )
         .limit(16)

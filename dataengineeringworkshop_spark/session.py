@@ -55,9 +55,18 @@ def _ship_package(spark: SparkSession) -> None:
             zf.write(py, arcname=str(Path(pkg_root.name) / py.relative_to(pkg_root)))
     try:
         sc.addPyFile(str(zip_path))
-    except Exception:
-        # already added under this name (session restart on a shared context)
-        pass
+    except Exception as e:
+        # "already added under this name" (session restart on a shared
+        # context) counts as shipped; on any OTHER failure leave the
+        # flag UNSET so the next ensure_session_defaults retries —
+        # setting it would permanently disable the fix and surface
+        # later as ModuleNotFoundError on executors, exactly the
+        # failure this function exists to prevent
+        if "already" not in str(e).lower():
+            import warnings
+
+            warnings.warn(f"addPyFile failed ({e!r}); will retry on next call")
+            return
     sc._dew_pkg_shipped = True
 
 

@@ -212,15 +212,20 @@ class VersionedTable:
         reference's ZORDER point-lookup exercise (`2 Medaillon
         architecture.py:436-465`) on the parquet-backed format."""
         c = self._resolve_commit(version)
+        from pyspark.sql.types import StructType
+
+        committed = StructType.fromDDL(_ddl_of(c.schema_ddl))
         if where:
             paths = self.scan_files(version, where)
+            if not paths:
+                # stats pruned EVERY file (point lookup outside all
+                # min/max ranges) — an empty result, like Delta, not an
+                # UNABLE_TO_INFER_SCHEMA crash from a zero-path scan
+                return self.spark.createDataFrame([], committed)
         else:
             paths = [f"{self.path}/{d}" for d in c.data_dirs]
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         # evolve to the committed schema (ADD COLUMN fills nulls)
-        from pyspark.sql.types import StructType
-
-        committed = StructType.fromDDL(_ddl_of(c.schema_ddl))
         for field in committed.fields:
             if field.name not in df.columns:
                 df = df.withColumn(field.name, F.lit(None).cast(field.dataType))

@@ -20,9 +20,10 @@ TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
-# The external driver records correctness for the first N_PREFIX entries of
-# queries(); simulate exactly that, plus a few post-prefix spot checks.
-N_PREFIX = 50
+# The external driver records correctness for the first registry.DRIVER_PREFIX
+# entries of queries(); simulate exactly that, plus post-prefix spot checks.
+# resolved from registry.DRIVER_PREFIX inside main() (importable only
+# after __spark_entry__ has put the repo on sys.path)
 EXTRA = [
     "tj_sessionize_gap30",
     "tj_range_click_purchase",
@@ -70,7 +71,10 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    sample = list(qs)[:N_PREFIX] + [n for n in EXTRA if n not in list(qs)[:N_PREFIX]]
+    from dataengineeringworkshop_spark.plans.registry import DRIVER_PREFIX
+
+    prefix = list(qs)[:DRIVER_PREFIX]
+    sample = prefix + [n for n in EXTRA if n not in prefix]
     failures = []
     for name in sample:
         if name not in qs:

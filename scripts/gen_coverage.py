@@ -147,7 +147,9 @@ def main() -> None:
             by_tag[tag].append(name)
 
     corr_file, driver_green = _latest_correctness()
-    prefix = set(list(registry)[:50])  # the driver's evidence window
+    from dataengineeringworkshop_spark.plans.registry import DRIVER_PREFIX
+
+    prefix = set(list(registry)[:DRIVER_PREFIX])  # the driver's evidence window
 
     lines = [
         "# COVERAGE — SURVEY.md §2 inventory → `__spark_entry__.queries()`",

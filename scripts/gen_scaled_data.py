@@ -101,7 +101,8 @@ def gen(src: str, dst: str, r: int) -> None:
                    CASE WHEN rep = 0 THEN text
                         ELSE text || ' rep' || rep END AS text,
                    lang, source,
-                   n_chars + CASE WHEN rep = 0 THEN 0 ELSE 5 END AS n_chars
+                   n_chars + CASE WHEN rep = 0 THEN 0
+                                  ELSE LENGTH(' rep' || rep) END AS n_chars
             FROM src CROSS JOIN reps""",
     )
     # perturb embeddings per replica: small deterministic shift keeps the

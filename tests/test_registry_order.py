@@ -5,7 +5,7 @@ unimported)."""
 
 from __future__ import annotations
 
-from dataengineeringworkshop_spark.plans.registry import _PRIORITY, load_all
+from dataengineeringworkshop_spark.plans.registry import DRIVER_PREFIX, _PRIORITY, load_all
 
 
 def test_priority_names_all_registered():
@@ -16,14 +16,14 @@ def test_priority_names_all_registered():
 
 def test_prefix_is_exactly_priority():
     reg = load_all()
-    assert len(_PRIORITY) == 50
+    assert len(_PRIORITY) == DRIVER_PREFIX
     assert list(reg)[: len(_PRIORITY)] == list(_PRIORITY)
 
 
 def test_prefix_covers_every_family():
     """Every SURVEY §2 family + extension family has a row in the prefix."""
     reg = load_all()
-    prefix = list(reg)[:50]
+    prefix = list(reg)[:DRIVER_PREFIX]
     families = {
         "P": "rb_projection_breadth",
         "J/A": "rb_join_agg_breadth",
@@ -67,6 +67,6 @@ def test_oracle_density_in_prefix():
     """Most prefix rows should carry a real DuckDB oracle (strong check);
     only genuinely non-SQL-expressible ops may be rows-only."""
     reg = load_all()
-    prefix = list(reg)[:50]
+    prefix = list(reg)[:DRIVER_PREFIX]
     rows_only = [n for n in prefix if reg[n].oracle is None]
     assert len(rows_only) <= 8, f"too many rows-only rows in prefix: {rows_only}"

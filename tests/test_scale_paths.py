@@ -118,3 +118,27 @@ def test_knuth_bucket_no_overflow_at_64bit_ids(spark):
     # ids (proving the guard is load-bearing, not decorative)
     with pytest.raises(Exception):
         df.selectExpr("(doc_id * 2654435761) % 1000 AS b").collect()
+
+
+def test_knuth_multiplier_always_guarded_in_source():
+    """Every occurrence of the Knuth multiplier in the package — including
+    the plain-SQL strings that can't call registry.kbucket — must carry
+    the % 1000000007 pre-reduction.  An unguarded copy reintroduces the
+    int64 overflow this suite's other test proves is real."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "dataengineeringworkshop_spark"
+    bad = []
+    for py in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if "2654435761" not in line:
+                continue
+            ok = (
+                "% 1000000007) * 2654435761" in line
+                # prose/docstring mentions of the bare multiplier
+                or "``" in line or line.lstrip().startswith("#")
+            )
+            if not ok:
+                bad.append(f"{py.name}:{i}: {line.strip()}")
+    assert not bad, "unguarded Knuth multiplier:\n" + "\n".join(bad)

@@ -157,3 +157,16 @@ def test_stats_skip_range_and_unparsable_predicates(spark, vt):
     assert len(weird) == len(t.scan_files())
     n = t.read(where="o_orderkey % 2 = 0").count()
     assert n == o.filter(F.col("o_orderkey") % 2 == 0).count()
+
+
+def test_read_where_all_files_pruned_returns_empty(spark, vt):
+    """A point lookup OUTSIDE every file's min/max range prunes ALL
+    files; read() must return an empty frame with the committed schema
+    (Delta semantics), not crash on a zero-path parquet scan."""
+    t, o = vt
+    t.optimize(zorder_by=["o_orderkey"], target_files=4)
+    key = o.agg(F.max("o_orderkey")).collect()[0][0] + 10_000
+    assert t.scan_files(where=f"o_orderkey = {key}") == []
+    out = t.read(where=f"o_orderkey = {key}")
+    assert out.count() == 0
+    assert out.columns == t.read().columns
