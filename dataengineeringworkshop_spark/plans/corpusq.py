@@ -134,7 +134,7 @@ def cp_pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cp_decontaminate",
-    oracle="""
+    oracle=f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
         ),
@@ -148,7 +148,7 @@ def cp_pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         eval_docs AS (
             SELECT doc_id FROM documents WHERE doc_id % 97 = 0
-            ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id
+            ORDER BY {kbucket('doc_id', 1000000007)}, doc_id
             LIMIT 64
         ),
         eval_grams AS (

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dataengineeringworkshop_spark.operators.expectations import Expectation
 from dataengineeringworkshop_spark.pipeline.runner import Pipeline
-from dataengineeringworkshop_spark.plans.registry import dsum, query
+from dataengineeringworkshop_spark.plans.registry import dsum, kbucket, query
 from dataengineeringworkshop_spark.plans.tables import load_table
 
 
@@ -77,7 +77,7 @@ def pl_dag_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cp_corpus_pipeline",
-    oracle="""
+    oracle=f"""
         WITH gated AS (
             SELECT doc_id, text, lang, source,
                    LENGTH(text) AS n_chars_actual,
@@ -95,7 +95,7 @@ def pl_dag_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         eval_docs AS (
             SELECT doc_id FROM documents WHERE doc_id % 97 = 0
-            ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id
+            ORDER BY {kbucket('doc_id', 1000000007)}, doc_id
             LIMIT 64
         ),
         eval_grams AS (
@@ -121,8 +121,8 @@ def pl_dag_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         ),
         assigned AS (
-            SELECT *, CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 980 THEN 'train'
-                           WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 990 THEN 'val'
+            SELECT *, CASE WHEN {kbucket('doc_id', 1000)} < 980 THEN 'train'
+                           WHEN {kbucket('doc_id', 1000)} < 990 THEN 'val'
                            ELSE 'test' END AS split
             FROM clean
         )
@@ -179,9 +179,9 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p.table(
         "eval_docs",
-        """
+        f"""
         SELECT doc_id FROM live.src_docs WHERE doc_id % 97 = 0
-        ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id
+        ORDER BY {kbucket('doc_id', 1000000007)}, doc_id
         LIMIT 64
         """,
     )
@@ -214,9 +214,9 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p.table(
         "gold_mix",
-        """
-        SELECT CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 980 THEN 'train'
-                    WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 990 THEN 'val'
+        f"""
+        SELECT CASE WHEN {kbucket('doc_id', 1000)} < 980 THEN 'train'
+                    WHEN {kbucket('doc_id', 1000)} < 990 THEN 'val'
                     ELSE 'test' END AS split,
                source, lang,
                COUNT(*) AS n_docs,

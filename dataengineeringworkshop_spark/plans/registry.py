@@ -82,8 +82,8 @@ def kbucket(expr: str, m: int) -> str:
     SQL and DuckDB.
 
     The pre-reduction mod the prime 1000000007 keeps the product under
-    2^63 for ANY 64-bit id (the unreduced ``id * 2654435761`` overflows
-    at id ≈ 3.5e9: ANSI Spark raises, non-ANSI silently mis-buckets);
+    2^63 for ANY 64-bit id (the unreduced multiply overflows at
+    id ≈ 3.5e9: ANSI Spark raises, non-ANSI silently mis-buckets);
     for id < 1e9 the value equals the classic unreduced form.  Some
     plan modules inline this fragment in plain SQL strings —
     tests/test_scale_paths.py scans the source and rejects any

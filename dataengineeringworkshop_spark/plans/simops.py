@@ -42,7 +42,7 @@ NEARDUP_SCALE_THRESHOLD = 100_000
 
 @query(
     "sim_cosine_topk",
-    oracle="""
+    oracle=f"""
         WITH ex AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
             FROM embeddings
@@ -54,7 +54,7 @@ NEARDUP_SCALE_THRESHOLD = 100_000
         ),
         qsel AS (
             SELECT vec_id FROM embeddings
-            ORDER BY ((CAST(vec_id AS BIGINT) % 1000000007) * 2654435761) % 1000000007, vec_id
+            ORDER BY {kbucket('CAST(vec_id AS BIGINT)', 1000000007)}, vec_id
             LIMIT 16
         ),
         qx AS (SELECT vec_id AS qid, i, v FROM ex

@@ -56,17 +56,28 @@ def _ship_package(spark: SparkSession) -> None:
     try:
         sc.addPyFile(str(zip_path))
     except Exception as e:
-        # "already added under this name" (session restart on a shared
-        # context) counts as shipped; on any OTHER failure leave the
-        # flag UNSET so the next ensure_session_defaults retries —
-        # setting it would permanently disable the fix and surface
-        # later as ModuleNotFoundError on executors, exactly the
-        # failure this function exists to prevent
-        if "already" not in str(e).lower():
+        # A duplicate add (session restart on a shared context) raises
+        # "File ... exists and does not match contents of ..." — the
+        # original zip is already on the executors, so that counts as
+        # shipped.  Any OTHER failure leaves the flag unset so the next
+        # ensure_session_defaults retries (a set flag would permanently
+        # disable the fix and surface later as ModuleNotFoundError on
+        # executors) — but retries are capped: each one re-zips the
+        # package, so after a few hard failures give up loudly rather
+        # than paying that cost on every entry point forever.
+        msg = str(e).lower()
+        if "exists" not in msg and "already" not in msg:
             import warnings
 
-            warnings.warn(f"addPyFile failed ({e!r}); will retry on next call")
-            return
+            attempts = getattr(sc, "_dew_pkg_ship_attempts", 0) + 1
+            sc._dew_pkg_ship_attempts = attempts
+            if attempts < 3:
+                warnings.warn(f"addPyFile failed ({e!r}); will retry on next call")
+                return
+            warnings.warn(
+                f"addPyFile failed {attempts}x ({e!r}); giving up — Pandas-UDF "
+                "stages may fail on executors unless the package is importable"
+            )
     sc._dew_pkg_shipped = True
 
 

@@ -88,12 +88,17 @@ class DeltaBackend:
         return DeltaTable.isDeltaTable(self.spark, self.path)
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> "DeltaBackend":
-        (
-            df.write.format("delta")
-            .mode(mode)
-            .option("mergeSchema", "true")
-            .save(self.path)
-        )
+        # overwrite = full CREATE OR REPLACE recompute (the runner's
+        # documented semantics, matching VersionedTable): the committed
+        # schema becomes EXACTLY df's schema — overwriteSchema, not
+        # mergeSchema, which would keep dropped columns alive as nulls.
+        # append keeps mergeSchema (additive evolution, streaming sink).
+        w = df.write.format("delta").mode(mode)
+        if mode == "overwrite":
+            w = w.option("overwriteSchema", "true")
+        else:
+            w = w.option("mergeSchema", "true")
+        w.save(self.path)
         return self
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -144,13 +149,24 @@ class DeltaBackend:
 def open_table(spark: SparkSession, path: str, backend: str | None = None):
     """Open (or create-on-first-write) a versioned table at ``path``.
 
-    ``backend``: ``"delta"`` / ``"versioned"`` force a choice; ``None``
-    picks Delta when delta-spark is importable, else the parquet +
-    commit-log :class:`VersionedTable`."""
+    ``backend``: ``"delta"`` / ``"versioned"`` force a choice.  With
+    ``None``, an EXISTING table keeps the format already on disk
+    (``_delta_log`` → Delta, ``_dew_log`` → VersionedTable) — installing
+    delta-spark must not break a workspace of previously-written
+    parquet+commit-log tables, nor vice versa — and a fresh path picks
+    Delta when delta-spark is importable, else VersionedTable."""
+    import os
+
     if backend not in (None, "delta", "versioned"):
         raise ValueError(f"unknown backend {backend!r}")
+    from dataengineeringworkshop_spark.tables.versioned import _LOG_DIR, VersionedTable
+
+    if backend is None:
+        p = path.rstrip("/")
+        if os.path.isdir(f"{p}/{_LOG_DIR}"):
+            return VersionedTable(spark, path)
+        if os.path.isdir(f"{p}/_delta_log") and delta_available():
+            return DeltaBackend(spark, path)
     if backend == "delta" or (backend is None and delta_available()):
         return DeltaBackend(spark, path)
-    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
-
     return VersionedTable(spark, path)

@@ -126,9 +126,6 @@ class VersionedTable:
 
     # ---------------------------------------------------------------- write
 
-    def exists(self) -> bool:
-        return self._latest() is not None
-
     def write(self, df: DataFrame, mode: str = "overwrite") -> "VersionedTable":
         """CTAS / saveAsTable parity (S5-S6).  mode: overwrite | append.
 

@@ -177,11 +177,12 @@ def test_full_dag_run_and_incremental_rerun(spark, pipeline):
     gold2 = p.read_dataset(spark, "gold_country_sales")
     assert gold2.filter(F.col("sales_month") == "2021-11").count() > 0
 
-    # complete-table history: two pipeline runs = two versions (time travel)
-    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+    # complete-table history: two pipeline runs = two versions (time
+    # travel) — read through the backend seam, like the runner writes
+    from dataengineeringworkshop_spark.tables.backend import open_table
 
-    vt = VersionedTable(spark, p._table_dir("gold_country_sales"))
-    assert len(vt._commits()) == 2
+    vt = open_table(spark, p._table_dir("gold_country_sales"))
+    assert vt.history().count() == 2
 
     # event log (N3:130-168): flow_progress rows with expectation metrics
     ev = p.event_log(spark)

@@ -136,8 +136,9 @@ def test_knuth_multiplier_always_guarded_in_source():
                 continue
             ok = (
                 "% 1000000007) * 2654435761" in line
-                # prose/docstring mentions of the bare multiplier
-                or "``" in line or line.lstrip().startswith("#")
+                # pure comment lines only — a code line with a trailing
+                # comment still needs the guard on its code part
+                or line.lstrip().startswith("#")
             )
             if not ok:
                 bad.append(f"{py.name}:{i}: {line.strip()}")
