@@ -33,6 +33,17 @@ EXTRA = [
     "rag_chunk_topk",
     "f19_date_arithmetic",
     "pp_partition_pruned_events",
+    # one representative per post-prefix family the window can't cover
+    "cp_decontaminate",
+    "cp_source_mix",
+    "cp_split_assignment",
+    "cp_sequence_packing",
+    "d_incremental_dedup_probe",
+    "sim_embed_quantize",
+    "j5_outer_semi_anti",
+    "a10_grouping_sets",
+    "w5_distribution_ranks",
+    "t_fuzzy_match_levenshtein",
 ]
 
 
