@@ -133,6 +133,53 @@ def cp_pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cp_pii_redact",
+    oracle="""
+        WITH red AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+            FROM documents
+        )
+        SELECT doc_id,
+               LENGTH(redacted) AS n_chars_redacted,
+               CAST(len(regexp_extract_all(redacted, '<EMAIL>')) AS INT) AS n_email_masks,
+               CAST(len(regexp_extract_all(redacted, '<PHONE>')) AS INT) AS n_phone_masks,
+               substr(redacted, 1, 80) AS preview
+        FROM red
+    """,
+    tags=("ext-text", "ext-corpus"),
+)
+def cp_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION — the rewrite step the scan above only counts:
+    emails and phone-shaped numbers replaced with typed mask tokens,
+    per-doc mask accounting, bounded preview.  A pure map
+    (regexp_replace, zero shuffles, whole-stage codegen); the regexes
+    stay in the dialect-portable subset so Spark and DuckDB transform
+    identically and the redacted TEXT itself is oracle-checked, not
+    just the counts."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH red AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>'),
+                       '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>') AS redacted
+            FROM dew_documents
+        )
+        SELECT doc_id,
+               LENGTH(redacted) AS n_chars_redacted,
+               size(regexp_extract_all(redacted, '<EMAIL>', 0)) AS n_email_masks,
+               size(regexp_extract_all(redacted, '<PHONE>', 0)) AS n_phone_masks,
+               substring(redacted, 1, 80) AS preview
+        FROM red
+        """
+    )
+
+
+@query(
     "cp_decontaminate",
     oracle=f"""
         WITH toks AS (

@@ -44,6 +44,7 @@ EXTRA = [
     "a10_grouping_sets",
     "w5_distribution_ranks",
     "t_fuzzy_match_levenshtein",
+    "cp_pii_redact",
 ]
 
 
