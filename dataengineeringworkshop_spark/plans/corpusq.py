@@ -187,9 +187,9 @@ def cp_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         grams AS (
             SELECT DISTINCT doc_id, gram FROM (
-                SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
-                                           ELSE [array_to_string(list_slice(w, i, i + 7), ' ')
-                                                 FOR i IN range(1, len(w) - 6)] END) AS gram
+                SELECT doc_id, unnest(CASE WHEN len(w) < 4 THEN []
+                                           ELSE [array_to_string(list_slice(w, i, i + 3), ' ')
+                                                 FOR i IN range(1, len(w) - 2)] END) AS gram
                 FROM toks
             )
         ),
@@ -211,10 +211,13 @@ def cp_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
-    8-gram with a held-out eval set (docs with doc_id % 97 = 0 stand in
+    4-gram with a held-out eval set (docs with doc_id % 97 = 0 stand in
     for the benchmark, capped at a FIXED 64 docs by deterministic hash
     order).  The n-gram-overlap scan every serious pretraining corpus
-    runs before training.
+    runs before training; production uses 8-13-gram windows (the
+    pipeline stage in pipelineq keeps 8), but this synthetic text
+    shares no 8-grams at test scale, which made the check vacuous —
+    4-grams yield real contamination hits the driver hash can prove.
 
     Scale shape: DISTINCT per-doc grams (bounded by doc length); the
     eval set is bounded by construction — a real benchmark suite is a
@@ -229,9 +232,9 @@ def cp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     grams = materialize(
-        word_shingles(d, "doc_id", "text", 8).withColumnRenamed("doc", "doc_id"),
+        word_shingles(d, "doc_id", "text", 4).withColumnRenamed("doc", "doc_id"),
         "decon_grams",
-        cache_key=f"documents:{sf_dir}:sh8",
+        cache_key=f"documents:{sf_dir}:sh4",
     )
     eval_docs = (
         d.filter(F.col("doc_id") % 97 == 0)

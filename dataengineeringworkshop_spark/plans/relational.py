@@ -333,14 +333,21 @@ def j_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_anti_not_exists",
     oracle="""
         SELECT c_custkey, c_name FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
     """,
     tags=("extra",),
 )
 def j_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS)."""
+    """Left-anti join (NOT EXISTS): customers with no high-value order.
+    The unconditioned variant (customers with no orders at all) returns
+    ZERO rows on this testdata — every customer has orders — which made
+    the oracle match vacuous; the price condition yields real anti rows
+    (~200 of 1500 at sf0.01) so the driver hash actually proves the
+    anti-join semantics."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
