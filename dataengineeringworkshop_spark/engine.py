@@ -47,12 +47,15 @@ class Lakehouse:
 
     # ---- ad-hoc query surface (workshop %sql / display cells) ----
     def sql(self, statement: str) -> DataFrame:
-        """Run SQL; Databricks ``col:json.path`` extraction (N2:516,
-        N3:147-151) is translated to ``get_json_object`` first so
-        workshop SQL runs verbatim."""
-        from dataengineeringworkshop_spark.sqlcompat import translate_sql
+        """Run SQL verbatim, including the workshop's Databricks-only
+        surface: ``col:json.path`` extraction (N2:516, N3:147-151) is
+        translated to ``get_json_object``, and UPDATE / DELETE / MERGE
+        INTO / ALTER TABLE ADD COLUMN / DESCRIBE HISTORY / VERSION AS OF
+        statements (N1:146-212, N2:511-540) are dispatched to the
+        versioned-table API (see ``sqldml``)."""
+        from dataengineeringworkshop_spark.sqldml import execute
 
-        return self.spark.sql(translate_sql(statement))
+        return execute(self, statement)
 
     # ---- batch ingestion (N1:86-93, N2:116-126) ----
     def read_csv(self, path: str, **opts) -> DataFrame:

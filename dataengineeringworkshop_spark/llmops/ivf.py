@@ -146,12 +146,19 @@ def ann_topk_ivf(
     nprobe: int = 4,
     seed: int = 42,
     index_key: str | None = None,
+    decimal_rescore: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, sim_rank) — IVF probe + exact rerank.
 
     With ``index_key`` the inverted lists (vid, cell_id, vector) are
     built once and materialized to parquet — index-build vs serve
-    separation; the probe then touches only the index artifact."""
+    separation; the probe then touches only the index artifact.
+
+    ``decimal_rescore``: rescore the double-ranked top (k+30) candidates
+    per query with the exact DECIMAL(28,14) fold (dot AND both norms) and
+    re-rank before the final cut — the same two-phase device as
+    ``sim_cosine_topk``, making cosines bit-identical to a DuckDB decimal
+    oracle.  Rescore cost is O(|Q|·(k+30)·d), probe-set-bounded."""
     centroid_rows = _train_centroid_rows(
         corpus, vec_col, nlist, seed, max_iter=5, max_train_rows=100_000,
         cache_key=index_key,
@@ -202,6 +209,39 @@ def ann_topk_ivf(
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc_nulls_last(), F.col("vid"))
+    if decimal_rescore:
+        from dataengineeringworkshop_spark.llmops.expr import DOT_DECIMAL
+
+        # double ranking prefilters with a 3× rank margin (double-vs-
+        # decimal disagreement is ~1e-13 relative; the k → k+30 cosine
+        # gap is orders larger), then the survivors alone pay the exact
+        # decimal arithmetic
+        cand = (
+            scored.filter(F.col("cosine").isNotNull())
+            .withColumn("pre_rank", F.row_number().over(w))
+            .filter(F.col("pre_rank") <= k + 30)
+        )
+        exact = cand.withColumn(
+            "cosine",
+            F.expr(DOT_DECIMAL.format(a="q_vec", b="c_vec"))
+            / F.sqrt(
+                F.expr(DOT_DECIMAL.format(a="q_vec", b="q_vec"))
+                * F.expr(DOT_DECIMAL.format(a="c_vec", b="c_vec"))
+            ),
+        )
+        w2 = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc_nulls_last(), F.col("vid")
+        )
+        return (
+            exact.withColumn("sim_rank", F.row_number().over(w2))
+            .filter(F.col("sim_rank") <= k)
+            .select(
+                F.col("qid").alias("query_id"),
+                F.col("vid").alias("neighbor_id"),
+                F.round("cosine", 6).alias("cosine"),
+                "sim_rank",
+            )
+        )
     return (
         scored.filter(F.col("cosine").isNotNull())  # zero-norm pairs: no result
         .withColumn("sim_rank", F.row_number().over(w))

@@ -354,3 +354,131 @@ def vt_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.changes("o_orderkey", 0, 1).select(
         "o_orderkey", "o_totalprice", "_change_type"
     )
+
+
+_SQL_DML_ORACLE = """
+    WITH base AS (SELECT s_suppkey, s_name, s_nationkey FROM supplier),
+    u1 AS (
+        SELECT s_suppkey, s_name, s_nationkey,
+               CASE WHEN s_nationkey IN (0, 1, 2, 3, 4) THEN 'A'
+                    WHEN s_nationkey IN (5, 6, 7, 8, 9, 10, 11, 12, 13, 14) THEN 'B'
+               END AS region_tag
+        FROM base
+    ),
+    u2 AS (
+        SELECT s_suppkey, s_name, s_nationkey,
+               CASE WHEN s_nationkey >= 15 THEN 'C' ELSE region_tag END AS region_tag
+        FROM u1
+    ),
+    d AS (SELECT * FROM u2 WHERE s_suppkey % 10 <> 9),
+    src AS (
+        SELECT s_suppkey, upper(s_name) AS s_name, s_nationkey, 'M' AS region_tag
+        FROM base WHERE s_suppkey % 5 = 0
+        UNION ALL
+        SELECT s_suppkey + 100000, s_name, s_nationkey, 'N' AS region_tag
+        FROM base WHERE s_suppkey % 25 = 0
+    ),
+    merged AS (
+        SELECT COALESCE(t.s_suppkey, s.s_suppkey) AS s_suppkey,
+               CASE WHEN s.s_suppkey IS NOT NULL AND (t.s_suppkey IS NULL OR t.s_name <> s.s_name)
+                    THEN s.s_name ELSE t.s_name END AS s_name,
+               CASE WHEN s.s_suppkey IS NOT NULL AND (t.s_suppkey IS NULL OR t.s_name <> s.s_name)
+                    THEN s.region_tag ELSE t.region_tag END AS region_tag
+        FROM d t FULL OUTER JOIN src s ON t.s_suppkey = s.s_suppkey
+    )
+    SELECT 'final' AS part, CAST(s_suppkey AS BIGINT) AS k, s_name, region_tag FROM merged
+    UNION ALL
+    SELECT 'v2', CAST(s_suppkey AS BIGINT), s_name, region_tag FROM u1 WHERE s_suppkey % 7 = 0
+    UNION ALL
+    SELECT 'hist', CAST(v AS BIGINT), op, CAST(NULL AS VARCHAR)
+    FROM (VALUES (0, 'CREATE TABLE AS SELECT'), (1, 'ADD COLUMNS'), (2, 'UPDATE'),
+                 (3, 'UPDATE'), (4, 'DELETE'), (5, 'MERGE')) AS h(v, op)
+"""
+
+
+@query(
+    "vt_sql_dml_verbatim",
+    oracle=_SQL_DML_ORACLE,
+    tags=("D1", "D2", "D4", "D5", "D6", "S10", "sql-dml"),
+)
+def vt_sql_dml_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal ``%sql`` DML surface, executed as SQL TEXT
+    through ``Lakehouse.sql`` (dispatcher: sqldml.py) — the statement
+    shapes of `1 Data ingestion.py:146-212` and `2 Medaillon
+    architecture.py:511-540` run verbatim against a versioned table:
+    ALTER TABLE ADD COLUMN, UPDATE with an IN-list CASE, UPDATE…WHERE,
+    DELETE…WHERE, MERGE INTO with alias names + matched-AND guard +
+    insert *, DESCRIBE HISTORY, and SELECT … VERSION AS OF inside a
+    query.  Output = final state ∪ time-travel probe ∪ history (version,
+    operation) rows; the oracle recomputes every step relationally."""
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(tempfile.mkdtemp(prefix="dew_sqldml_"), spark=spark)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    lh.create_table("stores_dml", sup)  # v0
+    lh.sql("alter table stores_dml add column region_tag string")  # v1
+    lh.sql(  # v2 — N1:151-157's IN-list CASE update, verbatim shape
+        """
+        update stores_dml
+        set region_tag = case
+          when s_nationkey in (0, 1, 2, 3, 4) then 'A'
+          when s_nationkey in (5, 6, 7, 8, 9, 10, 11, 12, 13, 14) then 'B'
+        end
+        """
+    )
+    # v3 — N1:166-172's UPDATE … WHERE, verbatim shape
+    lh.sql("update stores_dml set region_tag = 'C' where s_nationkey >= 15")
+    lh.sql("delete from stores_dml where s_suppkey % 10 = 9")  # v4
+    src = (
+        sup.filter(F.col("s_suppkey") % 5 == 0)
+        .select(
+            "s_suppkey",
+            F.upper("s_name").alias("s_name"),
+            "s_nationkey",
+            F.lit("M").alias("region_tag"),
+        )
+        .unionByName(
+            sup.filter(F.col("s_suppkey") % 25 == 0).select(
+                (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+                "s_name",
+                "s_nationkey",
+                F.lit("N").alias("region_tag"),
+            )
+        )
+    )
+    src.createOrReplaceTempView("v_stores_src")
+    lh.sql(  # v5 — N2:534-540's MERGE INTO, verbatim shape
+        """
+        merge into stores_dml target
+           using v_stores_src source
+           on target.s_suppkey = source.s_suppkey
+        when matched and target.s_name <> source.s_name then
+          update set *
+        when not matched then
+          insert *
+        """
+    )
+    hist = lh.sql("DESCRIBE HISTORY stores_dml").select(
+        F.lit("hist").alias("part"),
+        F.col("version").cast("long").alias("k"),
+        F.col("operation").alias("s_name"),
+        F.lit(None).cast("string").alias("region_tag"),
+    )
+    v2 = lh.sql(
+        "select region_tag, s_suppkey, s_name from stores_dml VERSION AS OF 2 "
+        "where s_suppkey % 7 = 0"
+    ).select(
+        F.lit("v2").alias("part"),
+        F.col("s_suppkey").cast("long").alias("k"),
+        "s_name",
+        "region_tag",
+    )
+    final = lh.sql("select s_suppkey, s_name, region_tag from stores_dml").select(
+        F.lit("final").alias("part"),
+        F.col("s_suppkey").cast("long").alias("k"),
+        "s_name",
+        "region_tag",
+    )
+    return final.unionByName(v2).unionByName(hist)

@@ -14,11 +14,45 @@ from dataengineeringworkshop_spark.plans.registry import kbucket, query
 from dataengineeringworkshop_spark.plans.tables import load_table, register_views
 
 
-@query("mh_minhash_lsh_dedup", bench=True, tags=("ext-dedup",))
+@query(
+    "mh_minhash_lsh_dedup",
+    oracle="""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []
+                                           ELSE [array_to_string(list_slice(w, i, i + 2), ' ')
+                                                 FOR i IN range(1, len(w) - 1)] END) AS shingle
+                FROM tok
+            )
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.3
+    """,
+    bench=True,
+    tags=("ext-dedup",),
+)
 def mh_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidates + exact-Jaccard verify
-    (threshold 0.3) over documents.  Rows-only driver check; pytest
-    verifies against brute-force Jaccard."""
+    (threshold 0.3) over documents, hash-checked against a DuckDB oracle
+    computing EXHAUSTIVE all-pairs word-3-gram Jaccard (no LSH, no df
+    cap).  Oracle equality is a real recall statement: every true pair
+    in the testdata sits at j ≥ 0.89 (P(LSH miss at b=16, r=4) < 1e-7
+    per pair, and xxhash64 minhashing is deterministic, so the result is
+    a fixed set — verified equal at sf0.001 and sf0.01).  In a corpus
+    with pairs barely above the threshold, banded LSH can drop them —
+    raise bands (b=64, r=1) when exhaustive recall at low thresholds
+    matters more than candidate volume."""
     from dataengineeringworkshop_spark.llmops.minhash import minhash_dedup_pairs
 
     d = load_table(spark, sf_dir, "documents")
@@ -84,11 +118,53 @@ def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sh_simhash_fingerprints", tags=("ext-dedup",))
 def sh_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document (token-frequency weighted)."""
+    """64-bit SimHash fingerprint per document (token-frequency weighted).
+    Raw xxhash64-derived fingerprints are not SQL-expressible → rows-only
+    driver check; ``sh_simhash_dup_pairs`` is the hash-oracled driver row
+    for this family, and pytest pins distance-0 ground truth."""
     from dataengineeringworkshop_spark.llmops.simhash import simhash
 
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text")
+
+
+#: planted-duplicate id offset for sh_simhash_dup_pairs — far above any
+#: real doc_id at every sf, so (d1, d1+OFFSET) can only be a plant pair
+_SH_PLANT_OFFSET = 10_000_000
+
+
+@query(
+    "sh_simhash_dup_pairs",
+    oracle=f"""
+        SELECT CAST(doc_id AS BIGINT) AS d1,
+               CAST(doc_id AS BIGINT) + {_SH_PLANT_OFFSET} AS d2
+        FROM documents WHERE doc_id % 7 = 0
+    """,
+    tags=("ext-dedup",),
+)
+def sh_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash end-to-end recall check with a DuckDB hash oracle: every
+    7th document is re-planted under doc_id+10M, the full pipeline
+    (tokenize → weighted bit-sum fingerprint → 4×16-bit band bucketing →
+    hamming filter at distance 0) runs over the augmented corpus, and
+    the output is the (original, plant) pairs found.  The oracle is the
+    planting rule itself — any bug that loses a fingerprint bit, drops a
+    band bucket, or mis-assembles the 64-bit word loses pairs and breaks
+    the hash.  (Identical text ⇒ identical fingerprint is exact, so this
+    checks recall; hamming-0 collisions between *different* near-dup
+    texts are a documented property of SimHash, not a defect, and are
+    excluded by the d2 = d1+offset filter.)"""
+    from dataengineeringworkshop_spark.llmops.simhash import simhash_near_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_SH_PLANT_OFFSET)
+    )
+    aug = d.unionByName(planted)
+    pairs = simhash_near_pairs(aug, "doc_id", "text", max_hamming=0)
+    return pairs.filter(
+        F.col("d2") == F.col("d1") + _SH_PLANT_OFFSET
+    ).select(F.col("d1").cast("long").alias("d1"), F.col("d2").cast("long").alias("d2"))
 
 
 def _query_sample(e, n: int = 32):
@@ -139,6 +215,66 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(
         e, q, "vec_id", "embedding", k=10, nlist=16, nprobe=4,
         index_key=f"embeddings:{sf_dir}",
+    )
+
+
+@query(
+    "ann_ivf_fullprobe_exact",
+    oracle=f"""
+        WITH ex AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+            FROM embeddings
+        ),
+        nrm AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY vec_id
+        ),
+        qsel AS (
+            SELECT vec_id FROM embeddings
+            ORDER BY {kbucket('CAST(vec_id AS BIGINT)', 1000000007)}, vec_id
+            LIMIT 32
+        ),
+        qx AS (SELECT vec_id AS qid, i, v FROM ex
+               WHERE vec_id IN (SELECT vec_id FROM qsel)),
+        dot AS (
+            SELECT qx.qid, ex.vec_id AS nid,
+                   CAST(SUM(CAST(CAST(qx.v AS DOUBLE) * CAST(ex.v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+            FROM qx JOIN ex ON qx.i = ex.i AND qx.qid <> ex.vec_id
+            GROUP BY qx.qid, ex.vec_id
+        ),
+        scored AS (
+            SELECT dot.qid AS query_id, dot.nid AS neighbor_id,
+                   ROUND(dot.dot / sqrt(n1.nrm * n2.nrm), 6) AS cosine
+            FROM dot JOIN nrm n1 ON dot.qid = n1.vec_id
+                     JOIN nrm n2 ON dot.nid = n2.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, sim_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= 10
+    """,
+    tags=("ext-sim", "ivf"),
+)
+def ann_ivf_fullprobe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF served at nprobe = nlist (probe every cell) — the losslessness
+    proof for the IVF machinery, hash-checked against the brute-force
+    DuckDB cosine oracle.  A vector lives in exactly one cell, so a full
+    probe must reproduce exact top-k: any bug in cell assignment, the
+    index's carried norms, list union, or ranking breaks the hash.
+    Final candidates are decimal-rescored (same two-phase device as
+    sim_cosine_topk) so cosines are bit-identical to the oracle's
+    DECIMAL(28,14) folds.  ``ann_ivf_topk`` (nprobe=4) is the production
+    approximate serve path; its recall vs this exact answer is measured
+    in pytest."""
+    from dataengineeringworkshop_spark.llmops.ivf import ann_topk_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_sample(e)
+    return ann_topk_ivf(
+        e, q, "vec_id", "embedding", k=10, nlist=16, nprobe=16,
+        index_key=f"embeddings:{sf_dir}", decimal_rescore=True,
     )
 
 

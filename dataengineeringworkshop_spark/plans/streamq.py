@@ -137,12 +137,26 @@ def st_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("st_stateful_user_totals", tags=("ext-streaming", "ST-state"))
+@query(
+    "st_stateful_user_totals",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               MAX(event_id) AS last_event_id
+        FROM events GROUP BY user_id
+    """,
+    tags=("ext-streaming", "ST-state"),
+)
 def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running per-user totals over the event
-    stream (bounded run).  Rows-only driver check; pytest verifies the
-    final state equals the batch aggregate and that state survives
-    checkpointed restarts."""
+    stream (bounded run).  On bounded input each user's FINAL state row
+    equals the batch per-user aggregate, and the accumulator keeps exact
+    integer cents (values are 2-decimal), so the emitted total_value is
+    bit-identical to the DECIMAL(18,2) batch sum however the stream is
+    micro-batched — a full DuckDB hash oracle for a custom stateful
+    operator.  Pytest additionally proves state survives checkpointed
+    restarts (test_streaming_ext)."""
     from dataengineeringworkshop_spark.streaming.stateful import running_user_totals
 
     stream = _events_stream(spark, sf_dir)

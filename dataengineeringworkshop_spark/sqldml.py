@@ -1,0 +1,201 @@
+"""SQL-string DML surface: run the reference's literal ``%sql`` DML
+cells verbatim against versioned tables.
+
+The workshop issues mutation DDL/DML as SQL text — ``ALTER TABLE ADD
+COLUMN`` (`1 Data ingestion.py:146-147`), ``UPDATE`` (N1:151-172,
+`2 Medaillon architecture.py:511-517`), ``MERGE INTO`` (N2:534-540),
+``DESCRIBE HISTORY`` (N1:196-198) and ``VERSION AS OF`` time travel
+(N1:210-212).  Stock Spark SQL rejects all of these against parquet
+tables; Databricks routes them to Delta.  This module is that router
+for :class:`~dataengineeringworkshop_spark.tables.versioned.VersionedTable`:
+:func:`execute` classifies a statement, parses the workshop-scoped
+grammar, and dispatches to the table API; everything else falls through
+to ``spark.sql`` (after the ``col:json.path`` translation in
+``sqlcompat``).
+
+Scope is deliberately the reference's surface: ``UPDATE t SET c = expr
+[, …] [WHERE cond]``, ``DELETE FROM t WHERE cond``, ``MERGE INTO t [AS]
+a USING src [AS] b ON cond WHEN MATCHED [AND cond] THEN UPDATE SET *
+[WHEN NOT MATCHED THEN INSERT *]``, ``ALTER TABLE t ADD COLUMN c type``,
+``DESCRIBE HISTORY t``, and ``<table> VERSION AS OF n`` inside any
+query.  Unsupported MERGE clause forms (column-level SET lists,
+``WHEN NOT MATCHED BY SOURCE``) raise rather than mis-execute.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+from dataengineeringworkshop_spark.sqlcompat import translate_sql
+
+if TYPE_CHECKING:  # pragma: no cover
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+
+def _strip(sql: str) -> str:
+    """Drop SQL line comments and trailing semicolon/whitespace."""
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    return sql.strip().rstrip(";").strip()
+
+
+def _split_top_level(text: str, sep_re: str) -> list[str]:
+    """Split on a regex separator only at paren depth 0 outside quotes."""
+    parts, buf, depth, in_str = [], [], 0, False
+    i, pat = 0, re.compile(sep_re, re.IGNORECASE)
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            m = pat.match(text, i)
+            if m:
+                parts.append("".join(buf))
+                buf = []
+                i = m.end()
+                continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+_UPDATE_RE = re.compile(r"^update\s+(\w+)\s+set\s+(.*)$", re.IGNORECASE | re.DOTALL)
+_DELETE_RE = re.compile(r"^delete\s+from\s+(\w+)\s+where\s+(.*)$", re.IGNORECASE | re.DOTALL)
+_ALTER_RE = re.compile(
+    r"^alter\s+table\s+(\w+)\s+add\s+columns?\s*\(?\s*(\w+)\s+([\w()<>, ]+?)\s*\)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_HISTORY_RE = re.compile(r"^describe\s+history\s+(\w+)$", re.IGNORECASE)
+_MERGE_RE = re.compile(
+    r"^merge\s+into\s+(\w+)(?:\s+as)?(?:\s+(\w+))?\s+"
+    r"using\s+(\w+)(?:\s+as)?(?:\s+(\w+))?\s+"
+    r"on\s+(.*?)\s*"
+    r"(when\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MATCHED_RE = re.compile(
+    r"^when\s+matched\s*(?:and\s+(.*?))?\s*then\s+update\s+set\s+\*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NOT_MATCHED_RE = re.compile(
+    r"^when\s+not\s+matched\s*then\s+insert\s+\*$", re.IGNORECASE | re.DOTALL
+)
+_VERSION_AS_OF_RE = re.compile(r"\b(\w+)\s+version\s+as\s+of\s+(\d+)\b", re.IGNORECASE)
+
+
+def _alias_to_ts(cond: str, t_alias: str, s_alias: str) -> str:
+    """Rewrite the statement's target/source aliases to the ``t.``/``s.``
+    convention the VersionedTable.merge API uses."""
+    cond = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", cond)
+    return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", cond)
+
+
+def execute(lh: "Lakehouse", statement: str) -> DataFrame:
+    """Execute one SQL statement; DML/DDL/history/time-travel on
+    versioned tables is dispatched to the table API, anything else runs
+    through ``spark.sql`` with the JSON-path translation applied."""
+    sql = _strip(translate_sql(statement))
+
+    m = _HISTORY_RE.match(sql)
+    if m:
+        return lh.table(m.group(1)).history()
+
+    m = _ALTER_RE.match(sql)
+    if m:
+        table, col, dtype = m.group(1), m.group(2), m.group(3).strip()
+        lh.table(table).add_column(col, dtype)
+        lh.refresh_view(table)
+        return _status(lh, "ALTER TABLE ADD COLUMN", table)
+
+    m = _UPDATE_RE.match(sql)
+    if m:
+        table, rest = m.group(1), m.group(2)
+        body, *where = _split_top_level(rest, r"\bwhere\b")
+        set_exprs: dict[str, str] = {}
+        for assign in _split_top_level(body, r","):
+            am = re.match(r"^\s*(\w+)\s*=\s*(.*)$", assign, re.DOTALL)
+            if not am:
+                raise ValueError(f"unparseable SET assignment: {assign!r}")
+            set_exprs[am.group(1)] = am.group(2).strip()
+        lh.table(table).update(set_exprs, where[0].strip() if where else None)
+        lh.refresh_view(table)
+        return _status(lh, "UPDATE", table)
+
+    m = _DELETE_RE.match(sql)
+    if m:
+        table, cond = m.group(1), m.group(2).strip()
+        lh.table(table).delete(cond)
+        lh.refresh_view(table)
+        return _status(lh, "DELETE", table)
+
+    m = _MERGE_RE.match(sql)
+    if m:
+        table, t_alias, source, s_alias, on, clauses_text = (
+            m.group(1),
+            m.group(2) or m.group(1),
+            m.group(3),
+            m.group(4) or m.group(3),
+            m.group(5),
+            m.group(6),
+        )
+        update_condition, insert = None, False
+        clauses = [
+            "when " + c.strip()
+            for c in _split_top_level(clauses_text, r"\bwhen\b")
+            if c.strip()
+        ]
+        for clause in clauses:
+            mm = _MATCHED_RE.match(clause)
+            if mm:
+                update_condition = (
+                    _alias_to_ts(mm.group(1).strip(), t_alias, s_alias)
+                    if mm.group(1)
+                    else None
+                )
+                continue
+            if _NOT_MATCHED_RE.match(clause):
+                insert = True
+                continue
+            raise NotImplementedError(
+                f"MERGE clause not in the workshop surface: {clause!r}"
+            )
+        lh.table(table).merge(
+            lh.spark.table(source),
+            on=_alias_to_ts(on.strip(), t_alias, s_alias),
+            update_condition=update_condition,
+            insert=insert,
+        )
+        lh.refresh_view(table)
+        return _status(lh, "MERGE", table)
+
+    # time travel inside an otherwise-ordinary query: register each
+    # "<table> VERSION AS OF n" as a snapshot temp view and substitute
+    def _tt(mm: re.Match) -> str:
+        table, version = mm.group(1), int(mm.group(2))
+        view = f"{table}__v{version}"
+        lh.table(table).read(version=version).createOrReplaceTempView(view)
+        return view
+
+    return lh.spark.sql(_VERSION_AS_OF_RE.sub(_tt, sql))
+
+
+def _status(lh: "Lakehouse", operation: str, table: str) -> DataFrame:
+    return lh.spark.createDataFrame(
+        [(operation, table)], "operation string, table string"
+    )

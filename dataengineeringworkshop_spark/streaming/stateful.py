@@ -30,7 +30,10 @@ from pyspark.sql.types import (
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        # exact integer cents (values are 2-decimal): order-independent
+        # across events AND micro-batches, so the emitted total equals
+        # the batch DECIMAL(18,2) sum bit-for-bit regardless of batching
+        StructField("total_cents", LongType()),
         StructField("last_event_id", LongType()),
     ]
 )
@@ -50,21 +53,23 @@ def _update_user(
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n, total, last_id = state.get
+        n, cents, last_id = state.get
     else:
-        n, total, last_id = 0, 0.0, -1
+        n, cents, last_id = 0, 0, -1
     for pdf in batches:
         n += len(pdf)
-        # exact cents-arithmetic (values are 2-decimal), order-independent
-        total += float(pdf["value"].mul(100).round().sum()) / 100.0
+        # exact cents-arithmetic (values are 2-decimal), order-independent;
+        # the division to double happens only at EMIT time so multi-batch
+        # accumulation never compounds float error
+        cents += int(pdf["value"].mul(100).round().sum())
         mx = int(pdf["event_id"].max())
         last_id = max(last_id, mx)
-    state.update((n, total, last_id))
+    state.update((n, cents, last_id))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [cents / 100.0],
             "last_event_id": [last_id],
         }
     )

