@@ -88,19 +88,32 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_key"),
     )
-    # two-pass shape: COUNT buckets first, keep the small ones, THEN
-    # self-join entries restricted to surviving buckets.  A
-    # collect_list-per-bucket would materialize a degenerate boilerplate
-    # bucket's entire member array in one aggregation task BEFORE the
-    # size filter could drop it — an executor OOM at corpus scale; the
-    # count aggregate carries only (band, key, n) however hot the key,
-    # and both passes shuffle on the same (band, band_key) so the
-    # exchange is reused
-    sizes = band_entries.groupBy("band", "band_key").agg(F.count("*").alias("n"))
-    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select(
-        "band", "band_key"
+    # bucket-size gate as a WINDOW count over (band, band_key): ONE
+    # shuffle computes sizes and filters in place — the upstream
+    # signature aggregation feeds exactly one pass (a separate
+    # count-aggregate pass would evaluate the signature lineage a second
+    # time: its exchange canonicalizes differently from the join's, so
+    # ReuseExchange cannot dedupe it, and AQE's broadcast conversion of
+    # the self-join breaks reuse anyway — observed in the executed
+    # plan).  A collect_list-per-bucket would materialize a degenerate
+    # boilerplate bucket's member array in one agg buffer with no spill;
+    # WindowExec buffers per bucket but SPILLS, and oversized buckets
+    # are dropped right here before any pair is formed.  The surviving
+    # entries (only docs sharing a non-degenerate bucket — a small
+    # fraction of the corpus) are materialized so the self-join's two
+    # sides are parquet scans, not two rebuilds of the signature
+    # pipeline.
+    from pyspark.sql import Window
+
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    n = F.count("*").over(Window.partitionBy("band", "band_key"))
+    entries_ok = materialize(
+        band_entries.withColumn("n", n)
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .drop("n"),
+        "lsh_buckets",
     )
-    entries_ok = band_entries.join(ok, ["band", "band_key"])
     pairs = (
         entries_ok.select("band", "band_key", F.col("doc").alias("d1"))
         .join(

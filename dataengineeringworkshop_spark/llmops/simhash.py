@@ -62,15 +62,22 @@ def simhash_near_pairs(
             )
         ).alias("band", "band_key"),
     )
-    # two-pass: count buckets, keep small ones, then self-join entries
-    # within surviving buckets — never a collect_list whose array could
-    # grow with a degenerate boilerplate bucket before the size filter
-    # runs (see minhash.lsh_candidate_pairs)
-    sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("n"))
-    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select(
-        "band", "band_key"
+    # bucket-size gate as a window count over (band, band_key) — one
+    # pass over the fingerprint aggregation — then MATERIALIZE the
+    # surviving entries so the self-join scans parquet instead of
+    # rebuilding the 64-bit-sum fingerprint lineage per join side (see
+    # minhash.lsh_candidate_pairs for the full rationale)
+    from pyspark.sql import Window
+
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    n = F.count("*").over(Window.partitionBy("band", "band_key"))
+    b_ok = materialize(
+        bands.withColumn("n", n)
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .drop("n"),
+        "simhash_buckets",
     )
-    b_ok = bands.join(ok, ["band", "band_key"])
     pairs = (
         b_ok.select(
             "band", "band_key", F.col("doc").alias("d1"), F.col("simhash").alias("s1")

@@ -8,7 +8,11 @@ Modes (N4:86-95):
 
 Metrics are computed with ``df.observe`` (aggregates piggyback on the
 action that materializes the DataFrame — zero extra scans) when attached
-to a write, or with a single agg pass in ``expectation_metrics``.
+to a write, or with a single LAZY agg pass in ``expectation_metrics``.
+Nothing in this module runs a Spark action: metrics ride whatever action
+the caller executes, and fail-mode enforcement is a row-level guard that
+aborts that same action — the observe path, with no second plan
+execution anywhere.
 """
 
 from __future__ import annotations
@@ -33,23 +37,29 @@ class ExpectationFailed(Exception):
 _METRIC_SCHEMA = "constraint_name string, passed_records long, failed_records long"
 
 
-def expectation_metric_rows(
-    df: DataFrame, expectations: list[Expectation]
-) -> list[tuple[str, int, int]]:
-    """(name, passed, failed) per expectation — exactly ONE aggregate scan
-    of ``df``, collected as a single driver row."""
-    if not expectations:
-        return []
-    aggs = []
+def fail_guard(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Attach a row-level guard for every ``fail``-mode expectation: the
+    first violating row aborts whatever action materializes the frame
+    (DLT's ON VIOLATION FAIL UPDATE fails the flow *during* processing —
+    same semantics, and it costs zero extra scans because the check rides
+    the caller's own action).
+
+    Implemented as a filter over ``CASE WHEN NOT (pred) THEN
+    raise_error(...) ELSE true END`` — a filter cannot be pruned by the
+    optimizer, and ``raise_error`` is non-foldable, so the guard survives
+    Catalyst intact."""
+    out = df
     for e in expectations:
-        pred = F.expr(e.predicate)
-        aggs.append(F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"__p_{e.name}"))
-        aggs.append(F.sum(F.when(pred, 0).otherwise(1)).cast("long").alias(f"__f_{e.name}"))
-    row = df.agg(*aggs).collect()[0]
-    return [
-        (e.name, row[f"__p_{e.name}"] or 0, row[f"__f_{e.name}"] or 0)
-        for e in expectations
-    ]
+        if e.mode != "fail":
+            continue
+        msg = f"expectation {e.name} violated (ON VIOLATION FAIL UPDATE)"
+        out = out.filter(
+            F.expr(
+                f"CASE WHEN NOT coalesce(({e.predicate}), false) "
+                f"THEN raise_error('{msg}') ELSE true END"
+            )
+        )
+    return out
 
 
 def expectation_metrics(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
@@ -85,23 +95,17 @@ def apply_expectations(
     df: DataFrame, expectations: list[Expectation]
 ) -> tuple[DataFrame, DataFrame]:
     """Return (dataset, metrics).  ``drop`` expectations filter the dataset;
-    ``fail`` expectations raise if any row violates; ``warn`` only record.
+    ``fail`` expectations abort the caller's materializing action on the
+    first violating row (via :func:`fail_guard`); ``warn`` only record.
 
-    Metrics always cost ONE scan of ``df``.  With no fail-mode
-    expectations the metrics frame is returned LAZY (no job at call
-    time); fail mode forces an eager check so the raise happens here."""
+    Fully LAZY — no Spark job runs here.  Metrics cost ONE scan when the
+    caller materializes them; the fail check rides the caller's own
+    action on the returned dataset (the observe discipline: never a
+    second execution of the node plan)."""
     if not expectations:
         return df, df.sparkSession.createDataFrame([], _METRIC_SCHEMA)
-    if any(e.mode == "fail" for e in expectations):
-        rows = expectation_metric_rows(df, expectations)
-        by_name = {name: failed for name, _, failed in rows}
-        for e in expectations:
-            if e.mode == "fail" and by_name.get(e.name, 0) > 0:
-                raise ExpectationFailed(f"expectation {e.name!r} violated")
-        metrics = df.sparkSession.createDataFrame(rows, _METRIC_SCHEMA)
-    else:
-        metrics = _lazy_metrics(df, expectations)
-    out = df
+    metrics = _lazy_metrics(df, expectations)
+    out = fail_guard(df, expectations)
     for e in expectations:
         if e.mode == "drop":
             out = out.filter(F.expr(e.predicate))

@@ -4,7 +4,7 @@ Tables Setup.py:104-168`).
 
 A pipeline is a DAG of dataset definitions:
 
-    kind ∈ {table, incremental_table, view}   (N4:28-34, 39-45, 74-79)
+    kind ∈ {table, incremental_table, temp_table, view}   (N4:28-34, 39-45, 74-79)
     query: SQL referencing upstreams as ``live.<name>`` or
            ``STREAM(live.<name>)`` (N4:77-79, 117, 158), or a
            ``cloud_files('<dir>', '<fmt>')`` source (N4:34); or a Python
@@ -22,9 +22,14 @@ Execution semantics (N4:14-18, 38; SURVEY §7.4):
   checkpoint — from a landing directory (``cloud_files``) or from an
   upstream incremental table's storage (``STREAM(live.x)``) — and
   APPENDED to its storage.  Exactly-once via the stream checkpoint.
+- **temp_table** (TEMPORARY LIVE TABLE): fully recomputed each run as
+  PLAIN parquet — no commit log, no version history.  Intermediate DAG
+  stages that nobody time-travels belong here; only gold/published
+  nodes pay the versioned-commit overhead.
 - **view**: temp view for downstream nodes; never materialized.
 - Expectations are evaluated per executed batch; ``drop`` filters rows,
-  ``fail`` aborts the run, all modes record metrics.
+  ``fail`` aborts the run (row-level guard riding the write action —
+  transactional, nothing published), all modes record metrics.
 - Every run appends ``flow_definition`` / ``flow_progress`` events (with
   ``num_output_rows`` and ``data_quality.expectations``) to a JSON-lines
   event log queryable as a table (N3:130-168 parity).
@@ -52,6 +57,7 @@ from pyspark.sql import functions as F
 from dataengineeringworkshop_spark.operators.expectations import (
     Expectation,
     ExpectationFailed,
+    fail_guard,
 )
 from dataengineeringworkshop_spark.session import ensure_session_defaults
 from dataengineeringworkshop_spark.tables.backend import open_table
@@ -100,12 +106,19 @@ class Pipeline:
         return self
 
     def table(self, name: str, sql: str | None = None, *, incremental: bool = False,
+              temporary: bool = False,
               expectations: list[Expectation] | None = None, fn=None,
               schema_hints: str | None = None, comment: str = "") -> "Pipeline":
+        if incremental and temporary:
+            raise ValueError("a dataset cannot be both incremental and temporary")
         return self.add(
             DatasetSpec(
                 name=name,
-                kind="incremental_table" if incremental else "table",
+                kind=(
+                    "incremental_table" if incremental
+                    else "temp_table" if temporary
+                    else "table"
+                ),
                 sql=sql,
                 fn=fn,
                 expectations=expectations or [],
@@ -121,6 +134,27 @@ class Pipeline:
 
     def _table_dir(self, name: str) -> str:
         return f"{self.storage}/tables/{name}"
+
+    def _temp_dir(self, name: str) -> str:
+        return f"{self.storage}/temp/{name}"
+
+    def _write_temp(self, kept: DataFrame, name: str) -> None:
+        """Plain-parquet materialization for temp tables.  Written to a
+        fresh staging dir then atomically renamed into place, so an
+        aborted write (fail-mode guard firing mid-scan) never leaves a
+        half-written dataset visible to downstream nodes."""
+        import shutil
+
+        final = self._temp_dir(name)
+        staging = f"{final}__staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            kept.write.mode("overwrite").parquet(staging)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(staging, final)
 
     def _incr_dir(self, name: str) -> str:
         return f"{self.storage}/incremental/{name}"
@@ -163,6 +197,8 @@ class Pipeline:
             return spark.read.option("mergeSchema", "true").parquet(self._incr_dir(name))
         if spec.kind == "table":
             return open_table(spark, self._table_dir(name)).read()
+        if spec.kind == "temp_table":
+            return spark.read.parquet(self._temp_dir(name))
         raise ValueError(f"{name} is a view — not materialized")
 
     def event_log(self, spark: SparkSession) -> DataFrame:
@@ -190,11 +226,22 @@ class Pipeline:
                     df.createOrReplaceTempView(self._view_name(spec.name))
                     results[spec.name] = {"kind": "view"}
                     continue
-                if spec.kind == "table":
+                if spec.kind in ("table", "temp_table"):
                     df = self._build_batch(spark, spec)
                     kept, finish = self._prepare_node_write(df, spec)
-                    vt = open_table(spark, self._table_dir(spec.name))
-                    vt.write(kept, mode="overwrite")
+                    try:
+                        if spec.kind == "table":
+                            vt = open_table(spark, self._table_dir(spec.name))
+                            vt.write(kept, mode="overwrite")
+                        else:
+                            # temp tables skip the commit log entirely:
+                            # plain parquet overwrite, no version history
+                            # (DLT TEMPORARY LIVE TABLE semantics — the
+                            # bulk of a deep DAG's nodes, so per-node
+                            # commit overhead stays off the hot path)
+                            self._write_temp(kept, spec.name)
+                    except Exception as ex:  # noqa: BLE001
+                        _translate_fail_guard(spec.name, ex)
                     n, metrics = finish()
                     results[spec.name] = {"rows": n, "expectations": metrics}
                     self._emit(ev, "flow_progress", spec.name, {
@@ -264,21 +311,13 @@ class Pipeline:
         plan).  Call ``finish()`` AFTER the write action; it returns
         ``(rows_written, metrics)``.
 
-        ``fail``-mode expectations are the exception: their violation
-        check must abort BEFORE any rows are committed, so that mode
-        keeps the eager pre-scan (one extra aggregate, only when a
-        fail-mode expectation is declared)."""
+        ``fail``-mode expectations are a row-level ``raise_error`` guard
+        on the kept frame (:func:`fail_guard`): the FIRST violating row
+        aborts the write action itself — no eager pre-scan, and with a
+        transactional sink (VersionedTable commit log, Delta) nothing is
+        published.  Callers translate the guard's runtime error back to
+        :class:`ExpectationFailed` via :func:`_translate_fail_guard`."""
         expectations = spec.expectations
-        if any(e.mode == "fail" for e in expectations):
-            kept, metrics = self._expectations_batch(df, spec)  # may raise
-            obs = Observation()
-            kept = kept.observe(obs, F.count(F.lit(1)).alias("__rows"))
-
-            def finish_fail_path():
-                return obs.get["__rows"], metrics
-
-            return kept, finish_fail_path
-
         # observation sits BEFORE the drop filters, so metrics see every
         # input row while only kept rows flow to the write
         aggs = [F.count(F.lit(1)).alias("__total")]
@@ -296,7 +335,7 @@ class Pipeline:
                 .alias("__kept")
             )
         obs = Observation()
-        kept = df.observe(obs, *aggs)
+        kept = fail_guard(df.observe(obs, *aggs), expectations)
         for p in drop_preds:
             kept = kept.filter(F.expr(p))
 
@@ -320,35 +359,6 @@ class Pipeline:
             return n, metrics
 
         return kept, finish
-
-    def _expectations_batch(self, df: DataFrame, spec: DatasetSpec):
-        metrics = []
-        if not spec.expectations:
-            return df, metrics
-        from dataengineeringworkshop_spark.operators.expectations import (
-            expectation_metric_rows,
-        )
-
-        mrows = expectation_metric_rows(df, spec.expectations)  # ONE scan
-        by_name = {name: (passed, failed) for name, passed, failed in mrows}
-        for e in spec.expectations:
-            passed, failed = by_name[e.name]
-            metrics.append(
-                {
-                    "name": e.name,
-                    "mode": e.mode,
-                    "passed_records": passed,
-                    "failed_records": failed,
-                    "dropped_records": failed if e.mode == "drop" else 0,
-                }
-            )
-            if e.mode == "fail" and failed > 0:
-                raise ExpectationFailed(f"{spec.name}: expectation {e.name!r} violated")
-        kept = df
-        for e in spec.expectations:
-            if e.mode == "drop":
-                kept = kept.filter(F.expr(e.predicate))
-        return kept, metrics
 
     def _run_incremental(self, spark: SparkSession, spec: DatasetSpec):
         """availableNow streaming append with per-batch expectations via
@@ -381,6 +391,8 @@ class Pipeline:
         expectations = spec.expectations
         target = self._incr_dir(spec.name)
 
+        has_fail = any(e.mode == "fail" for e in expectations)
+
         def handle(batch_df: DataFrame, batch_id: int):
             # metrics + row count observe the ONE write action per batch
             # (previously an extra .count() re-executed the batch plan)
@@ -388,7 +400,26 @@ class Pipeline:
                 name=spec.name, kind="table", expectations=expectations
             )
             kept, finish = self._prepare_node_write(batch_df, batch_spec)
-            kept.write.mode("append").parquet(target)
+            if has_fail:
+                # the fail guard can abort the write mid-scan; a plain
+                # parquet append would leave the partial batch visible.
+                # Stage the batch and move files in only on success.
+                import shutil
+
+                staging = f"{target}__batch_staging"
+                shutil.rmtree(staging, ignore_errors=True)
+                try:
+                    kept.write.mode("overwrite").parquet(staging)
+                except Exception as ex:  # noqa: BLE001
+                    shutil.rmtree(staging, ignore_errors=True)
+                    _translate_fail_guard(spec.name, ex)
+                os.makedirs(target, exist_ok=True)
+                for f in os.listdir(staging):
+                    if f.endswith(".parquet"):
+                        os.rename(f"{staging}/{f}", f"{target}/{f}")
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                kept.write.mode("append").parquet(target)
             cnt, metrics = finish()
             state["metrics"] = _merge_metrics(state["metrics"], metrics)
             state["rows"] += cnt
@@ -399,7 +430,10 @@ class Pipeline:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        except Exception as ex:  # noqa: BLE001
+            _translate_fail_guard(spec.name, ex)
         os.makedirs(target, exist_ok=True)
         if not any(f.endswith(".parquet") for f in _walk_files(target)):
             # no data yet: materialize an empty frame with the right schema
@@ -421,6 +455,21 @@ class Pipeline:
             + "\n"
         )
         fh.flush()
+
+
+def _translate_fail_guard(node_name: str, ex: Exception) -> None:
+    """Re-raise a fail-mode guard's runtime error (``raise_error`` fired
+    inside the write action — see ``expectations.fail_guard``) as the
+    API-level :class:`ExpectationFailed`; anything else propagates
+    unchanged."""
+    msg = str(ex)
+    if "ON VIOLATION FAIL UPDATE" in msg:
+        m = re.search(r"expectation (\S+) violated", msg)
+        which = m.group(1) if m else "<unknown>"
+        raise ExpectationFailed(
+            f"{node_name}: expectation {which!r} violated"
+        ) from ex
+    raise ex
 
 
 def _merge_metrics(acc: list[dict], new: list[dict]) -> list[dict]:

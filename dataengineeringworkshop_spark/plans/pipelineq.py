@@ -150,7 +150,9 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable eval gram set — bounded by construction (the eval
     benchmark is a FIXED 64-doc hash-ordered sample, not a corpus
     percentage, so the broadcast cannot grow with the data); nothing
-    touches the driver."""
+    touches the driver.  Intermediate stages are TEMPORARY tables
+    (plain parquet, no commit log) — only the published ``gold_mix``
+    node pays versioned-commit overhead."""
     p = Pipeline("corpus", tempfile.mkdtemp(prefix="dew_plc_"))
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("__pl_corpus_src_docs")
     p.view("src_docs", "SELECT * FROM __pl_corpus_src_docs")
@@ -162,6 +164,7 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                size(split(text, ' ')) AS n_words
         FROM live.src_docs
         """,
+        temporary=True,
         expectations=[
             Expectation("min_chars", "n_chars_actual >= 120", mode="drop"),
             Expectation("min_words", "n_words >= 20", mode="drop"),
@@ -176,8 +179,10 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM live.gated
         ) WHERE rn = 1
         """,
+        temporary=True,
     )
-    p.table(
+    # single consumer (eval_grams) — a view, not a materialization
+    p.view(
         "eval_docs",
         f"""
         SELECT doc_id FROM live.src_docs WHERE doc_id % 97 = 0
@@ -185,12 +190,20 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 64
         """,
     )
-    p.table(
+    # contamination key = xxhash64 of the 8-token slice, not the joined
+    # gram string: the corpus-side explode emits 8 bytes per gram
+    # instead of re-concatenated text (the dominant cost of this stage),
+    # and the join compares longs.  A 64-bit collision could flag a
+    # clean doc as contaminated with p ≈ n_grams²/2⁶⁴ — negligible, and
+    # conservative in the safe direction for decontamination.
+    # single consumer (clean) over a fixed 64-doc eval set — view; the
+    # recompute inside clean's job is bounded by construction
+    p.view(
         "eval_grams",
         """
-        SELECT DISTINCT gram FROM (
+        SELECT DISTINCT gram_h FROM (
             SELECT explode(transform(sequence(1, size(w) - 7),
-                                     i -> array_join(slice(w, i, 8), ' '))) AS gram
+                                     i -> xxhash64(slice(w, i, 8)))) AS gram_h
             FROM (SELECT split(text, ' ') AS w FROM live.src_docs
                   WHERE doc_id IN (SELECT doc_id FROM live.eval_docs)
                     AND size(split(text, ' ')) >= 8)
@@ -204,13 +217,14 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT ANTI JOIN (
             SELECT DISTINCT doc_id FROM (
                 SELECT doc_id, explode(transform(sequence(1, size(w) - 7),
-                                                 i -> array_join(slice(w, i, 8), ' '))) AS gram
+                                                 i -> xxhash64(slice(w, i, 8)))) AS gram_h
                 FROM (SELECT doc_id, split(text, ' ') AS w FROM live.deduped
                       WHERE size(split(text, ' ')) >= 8)
-            ) g JOIN live.eval_grams e ON g.gram = e.gram
+            ) g JOIN live.eval_grams e ON g.gram_h = e.gram_h
         ) c ON d.doc_id = c.doc_id
         WHERE d.doc_id % 97 <> 0
         """,
+        temporary=True,
     )
     p.table(
         "gold_mix",

@@ -126,17 +126,40 @@ class VersionedTable:
 
     # ---------------------------------------------------------------- write
 
-    def write(self, df: DataFrame, mode: str = "overwrite") -> "VersionedTable":
+    # the commit-log format lets a caller interpose between the data
+    # write and the log append (transactional fail-mode expectations)
+    supports_precommit = True
+
+    def write(
+        self, df: DataFrame, mode: str = "overwrite", precommit=None
+    ) -> "VersionedTable":
         """CTAS / saveAsTable parity (S5-S6).  mode: overwrite | append.
 
         Append commits the MERGED schema (existing fields + new batch's
         new fields) so a narrower batch cannot silently drop columns from
         subsequent snapshot reads; a type conflict on a shared column
-        raises instead of corrupting."""
+        raises instead of corrupting.
+
+        ``precommit``: optional callable invoked AFTER the data write but
+        BEFORE the commit-log append.  If the write action itself fails
+        (e.g. a row-level fail-mode expectation guard fired mid-scan) or
+        ``precommit`` raises, the staged data directory is removed and
+        nothing is committed — readers never see the aborted version.
+        This is how the pipeline runner gets transactional ON VIOLATION
+        FAIL UPDATE out of a single scan: the check rides the write
+        action, and the commit-log append is the only publish point."""
         prev = self._latest()
         version = 0 if prev is None else prev.version + 1
         rel = self._new_data_dir(version)
-        df.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        try:
+            df.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+            if precommit is not None:
+                precommit()
+        except BaseException:
+            import shutil
+
+            shutil.rmtree(f"{self.path}/{rel}", ignore_errors=True)
+            raise
         schema_ddl = df.schema.simpleString()
         if mode == "append" and prev is not None:
             from pyspark.sql.types import StructType
