@@ -66,6 +66,31 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_materialized(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    index_key: str | None = None,
+) -> DataFrame:
+    """Signatures written once to a parquet artifact and re-scanned —
+    the form every multi-consumer pipeline stage (LSH banding runs TWO
+    passes over it) must use, so the expensive shingle→minhash
+    aggregation never executes more than once per corpus.  With
+    ``index_key`` the artifact is cached across calls (index
+    maintenance)."""
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    return materialize(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
+        "minhash_sigs",
+        cache_key=(
+            f"{index_key}:sh{shingle_n}:mh{num_hashes}" if index_key else None
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, max_bucket: int = 64
 ) -> DataFrame:
@@ -88,32 +113,24 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_key"),
     )
-    # bucket-size gate as a WINDOW count over (band, band_key): ONE
-    # shuffle computes sizes and filters in place — the upstream
-    # signature aggregation feeds exactly one pass (a separate
-    # count-aggregate pass would evaluate the signature lineage a second
-    # time: its exchange canonicalizes differently from the join's, so
-    # ReuseExchange cannot dedupe it, and AQE's broadcast conversion of
-    # the self-join breaks reuse anyway — observed in the executed
-    # plan).  A collect_list-per-bucket would materialize a degenerate
-    # boilerplate bucket's member array in one agg buffer with no spill;
-    # WindowExec buffers per bucket but SPILLS, and oversized buckets
-    # are dropped right here before any pair is formed.  The surviving
-    # entries (only docs sharing a non-degenerate bucket — a small
-    # fraction of the corpus) are materialized so the self-join's two
-    # sides are parquet scans, not two rebuilds of the signature
-    # pipeline.
-    from pyspark.sql import Window
-
-    from dataengineeringworkshop_spark.operators.materialize import materialize
-
-    n = F.count("*").over(Window.partitionBy("band", "band_key"))
-    entries_ok = materialize(
-        band_entries.withColumn("n", n)
-        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
-        .drop("n"),
-        "lsh_buckets",
+    # two-pass shape: COUNT buckets first, keep the small ones, THEN
+    # self-join entries restricted to surviving buckets.  A
+    # collect_list-per-bucket would materialize a degenerate boilerplate
+    # bucket's entire member array in one aggregation task BEFORE the
+    # size filter could drop it — an executor OOM at corpus scale; the
+    # count aggregate carries only (band, key, n) however hot the key.
+    # band_entries is evaluated by BOTH passes (their exchanges
+    # canonicalize differently, so ReuseExchange cannot dedupe them, and
+    # AQE's broadcast conversion breaks reuse anyway) — which is why
+    # every caller hands this function signatures read from a
+    # MATERIALIZED artifact: each pass is then a map-only projection of
+    # a parquet scan, never a second run of the shingle→minhash
+    # aggregation (see minhash_signatures_materialized).
+    sizes = band_entries.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select(
+        "band", "band_key"
     )
+    entries_ok = band_entries.join(ok, ["band", "band_key"])
     pairs = (
         entries_ok.select("band", "band_key", F.col("doc").alias("d1"))
         .join(
@@ -152,7 +169,9 @@ def minhash_dedup_pairs(
     pairs per doc), independent of corpus-wide shingle frequencies."""
     rows_per_band = num_hashes // bands
     if jaccard_threshold is None:
-        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        sigs = minhash_signatures_materialized(
+            df, id_col, text_col, num_hashes, shingle_n, index_key=index_key
+        )
         return lsh_candidate_pairs(sigs, bands, rows_per_band)
     # the shingle index feeds BOTH the signature branch and the exact-
     # Jaccard verify branch — materialize it once instead of re-scanning

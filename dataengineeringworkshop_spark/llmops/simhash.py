@@ -48,8 +48,16 @@ def simhash_near_pairs(
     max_bucket: int = 256,
 ) -> DataFrame:
     """(d1, d2, hamming) pairs with hamming(simhash) <= max_hamming,
-    found via 4×16-bit band buckets (complete for max_hamming <= 3)."""
-    fp = simhash(df, id_col, text_col)
+    found via 4×16-bit band buckets (complete for max_hamming <= 3).
+
+    The fingerprint table is MATERIALIZED before banding: the two-pass
+    bucket gate below evaluates its input twice (exchanges canonicalize
+    differently — ReuseExchange can't help), and from a parquet artifact
+    each pass is a map-only scan instead of a second run of the 64-way
+    bit-sum aggregation."""
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    fp = materialize(simhash(df, id_col, text_col), "simhash_fp")
     bands = fp.select(
         "doc",
         "simhash",
@@ -62,22 +70,16 @@ def simhash_near_pairs(
             )
         ).alias("band", "band_key"),
     )
-    # bucket-size gate as a window count over (band, band_key) — one
-    # pass over the fingerprint aggregation — then MATERIALIZE the
-    # surviving entries so the self-join scans parquet instead of
-    # rebuilding the 64-bit-sum fingerprint lineage per join side (see
-    # minhash.lsh_candidate_pairs for the full rationale)
-    from pyspark.sql import Window
-
-    from dataengineeringworkshop_spark.operators.materialize import materialize
-
-    n = F.count("*").over(Window.partitionBy("band", "band_key"))
-    b_ok = materialize(
-        bands.withColumn("n", n)
-        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
-        .drop("n"),
-        "simhash_buckets",
+    # two-pass: count buckets, keep small ones, then self-join entries
+    # within surviving buckets — never a collect_list whose array could
+    # grow with a degenerate boilerplate bucket before the size filter
+    # runs; both passes are map-only scans of the materialized
+    # fingerprint artifact (see minhash.lsh_candidate_pairs)
+    sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select(
+        "band", "band_key"
     )
+    b_ok = bands.join(ok, ["band", "band_key"])
     pairs = (
         b_ok.select(
             "band", "band_key", F.col("doc").alias("d1"), F.col("simhash").alias("s1")

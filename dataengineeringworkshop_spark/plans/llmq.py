@@ -333,6 +333,52 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_histogram_features(documents_as_media(d), dim=64)
 
 
+@query(
+    "mm_decode_roundtrip",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+               CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id % 31) + 1 AS INT)
+                    ELSE 0 END AS width,
+               CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id % 17) + 1 AS INT)
+                    ELSE 0 END AS height,
+               CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(((octet_length(CAST(text AS BLOB)) // 2) * 1000) // 8000
+                              AS BIGINT) END AS duration_ms,
+               true AS ok
+        FROM documents
+    """,
+    tags=("ext-mm",),
+)
+def mm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode, hash-checked: documents are packed into genuine
+    uncompressed-BMP / PCM-WAV payloads on executors
+    (multimodal.synthesize_media), then decode_media's pure-Python
+    header parsers recover width/height/channels/duration from the raw
+    bytes.  The DuckDB oracle recomputes the expected metadata from the
+    generation rule, so any bug in the 54-byte BMP header layout, row
+    padding, RIFF chunk walk, or block-align math breaks the hash.
+    Compressed formats remain honestly NotImplementedError (no codec
+    libs in this container) — this query covers the codec-free slice
+    for real."""
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    dec = decode_media(synthesize_media(d), fake=False)
+    return dec.select(
+        "media_id", "media_type",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "ok",
+    )
+
+
 @query("mm_decode_fake", tags=("ext-mm",))
 def mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode stub: deterministic fake metadata per media row

@@ -192,12 +192,12 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # contamination key = xxhash64 of the 8-token slice, not the joined
     # gram string: the corpus-side explode emits 8 bytes per gram
-    # instead of re-concatenated text (the dominant cost of this stage),
-    # and the join compares longs.  A 64-bit collision could flag a
-    # clean doc as contaminated with p ≈ n_grams²/2⁶⁴ — negligible, and
-    # conservative in the safe direction for decontamination.
-    # single consumer (clean) over a fixed 64-doc eval set — view; the
-    # recompute inside clean's job is bounded by construction
+    # instead of re-concatenated text, and the join compares longs.  A
+    # 64-bit collision could flag a clean doc as contaminated with
+    # p ≈ n_grams²/2⁶⁴ — negligible, and conservative in the safe
+    # direction for decontamination.  Single consumer (clean) over a
+    # fixed 64-doc eval set — a view; the recompute inside clean's job
+    # is bounded by construction.
     p.view(
         "eval_grams",
         """

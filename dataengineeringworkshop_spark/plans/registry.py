@@ -139,7 +139,9 @@ _PRIORITY: tuple[str, ...] = (
     "mh_minhash_lsh_dedup",
     "sh_simhash_dup_pairs",
     "ann_ivf_fullprobe_exact",
-    "mm_media_metadata",
+    # real BMP/WAV encode->parse roundtrip replaces the metadata-only row
+    # (mm_media_metadata: green r3, evidence persists)
+    "mm_decode_roundtrip",
     "cp_corpus_pipeline",
     # first-time-evidence rotation: never had a driver row before r4
     "j5_outer_semi_anti",

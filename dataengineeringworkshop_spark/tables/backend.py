@@ -146,6 +146,15 @@ class DeltaBackend:
         return self._dt().history()
 
 
+def _is_local_path(path: str) -> bool:
+    """True iff ``path`` is a plain local filesystem path (no scheme, or
+    the explicit ``file:`` scheme).  Format sniffing in :func:`open_table`
+    uses ``os.path`` and therefore only works for local paths; remote
+    URIs (s3://, hdfs://, abfss://…) are never sniffed."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    return scheme in ("", "file")
+
+
 def open_table(spark: SparkSession, path: str, backend: str | None = None):
     """Open (or create-on-first-write) a versioned table at ``path``.
 
@@ -154,19 +163,38 @@ def open_table(spark: SparkSession, path: str, backend: str | None = None):
     (``_delta_log`` → Delta, ``_dew_log`` → VersionedTable) — installing
     delta-spark must not break a workspace of previously-written
     parquet+commit-log tables, nor vice versa — and a fresh path picks
-    Delta when delta-spark is importable, else VersionedTable."""
+    Delta when delta-spark is importable, else VersionedTable.
+
+    Sniffing caveats (deliberate, documented):
+
+    - Sniffing is LOCAL-FILESYSTEM ONLY (``os.path``).  For remote URIs
+      the existing-format check is skipped and the default-backend rule
+      applies; pass ``backend=`` explicitly there (wiring Hadoop FS
+      listing through the JVM is the cluster-deploy follow-up).
+    - A ``_delta_log`` found WITHOUT delta-spark importable raises
+      instead of silently opening a VersionedTable: a fall-through would
+      start a second ``_dew_log`` history beside the Delta one and fork
+      the table into two divergent timelines."""
     import os
 
     if backend not in (None, "delta", "versioned"):
         raise ValueError(f"unknown backend {backend!r}")
     from dataengineeringworkshop_spark.tables.versioned import _LOG_DIR, VersionedTable
 
-    if backend is None:
-        p = path.rstrip("/")
+    if backend is None and _is_local_path(path):
+        p = path.rstrip("/").removeprefix("file://").removeprefix("file:")
         if os.path.isdir(f"{p}/{_LOG_DIR}"):
             return VersionedTable(spark, path)
-        if os.path.isdir(f"{p}/_delta_log") and delta_available():
-            return DeltaBackend(spark, path)
+        if os.path.isdir(f"{p}/_delta_log"):
+            if delta_available():
+                return DeltaBackend(spark, path)
+            raise RuntimeError(
+                f"table at {path} has a _delta_log but delta-spark is not "
+                "importable; refusing to open it as a parquet+commit-log "
+                "table (writing would fork the history into a second, "
+                "divergent _dew_log).  Install delta-spark or pass "
+                "backend='versioned' explicitly to override."
+            )
     if backend == "delta" or (backend is None and delta_available()):
         return DeltaBackend(spark, path)
     return VersionedTable(spark, path)

@@ -129,16 +129,17 @@ def test_simhash_exact_dups_distance_zero(spark, docs_with_dups):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):
-    from dataengineeringworkshop_spark.llmops.similarity import (
-        ann_topk_lsh,
-        exact_cosine_topk,
-    )
+    """Recall of the REGISTERED ann_lsh_topk surface (fixed 32-vector
+    _query_sample batch + index_key-cached artifacts — exactly what the
+    driver runs) vs brute-force exact top-k on the same query batch."""
+    from dataengineeringworkshop_spark.llmops.similarity import exact_cosine_topk
+    from dataengineeringworkshop_spark.plans.llmq import _query_sample, ann_lsh_topk
     from dataengineeringworkshop_spark.plans.tables import load_table
 
     e = load_table(spark, SF_SMOKE, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
+    q = _query_sample(e)
     exact = exact_cosine_topk(e, q, "vec_id", "embedding", k=10)
-    approx = ann_topk_lsh(e, q, "vec_id", "embedding", dim=64, k=10, nbits=32, bands=8)
+    approx = ann_lsh_topk(spark, SF_SMOKE)
     ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
@@ -164,8 +165,10 @@ def test_multimodal_decode_stub(spark):
 
     d = load_table(spark, SF_SMOKE, "documents").limit(50)
     media = documents_as_media(d)
-    with pytest.raises(NotImplementedError):
-        decode_media(media, fake=False)
+    # the real path no longer raises eagerly: raw text bytes are not a
+    # recognized container, so every row comes back ok=False
+    real = decode_media(media, fake=False)
+    assert real.filter(F.col("ok")).count() == 0
     dec = decode_media(media, fake=True)
     rows = dec.collect()
     assert len(rows) == 50
@@ -185,18 +188,21 @@ def test_multimodal_decode_stub(spark):
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
-    from dataengineeringworkshop_spark.llmops.ivf import ann_topk_ivf
+    """Recall of the REGISTERED ann_ivf_topk surface (fixed 32-vector
+    _query_sample batch, nlist=16/nprobe=4, index_key-cached quantizer —
+    exactly what the driver runs) vs brute-force exact top-k."""
     from dataengineeringworkshop_spark.llmops.similarity import exact_cosine_topk
+    from dataengineeringworkshop_spark.plans.llmq import _query_sample, ann_ivf_topk
     from dataengineeringworkshop_spark.plans.tables import load_table
 
     e = load_table(spark, SF_SMOKE, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
+    q = _query_sample(e)
     exact = exact_cosine_topk(e, q, "vec_id", "embedding", k=10)
-    approx = ann_topk_ivf(e, q, "vec_id", "embedding", k=10, nlist=8, nprobe=3)
+    approx = ann_ivf_topk(spark, SF_SMOKE)
     ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
-    # probing 3/8 cells must beat the 3/8 random-scan baseline decisively
+    # probing 4/16 cells must beat the 4/16 random-scan baseline decisively
     assert recall >= 0.5, recall
     # reranked cosines are exact
     joined = approx.join(
@@ -256,3 +262,75 @@ def test_byte_histogram_features_normalized_deterministic(spark):
         assert len(feats) == 64
         assert abs(sum(feats) - 1.0) < 1e-9  # L1-normalized
         assert 0.0 <= ent <= 6.0  # <= log2(64) bins
+
+
+def test_bmp_wav_parsers_byte_level():
+    """Pure-Python codec-free parsers against hand-built payloads."""
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        encode_bmp,
+        encode_wav,
+        parse_bmp,
+        parse_wav,
+    )
+
+    b = encode_bmp(5, 3, b"abcdef")
+    assert b[:2] == b"BM"
+    m = parse_bmp(b)
+    # 5px*3B = 15 raw -> padded to 16 per row, 3 rows
+    assert m == {"width": 5, "height": 3, "channels": 3, "n_pixel_bytes": 48}
+    assert len(b) == 54 + 48
+
+    w = encode_wav(8000, 1, bytes(range(100)))
+    mw = parse_wav(w)
+    assert mw["channels"] == 1 and mw["sample_rate"] == 8000
+    assert mw["bits_per_sample"] == 16
+    assert mw["n_frames"] == 50  # 100 bytes / 2-byte frames
+    assert mw["duration_ms"] == 50 * 1000 // 8000
+
+    with pytest.raises(ValueError):
+        parse_bmp(b"BMshort")
+    with pytest.raises(ValueError):
+        parse_bmp(b[:54] + b"x")  # truncated pixel data
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFFxxxxNOPE")
+
+
+def test_decode_media_real_roundtrip(spark):
+    """Encode documents into real BMP/WAV on executors, decode with the
+    header parsers, and check every decoded field against the
+    generation rule."""
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(60)
+    dec = decode_media(synthesize_media(d), fake=False)
+    byid = {r.media_id: r for r in dec.collect()}
+    src = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    assert set(byid) == set(src)
+    for i, text in src.items():
+        r = byid[i]
+        assert r.ok, r
+        if i % 2 == 0:
+            assert (r.width, r.height, r.channels) == (i % 31 + 1, i % 17 + 1, 3)
+            assert r.duration_ms == 0
+        else:
+            n_frames = len(text.encode("utf-8", "replace")) // 2
+            assert (r.width, r.height, r.channels) == (0, 0, 1)
+            assert r.duration_ms == n_frames * 1000 // 8000
+
+
+def test_decode_media_compressed_formats_raise(spark):
+    """Recognized compressed containers are a named NotImplementedError
+    (needs codec libs), not a garbage parse or a silent ok=False."""
+    from dataengineeringworkshop_spark.llmops.multimodal import decode_media
+
+    rows = [(1, "image", bytearray(b"\xff\xd8\xff\xe0JFIF-payload"), "s", 10)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, content binary, source string, declared_bytes long",
+    )
+    with pytest.raises(Exception, match="jpeg decode requires codec"):
+        decode_media(df, fake=False).collect()

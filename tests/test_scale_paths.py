@@ -115,9 +115,17 @@ def test_knuth_bucket_no_overflow_at_64bit_ids(spark):
         ).fetchone()[0]
         assert got[i] == want, (i, got[i], want)
     # regression: the UNREDUCED form must actually overflow for the big
-    # ids (proving the guard is load-bearing, not decorative)
-    with pytest.raises(Exception):
-        df.selectExpr("(doc_id * 2654435761) % 1000 AS b").collect()
+    # ids (proving the guard is load-bearing, not decorative).  The
+    # raise only happens under ANSI arithmetic — force it for this leg,
+    # else a non-ANSI session would wrap silently and fail the raises
+    # check as a false positive.
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(Exception):
+            df.selectExpr("(doc_id * 2654435761) % 1000 AS b").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
 
 
 def test_knuth_multiplier_always_guarded_in_source():
