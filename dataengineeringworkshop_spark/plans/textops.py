@@ -369,6 +369,39 @@ LIMIT 200
 
 _JACCARD_MAXDF = 100
 
+
+def _shingle_artifacts(spark: SparkSession, sf_dir: str):
+    """(sh, shf): the materialized word-3-gram inverted index over
+    documents, and its df-capped variant — BOTH cached artifacts
+    (cache_key), because every consumer (batch pair mining, incremental
+    probe) reads them at least twice per plan.  The df cap is applied
+    with a window count on the index's own (shingle) partitioning and
+    persisted, so the groupBy-df + join cost is paid once at artifact
+    build, not once per query — the standing-index maintenance shape of
+    a production dedup service."""
+    from pyspark.sql import Window
+
+    from dataengineeringworkshop_spark.llmops.minhash import word_shingles
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = materialize(
+        word_shingles(d, "doc_id", "text", 3),
+        "jaccard_sh",
+        cache_key=f"documents:{sf_dir}:sh3",
+    )
+    shf = materialize(
+        sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= _JACCARD_MAXDF)
+        .drop("df"),
+        "jaccard_shf",
+        cache_key=f"documents:{sf_dir}:sh3:df{_JACCARD_MAXDF}",
+    )
+    return sh, shf
+
 # incremental dedup: "new" docs (doc_id % 10 = 0) probed against the
 # standing corpus index — best corpus match per new doc by 3-gram Jaccard
 _INCR_DUCK = """
@@ -428,21 +461,8 @@ def d_incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch in, matches out, no corpus rescan."""
     from pyspark.sql import Window
 
-    from dataengineeringworkshop_spark.llmops.minhash import word_shingles
-    from dataengineeringworkshop_spark.operators.materialize import materialize
-    from dataengineeringworkshop_spark.plans.tables import load_table
-
-    d = load_table(spark, sf_dir, "documents")
-    sh = materialize(
-        word_shingles(d, "doc_id", "text", 3),
-        "jaccard_sh",
-        cache_key=f"documents:{sf_dir}:sh3",
-    )
+    sh, shf = _shingle_artifacts(spark, sf_dir)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= _JACCARD_MAXDF
-    ).select("shingle")
-    shf = sh.join(rare, "shingle")
     new_sh = shf.filter(F.col("doc") % 10 == 0)
     corpus_sh = shf.filter(F.col("doc") % 10 != 0)
     pairs = (
@@ -483,21 +503,8 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB it's a checkpointed intermediate table."""
     from pyspark.sql import functions as F
 
-    from dataengineeringworkshop_spark.llmops.minhash import word_shingles
-    from dataengineeringworkshop_spark.operators.materialize import materialize
-    from dataengineeringworkshop_spark.plans.tables import load_table
-
-    d = load_table(spark, sf_dir, "documents")
-    sh = materialize(
-        word_shingles(d, "doc_id", "text", 3),
-        "jaccard_sh",
-        cache_key=f"documents:{sf_dir}:sh3",
-    )
+    sh, shf = _shingle_artifacts(spark, sf_dir)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= _JACCARD_MAXDF
-    ).select("shingle")
-    shf = sh.join(rare, "shingle")
     pairs = (
         shf.alias("a")
         .join(

@@ -237,3 +237,90 @@ def test_quarantine_split_partitions_exactly(spark):
     assert {r["id"] for r in kept.collect()} == {4}
     got = {r["id"]: r["violated"] for r in quar.collect()}
     assert got == {1: "big_enough", 2: "lang_ok", 3: "big_enough,lang_ok"}
+
+
+def test_temp_table_materializes_without_history(spark, tmp_path):
+    """temp_table nodes materialize as plain parquet (readable by
+    downstream nodes and read_dataset) with NO commit log — and a rerun
+    fully recomputes them."""
+    import os
+
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    p = Pipeline("tmp", str(tmp_path / "pl"))
+    p.table("base", fn=lambda s, _r: s.range(10).withColumnRenamed("id", "v"),
+            temporary=True)
+    p.table("doubled", "SELECT v * 2 AS v2 FROM live.base", temporary=True)
+    p.table("gold", "SELECT CAST(SUM(v2) AS BIGINT) AS total FROM live.doubled")
+    r = p.run(spark)
+    assert r["base"]["rows"] == 10 and r["doubled"]["rows"] == 10
+    assert p.read_dataset(spark, "doubled").count() == 10
+    assert p.read_dataset(spark, "gold").first().total == 90
+    # plain parquet, no _dew_log, no staging leftovers
+    tdir = p._temp_dir("doubled")
+    assert os.path.isdir(tdir)
+    assert not os.path.isdir(os.path.join(tdir, "_dew_log"))
+    assert not os.path.isdir(tdir + "__staging")
+    # the versioned gold table has history; temp tables have none
+    from dataengineeringworkshop_spark.tables.backend import open_table
+
+    assert open_table(spark, p._table_dir("gold")).history().count() == 1
+    p.run(spark)
+    assert open_table(spark, p._table_dir("gold")).history().count() == 2
+
+
+def test_fail_mode_publishes_nothing(spark, tmp_path):
+    """Transactional FAIL UPDATE: when the row-level guard aborts the
+    write action, neither the versioned table nor a temp table may
+    expose any data — no committed version, no staged files."""
+    import os
+
+    from dataengineeringworkshop_spark.operators.expectations import (
+        Expectation,
+        ExpectationFailed,
+    )
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+    from dataengineeringworkshop_spark.tables.backend import open_table
+
+    for temporary in (False, True):
+        p = Pipeline(f"failpub{int(temporary)}", str(tmp_path / f"pl{int(temporary)}"))
+        p.table(
+            "bad",
+            fn=lambda s, _r: s.range(1000).withColumnRenamed("id", "v"),
+            temporary=temporary,
+            expectations=[Expectation("v_small", "v < 999", mode="fail")],
+        )
+        with pytest.raises(ExpectationFailed, match="v_small"):
+            p.run(spark)
+        if temporary:
+            assert not os.path.isdir(p._temp_dir("bad"))
+            assert not os.path.isdir(p._temp_dir("bad") + "__staging")
+        else:
+            assert not open_table(spark, p._table_dir("bad")).exists()
+            # the aborted version's staged data dir was removed
+            troot = p._table_dir("bad")
+            staged = (
+                [d for d in os.listdir(troot) if d.startswith("v")]
+                if os.path.isdir(troot)
+                else []
+            )
+            assert staged == []
+
+
+def test_fail_mode_passes_when_clean(spark, tmp_path):
+    """A fail-mode expectation with zero violations must not disturb the
+    write, and its metrics are recorded like any other mode."""
+    from dataengineeringworkshop_spark.operators.expectations import Expectation
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    p = Pipeline("failok", str(tmp_path / "pl"))
+    p.table(
+        "good",
+        fn=lambda s, _r: s.range(50).withColumnRenamed("id", "v"),
+        expectations=[Expectation("v_ok", "v < 100", mode="fail")],
+    )
+    r = p.run(spark)
+    assert r["good"]["rows"] == 50
+    m = {x["name"]: x for x in r["good"]["expectations"]}
+    assert m["v_ok"]["passed_records"] == 50 and m["v_ok"]["failed_records"] == 0
+    assert p.read_dataset(spark, "good").count() == 50
