@@ -482,3 +482,82 @@ def vt_sql_dml_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_tag",
     )
     return final.unionByName(v2).unionByName(hist)
+
+
+_MAINT_ORACLE = """
+    WITH upd AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100
+                    ELSE o_totalprice END AS price
+        FROM orders
+    )
+    SELECT 'final' AS part, CAST(o_orderkey AS BIGINT) AS k,
+           CAST(NULL AS VARCHAR) AS s, price AS v
+    FROM upd
+    UNION ALL
+    SELECT 'hist', CAST(ver AS BIGINT), op, CAST(NULL AS DOUBLE)
+    FROM (VALUES (0, 'CREATE TABLE AS SELECT'), (1, 'UPDATE'),
+                 (2, 'OPTIMIZE'), (3, 'DELETE'), (4, 'RESTORE'),
+                 (5, 'VACUUM')) AS h(ver, op)
+    UNION ALL
+    SELECT 'probe', 0, 'v0_unreadable_after_vacuum', CAST(NULL AS DOUBLE)
+    UNION ALL
+    SELECT 'probe', 4, 'restored_rows',
+           CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+"""
+
+
+@query(
+    "vt_maintenance_sql",
+    oracle=_MAINT_ORACLE,
+    tags=("D5", "D6", "D7", "sql-dml", "ext-maintenance"),
+)
+def vt_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance statements as SQL TEXT through ``Lakehouse.sql``
+    (sqldml.py): OPTIMIZE … ZORDER BY — the literal ``%sql`` cell of
+    `2 Medaillon architecture.py:455-458` — plus Delta-parity RESTORE
+    TABLE … TO VERSION AS OF and VACUUM … RETAIN n VERSIONS.
+
+    Scenario: CTAS (v0) → UPDATE (v1) → OPTIMIZE ZORDER (v2) → DELETE
+    (v3) → RESTORE to v2 (v4: the delete is rolled back, metadata-only)
+    → VACUUM RETAIN 2 VERSIONS (v5: v0/v1 data dirs physically removed).
+    Output = final rows (must equal the post-update state — restore
+    really rolled the delete back) ∪ history (version, operation) ∪ two
+    probes: v0 is UNREADABLE after vacuum (its data dir is gone — the
+    Delta contract) while the restored snapshot still reads in full."""
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(tempfile.mkdtemp(prefix="dew_maint_"), spark=spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lh.create_table("maint_orders", o)  # v0
+    lh.sql(  # v1
+        "update maint_orders set o_totalprice = o_totalprice + 100 "
+        "where o_orderkey % 10 = 3"
+    )
+    lh.sql("OPTIMIZE maint_orders ZORDER BY (o_orderkey)")  # v2
+    lh.sql("delete from maint_orders where o_orderkey % 10 = 7")  # v3
+    lh.sql("RESTORE TABLE maint_orders TO VERSION AS OF 2")  # v4
+    lh.sql("VACUUM maint_orders RETAIN 2 VERSIONS")  # v5
+    final = lh.sql("select o_orderkey, o_totalprice from maint_orders").select(
+        F.lit("final").alias("part"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("o_totalprice").alias("v"),
+    )
+    hist = lh.sql("DESCRIBE HISTORY maint_orders").select(
+        F.lit("hist").alias("part"),
+        F.col("version").cast("long").alias("k"),
+        F.col("operation").alias("s"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    probes = []
+    try:
+        lh.table("maint_orders").read(version=0).count()
+    except Exception:
+        probes.append(("probe", 0, "v0_unreadable_after_vacuum", None))
+    restored_rows = float(lh.table("maint_orders").read(version=4).count())
+    probes.append(("probe", 4, "restored_rows", restored_rows))
+    probe_df = spark.createDataFrame(
+        probes, "part string, k long, s string, v double"
+    )
+    return final.unionByName(hist).unionByName(probe_df)

@@ -17,8 +17,11 @@ Scope is deliberately the reference's surface: ``UPDATE t SET c = expr
 [, …] [WHERE cond]``, ``DELETE FROM t WHERE cond``, ``MERGE INTO t [AS]
 a USING src [AS] b ON cond WHEN MATCHED [AND cond] THEN UPDATE SET *
 [WHEN NOT MATCHED THEN INSERT *]``, ``ALTER TABLE t ADD COLUMN c type``,
-``DESCRIBE HISTORY t``, and ``<table> VERSION AS OF n`` inside any
-query.  Unsupported MERGE clause forms (column-level SET lists,
+``DESCRIBE HISTORY t``, ``<table> VERSION AS OF n`` inside any query,
+plus the table-maintenance statements ``OPTIMIZE t [ZORDER BY (cols)]``
+(`2 Medaillon architecture.py:455-458` runs this as ``%sql``),
+``RESTORE TABLE t TO VERSION AS OF n``, and ``VACUUM t [RETAIN n
+VERSIONS]``.  Unsupported MERGE clause forms (column-level SET lists,
 ``WHEN NOT MATCHED BY SOURCE``) raise rather than mis-execute.
 """
 
@@ -97,6 +100,16 @@ _NOT_MATCHED_RE = re.compile(
     r"^when\s+not\s+matched\s*then\s+insert\s+\*$", re.IGNORECASE | re.DOTALL
 )
 _VERSION_AS_OF_RE = re.compile(r"\b(\w+)\s+version\s+as\s+of\s+(\d+)\b", re.IGNORECASE)
+_OPTIMIZE_RE = re.compile(
+    r"^optimize\s+(\w+)(?:\s+zorder\s+by\s*\(\s*([\w\s,]+?)\s*\))?$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^restore\s+table\s+(\w+)\s+to\s+version\s+as\s+of\s+(\d+)$", re.IGNORECASE
+)
+_VACUUM_RE = re.compile(
+    r"^vacuum\s+(\w+)(?:\s+retain\s+(\d+)\s+versions?)?$", re.IGNORECASE
+)
 
 
 def _alias_to_ts(cond: str, t_alias: str, s_alias: str) -> str:
@@ -183,6 +196,31 @@ def execute(lh: "Lakehouse", statement: str) -> DataFrame:
         )
         lh.refresh_view(table)
         return _status(lh, "MERGE", table)
+
+    m = _OPTIMIZE_RE.match(sql)
+    if m:
+        table = m.group(1)
+        zorder = (
+            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        )
+        lh.table(table).optimize(zorder_by=zorder)
+        lh.refresh_view(table)
+        return _status(lh, "OPTIMIZE", table)
+
+    m = _RESTORE_RE.match(sql)
+    if m:
+        table, version = m.group(1), int(m.group(2))
+        lh.table(table).restore(version)
+        lh.refresh_view(table)
+        return _status(lh, "RESTORE", table)
+
+    m = _VACUUM_RE.match(sql)
+    if m:
+        table = m.group(1)
+        retain = int(m.group(2)) if m.group(2) else 1
+        lh.table(table).vacuum(retain_last=retain)
+        lh.refresh_view(table)
+        return _status(lh, "VACUUM", table)
 
     # time travel inside an otherwise-ordinary query: register each
     # "<table> VERSION AS OF n" as a snapshot temp view and substitute

@@ -54,6 +54,10 @@ class TableBackend(Protocol):
 
     def optimize(self, zorder_by: list[str] | None = None, target_files: int = 4) -> None: ...
 
+    def restore(self, version: int) -> None: ...
+
+    def vacuum(self, retain_last: int = 1) -> list[str]: ...
+
     def add_column(self, name: str, dtype: str) -> None: ...
 
     def history(self) -> DataFrame: ...
@@ -136,6 +140,18 @@ class DeltaBackend:
             opt.executeZOrderBy(*zorder_by)
         else:
             opt.executeCompaction()
+
+    def restore(self, version: int) -> None:
+        self.spark.sql(
+            f"RESTORE TABLE delta.`{self.path}` TO VERSION AS OF {version}"
+        )
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        # Delta's VACUUM retention is hours-based, not version-count;
+        # run it with the table's configured retention.  Removed-file
+        # names aren't surfaced by the SQL command — returns [].
+        self.spark.sql(f"VACUUM delta.`{self.path}`")
+        return []
 
     def add_column(self, name: str, dtype: str) -> None:
         self.spark.sql(

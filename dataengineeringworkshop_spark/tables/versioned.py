@@ -379,6 +379,55 @@ class VersionedTable:
             file_stats=stats,
         )
 
+    def restore(self, version: int) -> None:
+        """RESTORE TABLE … TO VERSION AS OF n (Delta parity): appends a
+        NEW commit whose active data set and schema are the old
+        version's — the restore is itself a history entry, and nothing
+        is rewritten (metadata-only, like Delta)."""
+        target = self._resolve_commit(version)
+        self._commit(
+            "RESTORE",
+            target.data_dirs,
+            target.schema_ddl,
+            {"restored_version": version},
+            file_stats=target.file_stats or {},
+        )
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """VACUUM (Delta parity, version-count retention instead of
+        hours): physically delete data directories not referenced by any
+        of the last ``retain_last`` commits, then record the vacuum in
+        history.  Time travel to a vacuumed version subsequently fails
+        on read — the same contract as Delta after VACUUM.  Returns the
+        removed directory names."""
+        import shutil
+
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"no such versioned table: {self.path}")
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        keep: set[str] = set()
+        for c in commits[-retain_last:]:
+            keep.update(c.data_dirs)
+        removed = []
+        for entry in sorted(os.listdir(self.path)):
+            full = f"{self.path}/{entry}"
+            if entry == _LOG_DIR or not os.path.isdir(full):
+                continue
+            if re.match(r"^v\d{8}-[0-9a-f]{8}$", entry) and entry not in keep:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(entry)
+        latest = commits[-1]
+        self._commit(
+            "VACUUM",
+            latest.data_dirs,
+            latest.schema_ddl,
+            {"retain_last": retain_last, "removed_dirs": len(removed)},
+            file_stats=latest.file_stats or {},
+        )
+        return removed
+
     def add_column(self, name: str, dtype: str) -> None:
         """ALTER TABLE ADD COLUMN (S10, N1:146-147) — metadata-only commit;
         existing files read back with nulls for the new column."""

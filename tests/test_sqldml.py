@@ -127,3 +127,28 @@ def test_sql_plain_select_passthrough(lh):
     _mk_stores(lh)
     n = lh.sql("select count(*) as n from stores where id like 'MEL%'").collect()[0].n
     assert n == 2
+
+
+def test_sql_optimize_restore_vacuum_statements(spark, tmp_path):
+    """OPTIMIZE [ZORDER BY] / RESTORE TABLE / VACUUM parse and dispatch
+    to the versioned-table API from literal SQL text."""
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(str(tmp_path / "lake"), spark=spark)
+    lh.create_table("m", spark.range(100).withColumnRenamed("id", "v"))
+    lh.sql("update m set v = v + 1 where v < 10")
+    st = lh.sql("OPTIMIZE m ZORDER BY (v)")
+    assert st.first().operation == "OPTIMIZE"
+    lh.sql("delete from m where v >= 50")
+    st = lh.sql("RESTORE TABLE m TO VERSION AS OF 2")
+    assert st.first().operation == "RESTORE"
+    assert lh.sql("select count(*) AS n from m").first().n == 100
+    st = lh.sql("VACUUM m RETAIN 2 VERSIONS")
+    assert st.first().operation == "VACUUM"
+    ops = [r.operation for r in lh.sql("DESCRIBE HISTORY m").orderBy("version").collect()]
+    assert ops == [
+        "CREATE TABLE AS SELECT", "UPDATE", "OPTIMIZE",
+        "DELETE", "RESTORE", "VACUUM",
+    ]
+    # ZORDER stats recorded by the optimize survive the restore commit
+    assert lh.sql("select count(*) AS n from m where v < 5").first().n == 4

@@ -170,3 +170,45 @@ def test_read_where_all_files_pruned_returns_empty(spark, vt):
     out = t.read(where=f"o_orderkey = {key}")
     assert out.count() == 0
     assert out.columns == t.read().columns
+
+
+def test_restore_is_metadata_only_new_commit(spark, tmp_path):
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(10).withColumnRenamed("id", "v"))         # v0
+    t.delete("v >= 5")                                            # v1
+    assert t.read().count() == 5
+    t.restore(0)                                                  # v2
+    assert t.read().count() == 10
+    # restore preserves history (new commit, nothing rewritten)
+    ops = [r.operation for r in t.history().orderBy("version").collect()]
+    assert ops == ["CREATE TABLE AS SELECT", "DELETE", "RESTORE"]
+    # the restored commit points at v0's existing data dirs
+    assert t._commits()[2].data_dirs == t._commits()[0].data_dirs
+
+
+def test_vacuum_removes_unreferenced_dirs_only(spark, tmp_path):
+    import os
+
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    t.write(spark.range(10).withColumnRenamed("id", "v"))         # v0
+    t.update({"v": "v + 1"}, condition="v < 3")                   # v1
+    t.delete("v >= 8")                                            # v2
+    removed = t.vacuum(retain_last=2)                             # keeps v1+v2 dirs
+    assert len(removed) == 1                                      # v0's dir
+    ops = [r.operation for r in t.history().orderBy("version").collect()]
+    assert ops[-1] == "VACUUM"
+    # latest still reads; vacuumed version raises
+    assert t.read().count() == 8
+    assert t.read(version=1).count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t.read(version=0).count()
+    # removed dirs are physically gone
+    for d in removed:
+        assert not os.path.isdir(os.path.join(path, d))
