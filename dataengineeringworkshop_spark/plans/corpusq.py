@@ -506,3 +506,130 @@ def cp_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM assigned GROUP BY split
         """
     )
+
+
+@query(
+    "cp_cdc_passage_chunks",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        flagged AS (
+            SELECT doc_id, word, pos,
+                   CASE WHEN md5(word) LIKE '0%' THEN 1 ELSE 0 END AS b
+            FROM words
+        ),
+        chunked AS (
+            SELECT doc_id, word, pos,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+            FROM flagged
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM chunked GROUP BY doc_id, chunk_id
+    """,
+    tags=("ext-text", "ext-dedup"),
+)
+def cp_cdc_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking at word granularity — the rolling-hash
+    fingerprinting primitive behind passage-level dedup: a word whose
+    md5 starts with '0' (p = 1/16 → expected ~16-word chunks) opens a
+    new chunk, so chunk boundaries are CONTENT-derived and survive
+    insertions/deletions elsewhere in the document (the property that
+    makes cross-document copied-passage detection work where fixed-size
+    windows shift out of alignment).  Output = the full
+    (doc, chunk_id, chunk_fp, n_words) chunk table; joining it to
+    itself on chunk_fp with doc1 <> doc2 is the shared-passage report,
+    and the fingerprints feed dedup exactly like minhash shingles.
+
+    Scale shape: explode → one window sum per doc partition → grouped
+    fingerprint; per-chunk collect is bounded by the boundary
+    probability (geometric, mean 16 words), never by document length.
+    Cross-engine determinism: md5 + pure window arithmetic, identical
+    in Spark and DuckDB (no engine-specific hash())."""
+    from pyspark.sql import Window
+
+    register_views(spark, sf_dir, "documents")
+    words = spark.table("dew_documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    b = F.when(F.md5("word").like("0%"), 1).otherwise(0)
+    chunked = words.withColumn(
+        "chunk_id",
+        F.sum(b).over(Window.partitionBy("doc_id").orderBy("pos")).cast("long"),
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            )
+        ).alias("chunk_fp"),
+        F.count("*").cast("long").alias("n_words"),
+    )
+
+
+@query(
+    "cp_shared_passages",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        flagged AS (
+            SELECT doc_id, word, pos,
+                   CASE WHEN md5(word) LIKE '0%' THEN 1 ELSE 0 END AS b
+            FROM words
+        ),
+        chunked AS (
+            SELECT doc_id, word, pos,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+            FROM flagged
+        ),
+        chunks AS (
+            SELECT doc_id, chunk_id,
+                   md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp,
+                   COUNT(*) AS n_words
+            FROM chunked GROUP BY doc_id, chunk_id
+        )
+        SELECT chunk_fp,
+               CAST(MAX(n_words) AS BIGINT) AS n_words,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN(doc_id) AS BIGINT) AS example_doc
+        FROM chunks
+        WHERE n_words >= 3
+        GROUP BY chunk_fp
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    tags=("ext-text", "ext-dedup"),
+)
+def cp_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document copied-passage report from the content-defined
+    chunk table: fingerprints (chunks of ≥3 words) occurring in ≥2
+    distinct documents, with occurrence counts and an example doc —
+    what a boilerplate/license-text scrubber removes before training.
+    One groupBy over the chunk table; no pairwise join anywhere, so
+    a passage shared by 10^6 documents costs one aggregate row, not
+    10^12 pairs."""
+    chunks = cp_cdc_passage_chunks(spark, sf_dir)
+    return (
+        chunks.filter(F.col("n_words") >= 3)
+        .groupBy("chunk_fp")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
