@@ -63,7 +63,11 @@ from dataengineeringworkshop_spark.session import ensure_session_defaults
 from dataengineeringworkshop_spark.tables.backend import open_table
 
 _LIVE_RE = re.compile(r"STREAM\s*\(\s*live\.([A-Za-z_][A-Za-z_0-9]*)\s*\)|live\.([A-Za-z_][A-Za-z_0-9]*)")
-_CLOUD_FILES_RE = re.compile(r"cloud_files\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)")
+# both quote styles, tolerant of spaces — the reference writes
+# cloud_files( '/dir/' , "json")  (N4:34)
+_CLOUD_FILES_RE = re.compile(
+    r"cloud_files\s*\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)"
+)
 
 
 @dataclass

@@ -243,3 +243,54 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.read_dataset(spark, "gold_mix").select(
         "split", "source", "lang", "n_docs", "total_chars", "total_words"
     )
+
+
+@query(
+    "pl_dlt_sql_pipeline",
+    oracle=f"""
+        WITH gated AS (
+            SELECT doc_id, lang, source, LENGTH(text) AS n_chars_actual
+            FROM documents
+            WHERE LENGTH(text) >= 120 AND lang IN ('en', 'de', 'fr')
+        )
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars_actual) AS BIGINT) AS total_chars
+        FROM gated GROUP BY lang, source
+    """,
+    tags=("pipeline", "E1", "E2", "sql-dml"),
+)
+def pl_dlt_sql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DLT SQL surface (`4  Delta Live Tables (SQL).sql`)
+    as literal TEXT: a CREATE … LIVE TABLE script — backtick constraint
+    names, ON VIOLATION DROP ROW, TBLPROPERTIES, COMMENT, a direct-path
+    scan, a gold statement without AS — parsed by
+    ``pipeline.dlt_sql.pipeline_from_sql`` and executed on the runner,
+    oracle-checked end to end.  (tests/test_dlt_sql.py additionally
+    parses the reference notebook itself verbatim, cloud_files and
+    STREAM(live.x) included.)"""
+    from dataengineeringworkshop_spark.pipeline.dlt_sql import pipeline_from_sql
+
+    script = f"""
+-- COMMAND ----------
+CREATE TEMPORARY LIVE TABLE gated_dlt (
+  CONSTRAINT `long enough` EXPECT (n_chars_actual >= 120) ON VIOLATION DROP ROW,
+  CONSTRAINT `lang allowed` EXPECT (lang IN ('en', 'de', 'fr')) ON VIOLATION DROP ROW,
+  CONSTRAINT `has source` EXPECT (source IS NOT NULL)
+)
+TBLPROPERTIES ("quality" = "silver")
+COMMENT "quality-gated documents"
+AS
+SELECT doc_id, lang, source, LENGTH(text) AS n_chars_actual
+FROM parquet.`{sf_dir}/documents.parquet`;
+
+-- COMMAND ----------
+CREATE LIVE TABLE gold_mix_dlt
+select lang, source, count(*) as n_docs,
+       CAST(SUM(n_chars_actual) AS BIGINT) as total_chars
+from live.gated_dlt group by lang, source
+"""
+    p = pipeline_from_sql("dltsqlq", tempfile.mkdtemp(prefix="dew_dltsql_"), script)
+    p.run(spark)
+    return p.read_dataset(spark, "gold_mix_dlt").select(
+        "lang", "source", "n_docs", "total_chars"
+    )

@@ -130,7 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     "ddl_ctas_lifecycle",
     # expectations / pipeline DAG / source scan / streaming-stateful
     "ws_expectation_metrics",
-    "pl_dag_gold",
+    # DLT SQL-text front-end evidence replaces pl_dag_gold (green r3)
+    "pl_dlt_sql_pipeline",
     "s1_csv_roundtrip",
     "st_stateful_user_totals",
     # LLM-pipeline extension representatives (newly oracle-paired rows
