@@ -1,0 +1,248 @@
+"""Product quantization (PQ) ANN — the memory-bound scale path.
+
+IVF/LSH cut how many vectors a probe SCANS; PQ cuts how many bytes each
+scanned vector COSTS: a d-dim float vector (d×8 bytes) becomes ``m``
+one-byte codes (here m=8 → 64× smaller), and approximate dot products
+against a query need only table lookups.  At 100 TB of embeddings this
+is the difference between an index that fits the cluster's disks and
+one that doesn't — the FAISS ``IVFADC`` construction, done relationally:
+
+1. **Train** (once, bounded sample): split the dimension into ``m``
+   subspaces of ``dsub = d/m``; per subspace, k-means (MLlib, fixed
+   seed) learns ``ksub`` centroids.  The codebook is m×ksub×dsub doubles
+   of driver metadata.
+2. **Encode** (pure map, zero shuffle): each vector's code_j = argmin-L2
+   centroid of its j-th slice, via the same inlined-literal
+   transform/sort_array expressions the IVF assigner uses.  The encoded
+   corpus (vid, codes array<tinyint-sized ints>, true norm) is the
+   materialized index artifact.
+3. **ADC probe**: per query, the partial dot products against every
+   (subspace, centroid) form a |Q|·m·ksub lookup table — built as a
+   small DataFrame, collapsed to a per-query map, and BROADCAST.
+   approx_dot(q, x) = Σ_j LUT_q[j, code_j] — an ``aggregate`` over the
+   code array, JVM-side, no Python.  Candidates ranked by approx score,
+   then the top ``rerank`` per query are reranked with EXACT cosine
+   against the true vectors (a bounded join back to the corpus), so
+   reported cosines are exact and only the candidate CHOICE is
+   approximate (the standard ADC + rerank serving shape).
+
+Recall is measured in tests/test_llmops.py against the brute-force
+exact top-k on the same fixed query batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.llmops.expr import DOT_DOUBLE as _DOT
+
+#: codebook cache: key -> list[m][ksub] centroid lists (same shape
+#: discipline as the IVF coarse-quantizer cache: train once, serve many)
+_CODEBOOK_CACHE: dict[str, list] = {}
+
+
+def train_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    max_train_rows: int = 100_000,
+    cache_key: str | None = None,
+) -> list:
+    """m per-subspace codebooks, each ksub centroids of dim/m doubles —
+    trained on a bounded sample, deterministic (fixed seed)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    full_key = (
+        f"{cache_key}:pq{m}x{ksub}:s{seed}:i{max_iter}" if cache_key else None
+    )
+    if full_key is not None and full_key in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[full_key]
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = corpus.select(F.col(vec_col).cast("array<double>").alias("v")).limit(
+        max_train_rows
+    )
+    # one pass materializes every slice; m small fits driver? NO — train
+    # each subspace from the distributed slice, never collecting vectors
+    books = []
+    for j in range(m):
+        sub = sample.select(
+            array_to_vector(F.slice("v", j * dsub + 1, dsub)).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed + j, maxIter=max_iter).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    if full_key is not None:
+        _CODEBOOK_CACHE[full_key] = books
+    return books
+
+
+def _codebook_sql(books: list) -> str:
+    """m×ksub×dsub nested array literal as ONE SQL expression."""
+    return "array({})".format(
+        ", ".join(
+            "array({})".format(
+                ", ".join(
+                    "array({})".format(", ".join(repr(float(x)) for x in cent))
+                    for cent in book
+                )
+            )
+            for book in books
+        )
+    )
+
+
+def encode_pq(df: DataFrame, id_col: str, vec_col: str, books: list) -> DataFrame:
+    """(vid, codes array<int>, nrm) — pure map: per subspace, argmin-L2
+    centroid id via transform/sort_array over the inlined codebook
+    literal.  No join, no shuffle; the 100 TB encode is embarrassingly
+    parallel and the output is the 64×-smaller index artifact."""
+    m = len(books)
+    dsub = len(books[0][0])
+    cb = F.expr(_codebook_sql(books))
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.element_at(
+            F.sort_array(
+                F.transform(
+                    F.element_at(cb, j + 1),
+                    lambda cent, c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(v, j * F.lit(dsub) + 1, dsub),
+                                cent,
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, d2: acc + d2,
+                        ).alias("d"),
+                        c.cast("int").alias("code"),
+                    ),
+                )
+            ),
+            1,
+        ).getField("code"),
+    )
+    return df.select(
+        F.col(id_col).alias("vid"),
+        codes.alias("codes"),
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("nrm"),
+    )
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+    index_key: str | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, sim_rank) — ADC candidate scan
+    over PQ codes + exact-cosine rerank of the top ``rerank`` candidates
+    per query.  Cosines in the output are EXACT (computed against true
+    vectors); PQ only chooses which candidates reach the rerank."""
+    dsub = dim // m
+    books = train_codebooks(
+        corpus, vec_col, dim, m, ksub, seed, cache_key=index_key
+    )
+    index = encode_pq(corpus, id_col, vec_col, books)
+    if index_key:
+        from dataengineeringworkshop_spark.operators.materialize import materialize
+
+        index = materialize(
+            index, label="pq_index", cache_key=f"{index_key}:pq{m}x{ksub}:s{seed}"
+        )
+    # per-query ADC lookup table: |Q|·m·ksub partial dots, built as a
+    # DataFrame (map-only explode over the codebook literal), collapsed
+    # to ONE map per query and broadcast — bounded by the query batch
+    cb = F.expr(_codebook_sql(books))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("q_nrm"),
+    )
+    entries = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.element_at(cb, j + 1),
+                lambda cent, c: F.struct(
+                    (j * F.lit(ksub) + c).cast("int").alias("slot"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("q_vec"), j * F.lit(dsub) + 1, dsub),
+                            cent,
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ).alias("pdot"),
+                ),
+            ),
+        )
+    )
+    q_lut = q.select(
+        "qid", "q_vec", "q_nrm", F.map_from_entries(entries).alias("lut")
+    )
+    # ADC scan: every (query, corpus) pair costs m map lookups on the
+    # 1-byte-per-subspace codes — no vector arithmetic until the rerank
+    m_lit = F.lit(m)
+    approx = (
+        index.join(F.broadcast(q_lut), F.col("vid") != F.col("qid"))
+        .withColumn(
+            "adc",
+            F.aggregate(
+                F.sequence(F.lit(0), m_lit - 1),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("lut"),
+                    (j * F.lit(ksub) + F.element_at(F.col("codes"), j + 1)).cast(
+                        "int"
+                    ),
+                ),
+            ),
+        )
+    )
+    w_pre = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vid"))
+    cand = approx.withColumn("pre_rank", F.row_number().over(w_pre)).filter(
+        F.col("pre_rank") <= rerank
+    )
+    # exact rerank: true vectors fetched for the bounded candidate set
+    true_vecs = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec")
+    )
+    exact = (
+        cand.select("qid", "q_vec", "q_nrm", "vid", "nrm")
+        .join(true_vecs, "vid")
+        .withColumn(
+            "cosine",
+            F.expr(_DOT.format(a="q_vec", b="c_vec"))
+            / F.nullif(F.sqrt(F.col("q_nrm") * F.col("nrm")), F.lit(0.0)),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid"))
+    return (
+        exact.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "sim_rank",
+        )
+    )

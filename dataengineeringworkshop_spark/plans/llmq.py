@@ -218,6 +218,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_pq_topk", tags=("ext-sim", "pq"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (FAISS ADC shape, relational): 8×16
+    codebooks quantize each 64-d vector to 8 one-byte codes (64×
+    compression — the memory-bound 100 TB serving path), approximate
+    dots are per-query lookup-table sums over the code arrays (JVM
+    ``aggregate``, broadcast LUT), and the top-60 ADC candidates per
+    query are reranked with exact cosine against true vectors.  Learned
+    codebooks are not SQL-expressible → rows-only driver check; pytest
+    measures recall vs the brute-force exact answer and pins the
+    encode's per-subspace argmin."""
+    from dataengineeringworkshop_spark.llmops.pq import ann_topk_pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_sample(e)
+    return ann_topk_pq(
+        e, q, "vec_id", "embedding", dim=64, k=10, rerank=60,
+        index_key=f"embeddings:{sf_dir}",
+    )
+
+
 @query(
     "ann_ivf_fullprobe_exact",
     oracle=f"""

@@ -334,3 +334,46 @@ def test_decode_media_compressed_formats_raise(spark):
     )
     with pytest.raises(Exception, match="jpeg decode requires codec"):
         decode_media(df, fake=False).collect()
+
+
+def test_pq_encode_is_per_subspace_argmin(spark):
+    """Every PQ code is the true nearest centroid of that subvector."""
+    import numpy as np
+
+    from dataengineeringworkshop_spark.llmops.pq import encode_pq, train_codebooks
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings").limit(40)
+    books = train_codebooks(e, "embedding", dim=64, m=8, ksub=4)
+    enc = {r.vid: list(r.codes) for r in encode_pq(e, "vec_id", "embedding", books).collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    for vid, codes in enc.items():
+        v = vecs[vid]
+        for j, code in enumerate(codes):
+            sub = v[j * 8 : (j + 1) * 8]
+            d = [float(((sub - np.array(c)) ** 2).sum()) for c in books[j]]
+            best = min(range(len(d)), key=lambda i: (d[i], i))
+            assert code == best, (vid, j, code, best)
+
+
+def test_ann_pq_recall_vs_bruteforce(spark):
+    """ADC + exact rerank recall on the registered fixed query batch;
+    reported cosines must be exact (rerank uses true vectors)."""
+    from dataengineeringworkshop_spark.llmops.pq import ann_topk_pq
+    from dataengineeringworkshop_spark.llmops.similarity import exact_cosine_topk
+    from dataengineeringworkshop_spark.plans.llmq import _query_sample
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = _query_sample(e)
+    exact = exact_cosine_topk(e, q, "vec_id", "embedding", k=10)
+    approx = ann_topk_pq(e, q, "vec_id", "embedding", dim=64, k=10, rerank=60)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, recall
+    joined = approx.join(
+        exact.select("query_id", "neighbor_id", F.col("cosine").alias("exact_cos")),
+        ["query_id", "neighbor_id"],
+    )
+    assert joined.filter(F.abs(F.col("cosine") - F.col("exact_cos")) > 1e-9).count() == 0
