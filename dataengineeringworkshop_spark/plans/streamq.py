@@ -297,3 +297,39 @@ def st_apply_changes_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return vt.read()
+
+
+@query(
+    "st_stream_dedup",
+    oracle="""
+        SELECT event_id, user_id, event_type, value FROM events
+    """,
+    tags=("ext-streaming", "ext-dedup", "ST-dedup"),
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` on event_id over a stream that
+    re-delivers 10% of events (the at-least-once reality of every
+    ingest bus).  State holds only ids within the 1-hour watermark —
+    the scale-correct form; plain ``dropDuplicates`` would pin every id
+    ever seen.  Bounded availableNow run; full dedup on this input, so
+    the output hash-matches the duplicate-free batch table exactly."""
+    s = _events_stream(spark, sf_dir)
+    redelivered = s.filter(F.col("event_id") % 10 == 0)
+    deduped = (
+        s.unionByName(redelivered)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    name = f"st_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dew_st_dedup_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
