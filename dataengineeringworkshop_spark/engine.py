@@ -29,7 +29,7 @@ from dataengineeringworkshop_spark.pipeline.runner import Pipeline
 from dataengineeringworkshop_spark.session import ensure_session_defaults, get_spark
 from dataengineeringworkshop_spark.sources import batch as batch_io
 from dataengineeringworkshop_spark.streaming.autoingest import AutoIngest
-from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+from dataengineeringworkshop_spark.tables.backend import TableBackend
 
 
 class Lakehouse:
@@ -68,12 +68,17 @@ class Lakehouse:
     def _table_path(self, name: str) -> str:
         return os.path.join(self.storage_dir, "tables", name)
 
-    def table(self, name: str) -> VersionedTable:
-        return VersionedTable(self.spark, self._table_path(name))
+    def table(self, name: str) -> TableBackend:
+        """Open the named table through the backend seam: parquet +
+        commit-log VersionedTable here; DeltaBackend automatically when
+        delta-spark is importable (tables/backend.py)."""
+        from dataengineeringworkshop_spark.tables.backend import open_table
+
+        return open_table(self.spark, self._table_path(name))
 
     def create_table(
         self, name: str, df: DataFrame, register_view: bool = True
-    ) -> VersionedTable:
+    ) -> TableBackend:
         """CTAS (N1:125-130): materialize df as version 0 of a versioned
         table; optionally expose it to ``sql()`` as a temp view."""
         vt = self.table(name)
@@ -117,3 +122,23 @@ class Lakehouse:
     # ---- declarative pipelines (DLT parity, N3/N4) ----
     def pipeline(self, name: str) -> Pipeline:
         return Pipeline(name, os.path.join(self.storage_dir, "pipelines", name))
+
+    def pipeline_from_sql(
+        self,
+        name: str,
+        sql_text: str,
+        params: dict[str, str] | None = None,
+        schema_hints: dict[str, str] | None = None,
+    ) -> Pipeline:
+        """A DLT SQL notebook/script (`4  Delta Live Tables (SQL).sql`
+        dialect) parsed into a ready-to-run pipeline rooted in this
+        lakehouse's storage (see ``pipeline.dlt_sql``)."""
+        from dataengineeringworkshop_spark.pipeline.dlt_sql import pipeline_from_sql
+
+        return pipeline_from_sql(
+            name,
+            os.path.join(self.storage_dir, "pipelines", name),
+            sql_text,
+            params=params,
+            schema_hints=schema_hints,
+        )

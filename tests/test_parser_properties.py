@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for the two SQL-text parsers:
+sqldml's statement classifier and dlt_sql's CREATE … LIVE grammar.
+Parsers face arbitrary user formatting — fuzz the formatting, pin the
+parse."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataengineeringworkshop_spark.pipeline.dlt_sql import parse_statement
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z_0-9]{0,20}", fullmatch=True)
+_ws = st.sampled_from([" ", "  ", "\n", "\n  ", "\t"])
+_kw_case = st.sampled_from([str.upper, str.lower, str.title])
+
+
+@st.composite
+def _live_table_stmt(draw):
+    """A random CREATE … LIVE TABLE statement + its expected spec."""
+    name = draw(_ident)
+    temporary = draw(st.booleans())
+    incremental = draw(st.booleans()) and not temporary
+    case = draw(_kw_case)
+    ws = draw(_ws)
+
+    constraints = draw(
+        st.lists(
+            st.tuples(
+                st.from_regex(r"[A-Za-z][A-Za-z 0-9_]{0,30}", fullmatch=True),
+                st.sampled_from(
+                    ["x > 0", "length(s) = 5", "v IN ('A', 'B')", "a IS NOT NULL"]
+                ),
+                st.sampled_from(["", "DROP ROW", "FAIL UPDATE"]),
+            ),
+            max_size=3,
+        )
+    )
+    comment = draw(st.sampled_from(["", "a comment", "with, punctuation."]))
+    with_props = draw(st.booleans())
+    with_as = draw(st.booleans())
+
+    parts = [case("create") + ws]
+    if temporary:
+        parts.append(case("temporary") + ws)
+    if incremental:
+        parts.append(case("incremental") + ws)
+    parts.append(case("live") + ws + case("table") + ws + name)
+    if constraints:
+        cs = ",\n".join(
+            f"CONSTRAINT `{cn}` EXPECT ({pred})"
+            + (f" ON VIOLATION {act}" if act else "")
+            for cn, pred, act in constraints
+        )
+        parts.append(f"{ws}({cs}){ws}")
+    if with_props:
+        parts.append(f'{ws}TBLPROPERTIES ("quality" = "gold")')
+    if comment:
+        parts.append(f'{ws}COMMENT "{comment}"')
+    if with_as:
+        parts.append(f"{ws}{case('as')}")
+    parts.append(f"{ws}select a, b from live.upstream_{name}")
+    return "".join(parts), {
+        "name": name,
+        "temporary": temporary,
+        "incremental": incremental,
+        "constraints": constraints,
+        "comment": comment,
+        "props": {"quality": "gold"} if with_props else {},
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(_live_table_stmt())
+def test_dlt_parse_roundtrip(case):
+    stmt, want = case
+    spec = parse_statement(stmt)
+    assert spec["name"] == want["name"]
+    assert spec["temporary"] == want["temporary"]
+    assert spec["incremental"] == want["incremental"]
+    assert spec["comment"] == want["comment"]
+    assert spec["properties"] == want["props"]
+    got = [(e.name, e.predicate, e.mode) for e in spec["expectations"]]
+    mode_of = {"": "warn", "DROP ROW": "drop", "FAIL UPDATE": "fail"}
+    assert got == [(cn, pred, mode_of[act]) for cn, pred, act in want["constraints"]]
+    assert spec["sql"].lower().startswith("select a, b")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    table=_ident,
+    col=_ident,
+    ws=_ws,
+    case=_kw_case,
+    cond=st.sampled_from([None, "k = 'x'", "n > 3 AND m < 9"]),
+)
+def test_sqldml_update_parse_shapes(table, col, ws, case, cond):
+    """UPDATE statements in arbitrary case/whitespace classify and split
+    into the same (table, set, where) triple the dispatcher executes."""
+    import re
+
+    from dataengineeringworkshop_spark.sqldml import (
+        _split_top_level,
+        _strip,
+        _UPDATE_RE,
+    )
+
+    stmt = f"{case('update')}{ws}{table}{ws}{case('set')}{ws}{col} = {col} + 1"
+    if cond:
+        stmt += f"{ws}{case('where')}{ws}{cond}"
+    stmt += " ;"
+    m = _UPDATE_RE.match(_strip(stmt))
+    assert m and m.group(1) == table
+    body, *where = _split_top_level(m.group(2), r"\bwhere\b")
+    am = re.match(r"^\s*(\w+)\s*=\s*(.*)$", body, re.DOTALL)
+    assert am and am.group(1) == col
+    assert am.group(2).strip() == f"{col} + 1"
+    if cond:
+        assert where and where[0].strip() == cond
+    else:
+        assert not where
