@@ -372,6 +372,44 @@ def mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_audio_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST((doc_id % 50) + 10 AS BIGINT) AS n_frames,
+               CAST(doc_id % 100 AS DOUBLE) AS rms,
+               CAST(doc_id % 100 AS INT) AS peak,
+               CAST(CASE WHEN doc_id % 100 = 0 THEN 0
+                         ELSE (doc_id % 50) + 9 END AS BIGINT) AS zero_crossings
+        FROM documents
+    """,
+    tags=("ext-mm",),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction, hash-checked: deterministic ±v
+    square-wave PCM WAVs are synthesized per document (amplitude
+    v = doc_id%100, (doc_id%50)+10 frames), then the int16 samples are
+    decoded from the raw bytes (numpy, no audio lib) and RMS / peak /
+    zero-crossing features computed.  The oracle is the closed-form
+    signal math: RMS of an alternating ±v wave is exactly v (perfect
+    squares are exact in float64), crossings = frames−1 (0 when v = 0).
+    A byte-order, frame-alignment, or chunk-offset bug in the WAV codec
+    shifts every decoded amplitude and breaks the hash."""
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        synthesize_tone_wavs,
+        wav_sample_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return wav_sample_features(synthesize_tone_wavs(d)).select(
+        "media_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round("rms", 6).alias("rms"),
+        F.col("peak").cast("int").alias("peak"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+    )
+
+
 @query("mm_resize_fake", tags=("ext-mm",))
 def mm_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas resize plumbing (deterministic stub — no image libs in

@@ -424,3 +424,36 @@ def test_resize_bmp_real_roundtrip(spark):
     dec = decode_media(back, fake=False)
     rows2 = dec.collect()
     assert rows2 and all(r.ok and r.width == 4 and r.height == 4 for r in rows2)
+
+
+def test_wav_sample_features_ground_truth(spark):
+    """Feature extraction vs hand-computed signal math on a hand-built
+    multi-chunk WAV (extra chunk before data — the walker must not
+    assume a fixed 44-byte layout)."""
+    import struct
+
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        parse_wav,
+        wav_sample_features,
+    )
+
+    # samples: 3, -4, 0, 5  -> rms = sqrt((9+16+0+25)/4), peak 5,
+    # zero crossings: (3,-4) and (-4,0)? 0-product is NOT < 0 -> only
+    # (3,-4) and (0,5)? 0*5=0 not <0 -> exactly 1 crossing
+    samples = struct.pack("<4h", 3, -4, 0, 5)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"   # pre-data chunk
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    meta = parse_wav(wav)
+    assert meta["n_frames"] == 4 and meta["data_offset"] == len(wav) - 8
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "s", len(wav))],
+        "media_id long, media_type string, content binary, source string, declared_bytes long",
+    )
+    r = wav_sample_features(df).first()
+    assert r.n_frames == 4 and r.peak == 5 and r.zero_crossings == 1
+    assert abs(r.rms - (50 / 4) ** 0.5) < 1e-12
