@@ -467,8 +467,12 @@ def _translate_fail_guard(node_name: str, ex: Exception) -> None:
     API-level :class:`ExpectationFailed`; anything else propagates
     unchanged."""
     msg = str(ex)
-    if "ON VIOLATION FAIL UPDATE" in msg:
-        m = re.search(r"expectation (\S+) violated", msg)
+    # two spellings: the guard's raise_error text (batch write actions)
+    # and an already-translated ExpectationFailed re-wrapped by the
+    # streaming engine (foreachBatch exceptions surface as
+    # StreamingQueryException with the Python traceback in the message)
+    if "ON VIOLATION FAIL UPDATE" in msg or "ExpectationFailed" in msg:
+        m = re.search(r"expectation '?\"?([^'\"\s]+)'?\"? violated", msg)
         which = m.group(1) if m else "<unknown>"
         raise ExpectationFailed(
             f"{node_name}: expectation {which!r} violated"

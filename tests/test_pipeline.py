@@ -324,3 +324,42 @@ def test_fail_mode_passes_when_clean(spark, tmp_path):
     m = {x["name"]: x for x in r["good"]["expectations"]}
     assert m["v_ok"]["passed_records"] == 50 and m["v_ok"]["failed_records"] == 0
     assert p.read_dataset(spark, "good").count() == 50
+
+
+def test_fail_mode_streaming_aborts_without_partial_batch(spark, tmp_path):
+    """Fail-mode on an INCREMENTAL table: the violating batch is staged,
+    the guard aborts it, nothing lands in the target dir, and run()
+    raises the API-level ExpectationFailed (not a raw
+    StreamingQueryException)."""
+    import json
+    import os
+
+    from dataengineeringworkshop_spark.operators.expectations import (
+        Expectation,
+        ExpectationFailed,
+    )
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "a.json", "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"k": i, "v": i}) + "\n")
+
+    p = Pipeline("stfail", str(tmp_path / "pl"))
+    p.table(
+        "incr",
+        f"SELECT * FROM cloud_files('{landing}', 'json')",
+        incremental=True,
+        expectations=[Expectation("v_small", "v < 10", mode="fail")],
+    )
+    with pytest.raises(ExpectationFailed, match="v_small"):
+        p.run(spark)
+    target = p._incr_dir("incr")
+    files = (
+        [x for x in os.listdir(target) if x.endswith(".parquet")]
+        if os.path.isdir(target)
+        else []
+    )
+    assert files == []
+    assert not os.path.isdir(target + "__batch_staging")
