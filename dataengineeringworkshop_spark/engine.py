@@ -40,9 +40,16 @@ class Lakehouse:
         storage_dir: str,
         spark: SparkSession | None = None,
         app_name: str = "dew-lakehouse",
+        table_backend: str | None = None,
     ):
+        """``table_backend``: force ``"versioned"`` / ``"delta"`` for
+        every table this lakehouse opens (None = auto-select per
+        tables/backend.py).  Pin it when behavior must be
+        backend-stable — e.g. oracle-checked tests that assert
+        VersionedTable history op names."""
         self.spark = ensure_session_defaults(spark) if spark else get_spark(app_name)
         self.storage_dir = storage_dir
+        self.table_backend = table_backend
         os.makedirs(storage_dir, exist_ok=True)
 
     # ---- ad-hoc query surface (workshop %sql / display cells) ----
@@ -74,7 +81,9 @@ class Lakehouse:
         delta-spark is importable (tables/backend.py)."""
         from dataengineeringworkshop_spark.tables.backend import open_table
 
-        return open_table(self.spark, self._table_path(name))
+        return open_table(
+            self.spark, self._table_path(name), backend=self.table_backend
+        )
 
     def create_table(
         self, name: str, df: DataFrame, register_view: bool = True

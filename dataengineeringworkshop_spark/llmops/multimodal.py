@@ -158,6 +158,8 @@ def parse_bmp(b: bytes) -> dict:
         "height": height_abs,
         "channels": bpp // 8,
         "n_pixel_bytes": need,
+        # negative biHeight = rows stored top-down (no flip on decode)
+        "top_down": height < 0,
     }
 
 
@@ -233,6 +235,11 @@ def wav_sample_features(media: DataFrame) -> DataFrame:
             for b in pdf["content"]:
                 bb = bytes(b)
                 meta = parse_wav(bb)
+                if meta["bits_per_sample"] != 16:
+                    raise NotImplementedError(
+                        f"{meta['bits_per_sample']}-bit PCM feature "
+                        "extraction unsupported (16-bit only)"
+                    )
                 start = meta["data_offset"]
                 nbytes = meta["n_frames"] * meta["channels"] * 2
                 s = np.frombuffer(bb, dtype="<i2", count=nbytes // 2, offset=start)
@@ -270,6 +277,8 @@ def parse_wav(b: bytes) -> dict:
         cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
         body = pos + 8
         if cid == b"fmt " and size >= 16:
+            if len(b) < body + 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", b, body)
         elif cid == b"data":
             data_len = min(size, len(b) - body)
@@ -295,19 +304,26 @@ def parse_wav(b: bytes) -> dict:
 
 def _decode_one(b: bytes) -> dict | None:
     """Dispatch one payload by magic.  Returns a DECODED_SCHEMA-shaped
-    dict for formats we can parse, None for unrecognized bytes, and
+    dict for formats we can parse, None for unrecognized OR corrupt
+    bytes (a malformed row must not abort the whole decode job), and
     raises NotImplementedError for recognized-but-compressed containers
     (the honest boundary: those need codec libraries)."""
     if not b:
         return None
     if b[:2] == b"BM":
-        m = parse_bmp(bytes(b))
+        try:
+            m = parse_bmp(bytes(b))
+        except ValueError:
+            return None  # corrupt/truncated: ok=False, job survives
         return {
             "width": m["width"], "height": m["height"],
             "channels": m["channels"], "duration_ms": 0,
         }
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        m = parse_wav(bytes(b))
+        try:
+            m = parse_wav(bytes(b))
+        except ValueError:
+            return None
         return {
             "width": 0, "height": 0,
             "channels": m["channels"], "duration_ms": m["duration_ms"],
@@ -397,8 +413,9 @@ def decode_bmp_pixels(b: bytes):
     row = (w * ch + 3) // 4 * 4
     arr = np.frombuffer(b, dtype=np.uint8, count=row * h, offset=data_offset)
     px = arr.reshape(h, row)[:, : w * ch].reshape(h, w, ch)
-    rgb = px[:, :, [2, 1, 0]]  # BGR storage -> RGB
-    return rgb[::-1]  # bottom-up rows -> top-down
+    rgb = px[:, :, [2, 1, 0] if ch == 3 else [2, 1, 0, 3]][:, :, :3]
+    # negative-height BMPs are already stored top-down — don't flip them
+    return rgb if meta["top_down"] else rgb[::-1]
 
 
 def resize_bmp(b: bytes, width: int, height: int) -> bytes:
@@ -438,7 +455,10 @@ def resize_media(
                     return b""
                 bb = bytes(b)
                 if bb[:2] == b"BM":
-                    return resize_bmp(bb, width, height)
+                    try:
+                        return resize_bmp(bb, width, height)
+                    except ValueError:
+                        return b""  # corrupt payload: empty, job survives
                 for magic, name in _COMPRESSED_MAGICS:
                     if bb[: len(magic)] == magic:
                         raise NotImplementedError(

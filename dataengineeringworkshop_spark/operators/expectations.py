@@ -48,11 +48,17 @@ def fail_guard(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     raise_error(...) ELSE true END`` — a filter cannot be pruned by the
     optimizer, and ``raise_error`` is non-foldable, so the guard survives
     Catalyst intact."""
+    import re
+
     out = df
     for e in expectations:
         if e.mode != "fail":
             continue
-        msg = f"expectation {e.name} violated (ON VIOLATION FAIL UPDATE)"
+        # the name is interpolated into a SQL string literal — keep only
+        # literal-safe characters (constraint names may be arbitrary
+        # backtick-quoted text; a quote would break or inject SQL)
+        safe = re.sub(r"[^A-Za-z0-9 _.\-]", "_", e.name)
+        msg = f"expectation {safe} violated (ON VIOLATION FAIL UPDATE)"
         out = out.filter(
             F.expr(
                 f"CASE WHEN NOT coalesce(({e.predicate}), false) "

@@ -220,6 +220,16 @@ def pipeline_from_sql(
     for stmt in _strip_notebook(sql_text):
         spec = parse_statement(stmt)
         if spec["view"]:
+            if spec["expectations"]:
+                # the runner never materializes views, so their
+                # constraints would have no enforcement point — refuse
+                # rather than silently dropping them
+                raise ValueError(
+                    f"LIVE VIEW {spec['name']!r} declares CONSTRAINT "
+                    "clauses, but views are not materialized here and "
+                    "the expectations could not be enforced; make it a "
+                    "TEMPORARY LIVE TABLE instead"
+                )
             p.view(spec["name"], spec["sql"], comment=spec["comment"])
         else:
             p.table(

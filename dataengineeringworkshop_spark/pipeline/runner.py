@@ -472,7 +472,8 @@ def _translate_fail_guard(node_name: str, ex: Exception) -> None:
     # streaming engine (foreachBatch exceptions surface as
     # StreamingQueryException with the Python traceback in the message)
     if "ON VIOLATION FAIL UPDATE" in msg or "ExpectationFailed" in msg:
-        m = re.search(r"expectation '?\"?([^'\"\s]+)'?\"? violated", msg)
+        # non-greedy: constraint names may be multi-word backtick text
+        m = re.search(r"expectation '?\"?(.+?)'?\"? violated", msg)
         which = m.group(1) if m else "<unknown>"
         raise ExpectationFailed(
             f"{node_name}: expectation {which!r} violated"

@@ -413,7 +413,12 @@ def vt_sql_dml_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation) rows; the oracle recomputes every step relationally."""
     from dataengineeringworkshop_spark.engine import Lakehouse
 
-    lh = Lakehouse(tempfile.mkdtemp(prefix="dew_sqldml_"), spark=spark)
+    # pinned to the versioned backend: the oracle asserts VersionedTable
+    # history op names, which must not flip if delta-spark appears
+    lh = Lakehouse(
+        tempfile.mkdtemp(prefix="dew_sqldml_"), spark=spark,
+        table_backend="versioned",
+    )
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )
@@ -527,7 +532,12 @@ def vt_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta contract) while the restored snapshot still reads in full."""
     from dataengineeringworkshop_spark.engine import Lakehouse
 
-    lh = Lakehouse(tempfile.mkdtemp(prefix="dew_maint_"), spark=spark)
+    # pinned: the oracle asserts version-count VACUUM semantics and
+    # VersionedTable op names (Delta's differ)
+    lh = Lakehouse(
+        tempfile.mkdtemp(prefix="dew_maint_"), spark=spark,
+        table_backend="versioned",
+    )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     lh.create_table("maint_orders", o)  # v0
     lh.sql(  # v1

@@ -217,8 +217,16 @@ def execute(lh: "Lakehouse", statement: str) -> DataFrame:
     m = _VACUUM_RE.match(sql)
     if m:
         table = m.group(1)
-        retain = int(m.group(2)) if m.group(2) else 1
-        lh.table(table).vacuum(retain_last=retain)
+        if not m.group(2):
+            # Delta's bare VACUUM keeps a 7-day window; this engine's
+            # retention unit is VERSIONS, and defaulting to 1 would
+            # silently destroy all time travel — require the clause
+            raise ValueError(
+                "VACUUM requires an explicit 'RETAIN n VERSIONS' clause "
+                "here (version-count retention; a bare VACUUM would drop "
+                "every historical version)"
+            )
+        lh.table(table).vacuum(retain_last=int(m.group(2)))
         lh.refresh_view(table)
         return _status(lh, "VACUUM", table)
 

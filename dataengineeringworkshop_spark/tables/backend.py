@@ -147,11 +147,14 @@ class DeltaBackend:
         )
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
-        # Delta's VACUUM retention is hours-based, not version-count;
-        # run it with the table's configured retention.  Removed-file
-        # names aren't surfaced by the SQL command — returns [].
-        self.spark.sql(f"VACUUM delta.`{self.path}`")
-        return []
+        # Delta's VACUUM retention is hours-based; a version-count
+        # request cannot be honored faithfully — refuse instead of
+        # silently running something semantically different.
+        raise NotImplementedError(
+            "DeltaBackend cannot map 'RETAIN n VERSIONS' onto Delta's "
+            "hours-based VACUUM; run Delta's own VACUUM statement with "
+            "a RETAIN ... HOURS clause instead"
+        )
 
     def add_column(self, name: str, dtype: str) -> None:
         self.spark.sql(

@@ -278,7 +278,10 @@ def test_bmp_wav_parsers_byte_level():
     assert b[:2] == b"BM"
     m = parse_bmp(b)
     # 5px*3B = 15 raw -> padded to 16 per row, 3 rows
-    assert m == {"width": 5, "height": 3, "channels": 3, "n_pixel_bytes": 48}
+    assert m == {
+        "width": 5, "height": 3, "channels": 3, "n_pixel_bytes": 48,
+        "top_down": False,
+    }
     assert len(b) == 54 + 48
 
     w = encode_wav(8000, 1, bytes(range(100)))

@@ -216,3 +216,120 @@ def test_byte_histogram_non_power_of_two_dim(spark):
     # ASCII text bytes land across the range; the top bins must not be
     # structurally dead (bucketing is uniform, not a truncating shift)
     assert all(abs(sum(r.features) - 1.0) < 1e-9 for r in out)
+
+
+def test_corrupt_media_rows_do_not_kill_decode(spark):
+    """A recognized-but-corrupt BMP/WAV payload must come back ok=False,
+    not abort the whole mapInPandas job."""
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        decode_media,
+        encode_bmp,
+        resize_media,
+    )
+
+    rows = [
+        (1, "image", bytearray(b"BM" + b"\x00" * 10), "s", 12),      # truncated BMP
+        (2, "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEjunk"), "s", 16),  # no fmt/data
+        (3, "image", bytearray(encode_bmp(3, 2, b"abcdef")), "s", 0),  # valid
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, content binary, source string, declared_bytes long",
+    )
+    got = {r.media_id: r for r in decode_media(df, fake=False).collect()}
+    assert not got[1].ok and not got[2].ok
+    assert got[3].ok and (got[3].width, got[3].height) == (3, 2)
+    rez = {r.media_id: r for r in resize_media(df, width=2, height=2).collect()}
+    assert len(rez[1].content) == 0 and len(rez[3].content) > 0
+
+
+def test_top_down_bmp_not_flipped(spark):
+    """Negative-biHeight BMPs store rows top-down; decode must not flip."""
+    import struct
+
+    import numpy as np
+
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    # bottom-up container of these pixels
+    bgr_bu = px[::-1][:, :, [2, 1, 0]]
+    pad = np.zeros((2, 8), dtype=np.uint8)
+    pad[:, :6] = bgr_bu.reshape(2, 6)
+    b = encode_bmp(2, 2, pad.tobytes())
+    assert np.array_equal(decode_bmp_pixels(b), px)
+    # same pixel bytes, but declared top-down (negative height): rows
+    # are then already in top-down order
+    b_td = bytearray(b)
+    struct.pack_into("<i", b_td, 22, -2)
+    got = decode_bmp_pixels(bytes(b_td))
+    assert np.array_equal(got, px[::-1])
+
+
+def test_wav_guards(spark):
+    """Truncated fmt chunk -> ValueError (documented contract); non-16-bit
+    PCM -> named NotImplementedError from feature extraction."""
+    import struct
+
+    import pytest as _pytest
+
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        parse_wav,
+        wav_sample_features,
+    )
+
+    trunc = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    with _pytest.raises(ValueError, match="truncated WAV fmt"):
+        parse_wav(trunc)
+
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    )
+    assert parse_wav(wav8)["bits_per_sample"] == 8  # parses fine
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav8), "s", len(wav8))],
+        "media_id long, media_type string, content binary, source string, declared_bytes long",
+    )
+    with _pytest.raises(Exception, match="8-bit PCM feature"):
+        wav_sample_features(df).collect()
+
+
+def test_live_view_constraints_rejected():
+    from dataengineeringworkshop_spark.pipeline.dlt_sql import pipeline_from_sql
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="views are not materialized"):
+        pipeline_from_sql(
+            "x", "/tmp/never",
+            "CREATE LIVE VIEW v (CONSTRAINT ok EXPECT (a > 0)) AS SELECT 1 AS a",
+        )
+
+
+def test_fail_guard_with_quoted_multiword_name(spark, tmp_path):
+    """A backtick-style constraint name with spaces and an apostrophe
+    must neither break the guard SQL nor report '<unknown>'."""
+    from dataengineeringworkshop_spark.operators.expectations import (
+        Expectation,
+        ExpectationFailed,
+    )
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    import pytest as _pytest
+
+    p = Pipeline("qname", str(tmp_path / "pl"))
+    p.table(
+        "bad",
+        fn=lambda s, _r: s.range(10).withColumnRenamed("id", "v"),
+        expectations=[
+            Expectation("value isn't too big", "v < 5", mode="fail")
+        ],
+    )
+    with _pytest.raises(ExpectationFailed, match="value isn_t too big"):
+        p.run(spark)

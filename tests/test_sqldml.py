@@ -134,7 +134,7 @@ def test_sql_optimize_restore_vacuum_statements(spark, tmp_path):
     to the versioned-table API from literal SQL text."""
     from dataengineeringworkshop_spark.engine import Lakehouse
 
-    lh = Lakehouse(str(tmp_path / "lake"), spark=spark)
+    lh = Lakehouse(str(tmp_path / "lake"), spark=spark, table_backend="versioned")
     lh.create_table("m", spark.range(100).withColumnRenamed("id", "v"))
     lh.sql("update m set v = v + 1 where v < 10")
     st = lh.sql("OPTIMIZE m ZORDER BY (v)")
