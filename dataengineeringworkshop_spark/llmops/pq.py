@@ -246,3 +246,177 @@ def ann_topk_pq(
             "sim_rank",
         )
     )
+
+
+def _centroids_sql(centroid_rows: list) -> str:
+    """nlist×dim array literal (same device as the IVF assigner)."""
+    return "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(repr(float(x)) for x in c))
+            for _, c in sorted(centroid_rows)
+        )
+    )
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+    index_key: str | None = None,
+) -> DataFrame:
+    """IVF-PQ (the full FAISS ``IVFADC`` construction, relational):
+    coarse cells bound how many vectors a probe SCANS (nprobe/nlist of
+    the corpus), PQ residual codes bound what each scanned vector COSTS
+    (m byte-sized code lookups).  dot(q, x) = dot(q, centroid(cell)) +
+    dot(q, residual) — the first term is one per (query, probed cell),
+    the second is the per-query LUT sum over the RESIDUAL codebooks
+    (trained on x − centroid, the standard variance-reduction trick
+    that makes PQ codes much tighter than raw-vector codes).  Exact
+    cosine rerank of the top ``rerank`` ADC candidates, so reported
+    scores are exact."""
+    from dataengineeringworkshop_spark.llmops.ivf import (
+        _nearest_cells,
+        _train_centroid_rows,
+    )
+
+    dsub = dim // m
+    centroid_rows = _train_centroid_rows(
+        corpus, vec_col, nlist, seed, max_iter=5, max_train_rows=100_000,
+        cache_key=index_key,
+    )
+    cents = F.expr(_centroids_sql(centroid_rows))
+    v = F.col(vec_col).cast("array<double>")
+    cell = (
+        F.element_at(_nearest_cells(F.col(vec_col), centroid_rows, 1), 1)
+        .getField("cell_id")
+    )
+    residual = F.zip_with(v, F.element_at(cents, cell + 1), lambda x, y: x - y)
+    residuals = corpus.select(
+        F.col(id_col).alias("rid"),
+        F.col(vec_col).alias("orig_vec"),
+        cell.alias("cell_id"),
+        residual.alias("rvec"),
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("nrm"),
+    )
+    books = train_codebooks(
+        residuals, "rvec", dim, m, ksub, seed,
+        cache_key=f"{index_key}:ivf{nlist}resid" if index_key else None,
+    )
+    enc = encode_pq(residuals, "rid", "rvec", books).withColumnRenamed(
+        "vid", "rid"
+    ).drop("nrm")
+    index = residuals.select("rid", "cell_id", "nrm").join(enc, "rid")
+    if index_key:
+        from dataengineeringworkshop_spark.operators.materialize import materialize
+
+        index = materialize(
+            index,
+            label="ivfpq_index",
+            cache_key=f"{index_key}:ivfpq{nlist}x{m}x{ksub}:s{seed}",
+        )
+    # probe side: nprobe cells per query, dot(q, centroid) per probed
+    # cell, and the residual-codebook LUT per query — all bounded by |Q|
+    cb = F.expr(_codebook_sql(books))
+    qv = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        qv.alias("q_vec"),
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("q_nrm"),
+        F.explode(
+            F.transform(
+                _nearest_cells(F.col(vec_col), centroid_rows, nprobe),
+                lambda s: s.getField("cell_id"),
+            )
+        ).alias("cell_id"),
+    ).withColumn(
+        "q_dot_cent",
+        F.aggregate(
+            F.zip_with(
+                F.col("q_vec"),
+                F.element_at(F.expr(_centroids_sql(centroid_rows)), F.col("cell_id") + 1),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    entries = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.element_at(cb, j + 1),
+                lambda cent, c: F.struct(
+                    (j * F.lit(ksub) + c).cast("int").alias("slot"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("q_vec"), j * F.lit(dsub) + 1, dsub),
+                            cent,
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ).alias("pdot"),
+                ),
+            ),
+        )
+    )
+    q_probe = q.select(
+        "qid", "q_vec", "q_nrm", "cell_id", "q_dot_cent",
+        F.map_from_entries(entries).alias("lut"),
+    )
+    scored = (
+        index.join(F.broadcast(q_probe), "cell_id")
+        .filter(F.col("rid") != F.col("qid"))
+        .withColumn(
+            "adc",
+            F.col("q_dot_cent")
+            + F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("lut"),
+                    (j * F.lit(ksub) + F.element_at(F.col("codes"), j + 1)).cast(
+                        "int"
+                    ),
+                ),
+            ),
+        )
+    )
+    w_pre = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("rid"))
+    cand = scored.withColumn("pre_rank", F.row_number().over(w_pre)).filter(
+        F.col("pre_rank") <= rerank
+    )
+    true_vecs = corpus.select(
+        F.col(id_col).alias("rid"), F.col(vec_col).alias("c_vec")
+    )
+    exact = (
+        cand.select("qid", "q_vec", "q_nrm", "rid", "nrm")
+        .join(true_vecs, "rid")
+        .withColumn(
+            "cosine",
+            F.expr(_DOT.format(a="q_vec", b="c_vec"))
+            / F.nullif(F.sqrt(F.col("q_nrm") * F.col("nrm")), F.lit(0.0)),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("rid"))
+    return (
+        exact.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rid").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "sim_rank",
+        )
+    )

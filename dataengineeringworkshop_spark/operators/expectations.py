@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 class Expectation:
     name: str
     predicate: str  # SQL boolean expression over the dataset's columns
-    mode: str = "warn"  # warn | drop | fail
+    # warn | drop | fail | quarantine (quarantine is honored by the
+    # pipeline runner: violating rows are dropped from the dataset AND
+    # routed to a side table — N4:98's roadmap mode)
+    mode: str = "warn"
 
 
 class ExpectationFailed(Exception):

@@ -41,7 +41,7 @@ _HEADER_RE = re.compile(
 _CONSTRAINT_RE = re.compile(
     r"constraint\s+(?:`(?P<qname>[^`]+)`|(?P<name>\w+))\s+"
     r"expect\s*\((?P<pred>.*)\)\s*"
-    r"(?:on\s+violation\s+(?P<action>drop\s+row|fail\s+update))?\s*$",
+    r"(?:on\s+violation\s+(?P<action>drop\s+row|fail\s+update|quarantine))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -143,7 +143,10 @@ def _parse_constraints(block: str) -> list[Expectation]:
         name = m.group("qname") or m.group("name")
         action = (m.group("action") or "").lower()
         mode = (
-            "drop" if "drop" in action else "fail" if "fail" in action else "warn"
+            "drop" if "drop" in action
+            else "fail" if "fail" in action
+            else "quarantine" if "quarantine" in action
+            else "warn"
         )
         pred = m.group("pred").strip()
         out.append(Expectation(name, pred, mode=mode))

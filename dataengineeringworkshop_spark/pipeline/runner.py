@@ -29,7 +29,10 @@ Execution semantics (N4:14-18, 38; SURVEY §7.4):
 - **view**: temp view for downstream nodes; never materialized.
 - Expectations are evaluated per executed batch; ``drop`` filters rows,
   ``fail`` aborts the run (row-level guard riding the write action —
-  transactional, nothing published), all modes record metrics.
+  transactional, nothing published), ``quarantine`` filters like drop
+  but routes violating rows to a side table (`4  Delta Live Tables
+  (SQL).sql:98` lists QUARANTINE as DLT roadmap — implemented here),
+  and all modes record metrics.
 - Every run appends ``flow_definition`` / ``flow_progress`` events (with
   ``num_output_rows`` and ``data_quality.expectations``) to a JSON-lines
   event log queryable as a table (N3:130-168 parity).
@@ -233,6 +236,7 @@ class Pipeline:
                 if spec.kind in ("table", "temp_table"):
                     df = self._build_batch(spark, spec)
                     kept, finish = self._prepare_node_write(df, spec)
+                    self._write_quarantine(df, spec)
                     try:
                         if spec.kind == "table":
                             vt = open_table(spark, self._table_dir(spec.name))
@@ -330,7 +334,9 @@ class Pipeline:
             aggs.append(
                 F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"__p_{i}")
             )
-        drop_preds = [e.predicate for e in expectations if e.mode == "drop"]
+        drop_preds = [
+            e.predicate for e in expectations if e.mode in ("drop", "quarantine")
+        ]
         if drop_preds:
             keep_sql = " AND ".join(f"({p})" for p in drop_preds)
             aggs.append(
@@ -357,12 +363,44 @@ class Pipeline:
                         "passed_records": passed,
                         "failed_records": failed,
                         "dropped_records": failed if e.mode == "drop" else 0,
+                        "quarantined_records": (
+                            failed if e.mode == "quarantine" else 0
+                        ),
                     }
                 )
             n = (vals["__kept"] or 0) if drop_preds else total
             return n, metrics
 
         return kept, finish
+
+    def _quarantine_dir(self, name: str) -> str:
+        return f"{self.storage}/quarantine/{name}"
+
+    def _write_quarantine(
+        self, df: DataFrame, spec: DatasetSpec, mode: str = "overwrite"
+    ) -> None:
+        """QUARANTINE mode (the reference documents it as DLT roadmap,
+        N4:98): violating rows are removed from the dataset like ``drop``
+        but ROUTED to a side table tagged with the violated constraint
+        names, instead of being lost.  The side write is one extra
+        filtered scan of the node plan, paid only by nodes that declare
+        a quarantine-mode expectation (two sinks fundamentally need two
+        actions); metrics still ride the main write via the shared
+        observation."""
+        quarantine = [e for e in spec.expectations if e.mode == "quarantine"]
+        if not quarantine:
+            return
+        from dataengineeringworkshop_spark.operators.expectations import (
+            quarantine_split,
+        )
+
+        _kept, violating = quarantine_split(df, quarantine)
+        violating.write.mode(mode).parquet(self._quarantine_dir(spec.name))
+
+    def read_quarantine(self, spark: SparkSession, name: str) -> DataFrame:
+        """The quarantined rows of a dataset's latest run (with the
+        ``violated`` constraint-name column) — the repair/audit input."""
+        return spark.read.parquet(self._quarantine_dir(name))
 
     def _run_incremental(self, spark: SparkSession, spec: DatasetSpec):
         """availableNow streaming append with per-batch expectations via
@@ -404,6 +442,8 @@ class Pipeline:
                 name=spec.name, kind="table", expectations=expectations
             )
             kept, finish = self._prepare_node_write(batch_df, batch_spec)
+            # quarantined rows accumulate across batches (append)
+            self._write_quarantine(batch_df, batch_spec, mode="append")
             if has_fail:
                 # the fail guard can abort the write mid-scan; a plain
                 # parquet append would leave the partial batch visible.

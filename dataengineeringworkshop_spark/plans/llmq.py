@@ -239,6 +239,25 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfpq_topk", tags=("ext-sim", "ivf", "pq"))
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC, relational): coarse cells bound how many
+    vectors a probe scans (nprobe/nlist), PQ RESIDUAL codes bound what
+    each scanned vector costs (8 byte-sized lookups instead of a 64-d
+    dot product) — dot(q,x) decomposes as dot(q, cell centroid) +
+    LUT-sum over the residual codebooks.  Exact-cosine rerank of the
+    top ADC candidates.  Learned quantizers → rows-only driver check;
+    pytest measures recall vs brute force."""
+    from dataengineeringworkshop_spark.llmops.pq import ann_topk_ivfpq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_sample(e)
+    return ann_topk_ivfpq(
+        e, q, "vec_id", "embedding", dim=64, k=10, nlist=16, nprobe=4,
+        rerank=60, index_key=f"embeddings:{sf_dir}",
+    )
+
+
 @query(
     "ann_ivf_fullprobe_exact",
     oracle=f"""

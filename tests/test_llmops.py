@@ -460,3 +460,30 @@ def test_wav_sample_features_ground_truth(spark):
     r = wav_sample_features(df).first()
     assert r.n_frames == 4 and r.peak == 5 and r.zero_crossings == 1
     assert abs(r.rms - (50 / 4) ** 0.5) < 1e-12
+
+
+def test_ann_ivfpq_recall_vs_bruteforce(spark):
+    """IVF-PQ (cells + residual codes + ADC + exact rerank) recall on
+    the fixed query batch; reported cosines exact."""
+    from dataengineeringworkshop_spark.llmops.pq import ann_topk_ivfpq
+    from dataengineeringworkshop_spark.llmops.similarity import exact_cosine_topk
+    from dataengineeringworkshop_spark.plans.llmq import _query_sample
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = _query_sample(e)
+    exact = exact_cosine_topk(e, q, "vec_id", "embedding", k=10)
+    approx = ann_topk_ivfpq(
+        e, q, "vec_id", "embedding", dim=64, k=10,
+        nlist=8, nprobe=4, rerank=60,
+    )
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # probing half the cells + coded candidates must beat chance hard
+    assert recall >= 0.4, recall
+    joined = approx.join(
+        exact.select("query_id", "neighbor_id", F.col("cosine").alias("exact_cos")),
+        ["query_id", "neighbor_id"],
+    )
+    assert joined.filter(F.abs(F.col("cosine") - F.col("exact_cos")) > 1e-9).count() == 0

@@ -363,3 +363,51 @@ def test_fail_mode_streaming_aborts_without_partial_batch(spark, tmp_path):
     )
     assert files == []
     assert not os.path.isdir(target + "__batch_staging")
+
+
+def test_quarantine_mode_routes_rows(spark, tmp_path):
+    """ON VIOLATION QUARANTINE (N4:98 roadmap): violating rows leave the
+    dataset like drop, but land in a side table tagged with the violated
+    constraint names; metrics record quarantined_records."""
+    from dataengineeringworkshop_spark.operators.expectations import Expectation
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    p = Pipeline("quar", str(tmp_path / "pl"))
+    p.table(
+        "gated",
+        fn=lambda s, _r: s.range(20).withColumnRenamed("id", "v"),
+        expectations=[
+            Expectation("v_small", "v < 15", mode="quarantine"),
+            Expectation("v_even", "v % 2 = 0", mode="quarantine"),
+        ],
+    )
+    r = p.run(spark)
+    kept = p.read_dataset(spark, "gated")
+    assert {x.v for x in kept.collect()} == {0, 2, 4, 6, 8, 10, 12, 14}
+    q = p.read_quarantine(spark, "gated")
+    got = {x.v: x.violated for x in q.collect()}
+    assert got[16] == "v_small"        # >= 15, even
+    assert got[1] == "v_even"          # < 15, odd
+    assert got[15] == "v_small,v_even"
+    assert r["gated"]["rows"] == 8
+    m = {x["name"]: x for x in r["gated"]["expectations"]}
+    assert m["v_small"]["quarantined_records"] == 5
+    assert m["v_even"]["quarantined_records"] == 10
+
+
+def test_quarantine_via_dlt_sql_text(spark, tmp_path):
+    from dataengineeringworkshop_spark.pipeline.dlt_sql import pipeline_from_sql
+
+    (tmp_path / "d.json").write_text(
+        "\n".join(f'{{"v": {i}}}' for i in range(10)) + "\n"
+    )
+    script = f"""
+CREATE LIVE TABLE gated (
+  CONSTRAINT `v in range` EXPECT (v < 7) ON VIOLATION QUARANTINE
+)
+AS SELECT * FROM json.`{tmp_path / "d.json"}`
+"""
+    p = pipeline_from_sql("q2", str(tmp_path / "pl"), script)
+    p.run(spark)
+    assert p.read_dataset(spark, "gated").count() == 7
+    assert p.read_quarantine(spark, "gated").count() == 3
