@@ -110,17 +110,21 @@ DRIVER_PREFIX = 50
 # All 50 rows are oracle-paired — no rows-only slots in the window.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
-    # One driver row per SURVEY §2 family (plans/breadth.py)
+    # §2 breadth composites: all ten rb_* rows earned rows+schema+hash
+    # evidence in CORRECTNESS_r03; five keep live slots as family
+    # anchors, five yield their slots to round-4 first-time-evidence
+    # queries (test_registry_order enforces prefix ∪ past-green)
     "rb_projection_breadth",
-    "rb_predicate_breadth",
     "rb_join_agg_breadth",
     "rb_window_order_breadth",
     "rb_cte_subquery_breadth",
-    "rb_string_funcs_breadth",
-    "rb_time_funcs_breadth",
-    "rb_json_funcs_breadth",
-    "rb_explode_breadth",
     "rb_text_analysis_breadth",
+    # round-4 surfaces, first driver evidence
+    "vt_maintenance_sql",
+    "st_stream_dedup",
+    "cp_cdc_passage_chunks",
+    "cp_shared_passages",
+    "mm_audio_features",
     # versioned-table DML + DDL live representatives (rest: green r1-r3)
     "vt_sql_dml_verbatim",
     "vt_merge_upsert",
