@@ -64,6 +64,15 @@ class Lakehouse:
 
         return execute(self, statement)
 
+    def sql_script(self, script: str) -> list[DataFrame]:
+        """Run a multi-statement SQL script (statements separated by
+        ``;`` outside quotes — a whole ``%sql`` cell or .sql file),
+        each through :meth:`sql`.  Returns the per-statement results;
+        the last entry is what a notebook cell would display."""
+        from dataengineeringworkshop_spark.sqldml import split_statements
+
+        return [self.sql(stmt) for stmt in split_statements(script)]
+
     # ---- batch ingestion (N1:86-93, N2:116-126) ----
     def read_csv(self, path: str, **opts) -> DataFrame:
         return batch_io.read_csv(self.spark, path, **opts)

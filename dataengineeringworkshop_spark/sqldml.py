@@ -44,6 +44,30 @@ def _strip(sql: str) -> str:
     return sql.strip().rstrip(";").strip()
 
 
+def split_statements(script: str) -> list[str]:
+    """Split a multi-statement script on ``;`` outside single-quoted
+    strings and backticks; comments stripped, empties dropped."""
+    script = re.sub(r"--[^\n]*", " ", script)
+    parts, buf, quote = [], [], None
+    for ch in script:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", "`"):
+            quote = ch
+            buf.append(ch)
+            continue
+        if ch == ";":
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _split_top_level(text: str, sep_re: str) -> list[str]:
     """Split on a regex separator only at paren depth 0 outside quotes."""
     parts, buf, depth, in_str = [], [], 0, False

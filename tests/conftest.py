@@ -19,3 +19,13 @@ def spark():
 
     s = get_spark(app_name="dew-tests")
     yield s
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="session")
+def spark_session_global(spark):
+    """Session-scoped alias usable inside hypothesis @given tests (the
+    function-scoped fixture cannot be combined with @given)."""
+    return spark

@@ -119,3 +119,65 @@ def test_sqldml_update_parse_shapes(table, col, ws, case, cond):
         assert where and where[0].strip() == cond
     else:
         assert not where
+
+
+# ---------------------------------------------------------------------------
+# Model-based DML sequences: a random op sequence applied both to a
+# VersionedTable and to a python dict model must agree on every
+# snapshot (time travel included).  Few examples — each costs real
+# Spark jobs — but each one exercises a 5-op interleaving no
+# hand-written test covers.
+# ---------------------------------------------------------------------------
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("update"), st.integers(1, 9), st.integers(2, 4), st.integers(0, 1)),
+        st.tuples(st.just("delete"), st.integers(2, 4), st.integers(0, 1)),
+        st.tuples(st.just("optimize")),
+        st.tuples(st.just("restore"), st.integers(0, 4)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=_ops)
+def test_versioned_table_matches_model(spark_session_global, tmp_path_factory, ops):
+    spark = spark_session_global
+    import uuid
+
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    path = str(tmp_path_factory.mktemp("vtprop") / uuid.uuid4().hex)
+    t = VersionedTable(spark, path)
+    t.write(spark.range(20).selectExpr("id AS k", "id * 10 AS v"))
+    model = {k: k * 10 for k in range(20)}
+    snapshots = [dict(model)]
+
+    for op in ops:
+        if op[0] == "update":
+            _, add, mod, rem = op
+            t.update({"v": f"v + {add}"}, condition=f"k % {mod} = {rem}")
+            model = {
+                k: (v + add if k % mod == rem else v) for k, v in model.items()
+            }
+        elif op[0] == "delete":
+            _, mod, rem = op
+            t.delete(f"k % {mod} = {rem}")
+            model = {k: v for k, v in model.items() if not (k % mod == rem)}
+        elif op[0] == "optimize":
+            t.optimize(zorder_by=["k"])
+        else:  # restore to an EXISTING version
+            target = op[1] % len(snapshots)
+            t.restore(target)
+            model = dict(snapshots[target])
+        snapshots.append(dict(model))
+
+    # final state and every snapshot agree with the model
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == model, (ops, got, model)
+    for ver, snap in enumerate(snapshots):
+        got_v = {r.k: r.v for r in t.read(version=ver).collect()}
+        assert got_v == snap, (ops, ver)
+    assert t.history().count() == len(snapshots)

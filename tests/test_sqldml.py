@@ -152,3 +152,34 @@ def test_sql_optimize_restore_vacuum_statements(spark, tmp_path):
     ]
     # ZORDER stats recorded by the optimize survive the restore commit
     assert lh.sql("select count(*) AS n from m where v < 5").first().n == 4
+
+
+def test_sql_script_multi_statement(spark, tmp_path):
+    """A whole %sql cell with several ;-separated statements runs in
+    order through the DML dispatcher; literals containing ';' survive."""
+    from dataengineeringworkshop_spark.engine import Lakehouse
+    from dataengineeringworkshop_spark.sqldml import split_statements
+
+    assert split_statements("a; b ; ;") == ["a", "b"]
+    assert split_statements("update t set s = 'x;y'; delete from t where k = 1") == [
+        "update t set s = 'x;y'",
+        "delete from t where k = 1",
+    ]
+
+    lh = Lakehouse(str(tmp_path / "lake"), spark=spark, table_backend="versioned")
+    lh.create_table(
+        "script_t",
+        spark.range(10).selectExpr("id AS k", "'a;b' AS tag"),
+    )
+    results = lh.sql_script(
+        """
+        update script_t set tag = 'hot;item' where k < 3;
+        delete from script_t where k >= 8;
+        select count(*) AS n from script_t
+        """
+    )
+    assert results[-1].first().n == 8
+    assert (
+        lh.sql("select count(*) AS n from script_t where tag = 'hot;item'")
+        .first().n == 3
+    )
