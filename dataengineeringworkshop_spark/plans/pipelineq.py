@@ -8,6 +8,7 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dataengineeringworkshop_spark.operators.expectations import Expectation
 from dataengineeringworkshop_spark.pipeline.runner import Pipeline
@@ -292,5 +293,73 @@ from live.gated_dlt group by lang, source
     p = pipeline_from_sql("dltsqlq", tempfile.mkdtemp(prefix="dew_dltsql_"), script)
     p.run(spark)
     return p.read_dataset(spark, "gold_mix_dlt").select(
+        "lang", "source", "n_docs", "total_chars"
+    )
+
+
+@query(
+    "cp_incremental_corpus",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE LENGTH(text) >= 120 AND lang IN ('en', 'de', 'fr')
+        GROUP BY lang, source
+    """,
+    tags=("pipeline", "ext-corpus", "ST-incremental", "E2"),
+)
+def cp_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build in STREAMING form — how a production ingest
+    actually runs: documents land as JSON files, an incremental
+    cloud_files bronze picks up only unseen files (exactly-once via the
+    stream checkpoint), the gate is an incremental node whose
+    too-short documents are QUARANTINED (not lost) and wrong-language
+    ones dropped, and gold fully recomputes per run.  The query lands
+    the corpus in TWO batches with a pipeline run after each; the final
+    gold must equal the batch aggregate over the whole corpus — the
+    exactly-once + append-correctness statement, hash-checked.  (The
+    quarantine side table is asserted in tests/test_pipeline.py-style
+    runs; here it keeps the rejected rows auditable.)"""
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="dew_cpinc_")
+    landing = f"{root}/landing"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    docs.filter(F.col("doc_id") % 3 != 0).write.mode("append").json(landing)
+
+    p = Pipeline("cpinc", f"{root}/pl")
+    p.table(
+        "bronze_docs",
+        f"SELECT * FROM cloud_files('{landing}', 'json')",
+        incremental=True,
+        schema_hints="doc_id long",
+    )
+    p.table(
+        "gated_docs",
+        """
+        SELECT doc_id, lang, source, LENGTH(text) AS n_chars_actual
+        FROM STREAM(live.bronze_docs)
+        """,
+        incremental=True,
+        expectations=[
+            Expectation("long_enough", "n_chars_actual >= 120", mode="quarantine"),
+            Expectation("lang_allowed", "lang IN ('en', 'de', 'fr')", mode="drop"),
+        ],
+    )
+    p.table(
+        "gold_corpus",
+        """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars_actual) AS BIGINT) AS total_chars
+        FROM live.gated_docs GROUP BY lang, source
+        """,
+    )
+    p.run(spark)
+    # second batch lands; the rerun ingests ONLY the new files
+    docs.filter(F.col("doc_id") % 3 == 0).write.mode("append").json(landing)
+    p.run(spark)
+    return p.read_dataset(spark, "gold_corpus").select(
         "lang", "source", "n_docs", "total_chars"
     )
