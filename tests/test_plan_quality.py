@@ -230,3 +230,55 @@ def test_bm25_global_topk_is_take_ordered_not_global_window(spark, registry):
     # single Window that remains runs AFTER the LIMIT, over ≤20 rows.
     assert ops["TakeOrderedAndProject"] >= 1, ops
     assert ops["Window"] == 1, ops
+
+
+def test_pq_encode_is_map_only(spark, registry):
+    """PQ encoding must be a pure map: inlined codebook literal, zero
+    Exchange, zero Python — the embarrassingly-parallel 100 TB encode."""
+    from dataengineeringworkshop_spark.llmops.pq import encode_pq, train_codebooks
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    books = train_codebooks(e, "embedding", dim=64, m=8, ksub=4)
+    plan = _plan(encode_pq(e, "vec_id", "embedding", books))
+    ops = _ops(plan)
+    assert ops.get("Exchange", 0) == 0, ops
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "Scan parquet" in plan or "Scan" in plan
+
+
+def test_pq_adc_probe_broadcasts_lut_single_topk_shuffle(spark, registry):
+    """ADC probe: the per-query LUT side is BROADCAST (never the coded
+    corpus), and aside from the bounded rerank joins the only shuffles
+    rank per-query top-k."""
+    df = registry["ann_pq_topk"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    ops = _ops(plan)
+    assert ops.get("BroadcastExchange", 0) >= 1
+    assert "MapInPandas" not in plan  # ADC scoring is JVM expressions
+    # windows for pre-rank + final rank; no cartesian product label
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunking_single_window_exchange(spark, registry):
+    """Content-defined chunking: one shuffle partitions words by doc for
+    the boundary cumsum; the fingerprint groupBy reuses that
+    partitioning prefix — no extra corpus-wide exchange beyond the
+    aggregate's own."""
+    df = registry["cp_cdc_passage_chunks"].fn(spark, SF_SMOKE)
+    ops = _ops(_plan(df))
+    # explode -> window exchange (doc_id) -> window -> hash agg; the agg
+    # on (doc_id, chunk_id) can piggyback the doc_id partitioning
+    assert ops.get("Exchange", 0) <= 2, ops
+    assert ops.get("Window", 0) == 1, ops
+
+
+def test_shared_passages_no_pairwise_join(spark, registry):
+    """The copied-passage report must be a pure aggregate over the chunk
+    table — a fingerprint self-join would reintroduce quadratic pair
+    formation for viral passages."""
+    df = registry["cp_shared_passages"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    ops = _ops(plan)
+    assert ops.get("SortMergeJoin", 0) + ops.get("BroadcastHashJoin", 0) == 0, ops
+    assert ops.get("HashAggregate", 0) >= 2  # partial+final
