@@ -489,3 +489,37 @@ def f19_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dew_orders
         """,
     )
+
+
+@query(
+    "b_unpivot_event_stats",
+    oracle="""
+        WITH wide AS (
+            SELECT user_id,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, 'click' AS event_type, CAST(click AS BIGINT) AS n FROM wide
+        UNION ALL
+        SELECT user_id, 'view', CAST(view AS BIGINT) FROM wide
+        UNION ALL
+        SELECT user_id, 'purchase', CAST(purchase AS BIGINT) FROM wide
+    """,
+    tags=("extra", "pivot"),
+)
+def b_unpivot_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long) via ``stack()`` — the inverse of
+    b_pivot_event_types: pivot the per-user counts wide, then unpivot
+    them back to (user_id, event_type, n) rows.  stack() is a generator
+    (one input row → k output rows, map-side, no shuffle beyond the
+    pivot's own aggregation); the oracle unions explicit projections."""
+    wide = b_pivot_event_types(spark, sf_dir)
+    return wide.select(
+        "user_id",
+        F.expr(
+            "stack(3, 'click', click, 'view', view, 'purchase', purchase) "
+            "AS (event_type, n)"
+        ),
+    ).select("user_id", "event_type", F.col("n").cast("long").alias("n"))
