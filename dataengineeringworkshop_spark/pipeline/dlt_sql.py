@@ -62,73 +62,22 @@ def _strip_notebook(sql_text: str) -> list[str]:
     return stmts
 
 
+# quote/paren-aware scanning shared with sqldml (one implementation)
+from dataengineeringworkshop_spark.sqlcompat import (  # noqa: E402
+    split_top_level as _split_top_level,
+    take_paren_group as _take_paren_group,
+)
+
+_DLT_QUOTES = "'\"`"
+
+
 def _split_semicolons(text: str) -> list[str]:
-    """Split on ``;`` outside quotes/backticks (a path literal may not
-    contain one, but stay principled)."""
-    parts, buf, quote = [], [], None
-    for ch in text:
-        if quote:
-            buf.append(ch)
-            if ch == quote:
-                quote = None
-            continue
-        if ch in ("'", '"', "`"):
-            quote = ch
-            buf.append(ch)
-            continue
-        if ch == ";":
-            parts.append("".join(buf))
-            buf = []
-            continue
-        buf.append(ch)
-    parts.append("".join(buf))
-    return parts
+    """Split on ``;`` outside quotes/backticks."""
+    return _split_top_level(text, r";", quotes=_DLT_QUOTES)
 
 
 def _split_top_commas(text: str) -> list[str]:
-    parts, buf, depth, quote = [], [], 0, None
-    for ch in text:
-        if quote:
-            buf.append(ch)
-            if ch == quote:
-                quote = None
-            continue
-        if ch in ("'", '"', "`"):
-            quote = ch
-            buf.append(ch)
-            continue
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(buf))
-            buf = []
-            continue
-        buf.append(ch)
-    parts.append("".join(buf))
-    return parts
-
-
-def _take_paren_group(text: str) -> tuple[str, str]:
-    """text starting at '(' → (inside, remainder-after-matching-paren)."""
-    assert text[0] == "("
-    depth, quote = 0, None
-    for i, ch in enumerate(text):
-        if quote:
-            if ch == quote:
-                quote = None
-            continue
-        if ch in ("'", '"', "`"):
-            quote = ch
-            continue
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                return text[1:i], text[i + 1 :]
-    raise ValueError(f"unbalanced parentheses in: {text[:80]!r}")
+    return _split_top_level(text, r",", quotes=_DLT_QUOTES)
 
 
 def _parse_constraints(block: str) -> list[Expectation]:

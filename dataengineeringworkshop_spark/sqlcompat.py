@@ -77,3 +77,70 @@ def translate_sql(sql: str) -> str:
         seg if is_lit else _JSON_PATH_RE.sub(repl, seg)
         for is_lit, seg in _split_literals(sql)
     )
+
+
+# ---------------------------------------------------------------------------
+# shared quote/paren-aware text scanning — THE one implementation behind
+# sqldml's statement splitting and dlt_sql's grammar walking (previously
+# three hand-rolled copies with subtly different quote rules)
+# ---------------------------------------------------------------------------
+
+
+def split_top_level(text: str, sep_re: str, quotes: str = "'") -> list[str]:
+    """Split ``text`` on a regex separator matched only at paren depth 0
+    and outside any of the ``quotes`` characters.  Separator matches are
+    consumed; quoting/nesting inside parts is preserved verbatim."""
+    pat = re.compile(sep_re, re.IGNORECASE)
+    parts, buf, depth, quote = [], [], 0, None
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in quotes:
+            quote = ch
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            m = pat.match(text, i)
+            if m and m.end() > i:
+                parts.append("".join(buf))
+                buf = []
+                i = m.end()
+                continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def take_paren_group(text: str, quotes: str = "'\"`") -> tuple[str, str]:
+    """``text`` starting at '(' → (content inside the matching paren,
+    remainder after it), quote-aware."""
+    if not text or text[0] != "(":
+        raise ValueError(f"expected '(' at start of: {text[:40]!r}")
+    depth, quote = 0, None
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in quotes:
+            quote = ch
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return text[1:i], text[i + 1 :]
+    raise ValueError(f"unbalanced parentheses in: {text[:80]!r}")

@@ -45,61 +45,24 @@ def _strip(sql: str) -> str:
 
 
 def split_statements(script: str) -> list[str]:
-    """Split a multi-statement script on ``;`` outside single-quoted
-    strings and backticks; comments stripped, empties dropped."""
+    """Split a multi-statement script on ``;`` outside quoted strings
+    and backticks; comments stripped, empties dropped."""
+    from dataengineeringworkshop_spark.sqlcompat import split_top_level
+
     script = re.sub(r"--[^\n]*", " ", script)
-    parts, buf, quote = [], [], None
-    for ch in script:
-        if quote:
-            buf.append(ch)
-            if ch == quote:
-                quote = None
-            continue
-        if ch in ("'", "`"):
-            quote = ch
-            buf.append(ch)
-            continue
-        if ch == ";":
-            parts.append("".join(buf))
-            buf = []
-            continue
-        buf.append(ch)
-    parts.append("".join(buf))
-    return [p.strip() for p in parts if p.strip()]
+    return [
+        p.strip()
+        for p in split_top_level(script, r";", quotes="'`")
+        if p.strip()
+    ]
 
 
 def _split_top_level(text: str, sep_re: str) -> list[str]:
-    """Split on a regex separator only at paren depth 0 outside quotes."""
-    parts, buf, depth, in_str = [], [], 0, False
-    i, pat = 0, re.compile(sep_re, re.IGNORECASE)
-    while i < len(text):
-        ch = text[i]
-        if in_str:
-            buf.append(ch)
-            if ch == "'":
-                in_str = False
-            i += 1
-            continue
-        if ch == "'":
-            in_str = True
-            buf.append(ch)
-            i += 1
-            continue
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if depth == 0:
-            m = pat.match(text, i)
-            if m:
-                parts.append("".join(buf))
-                buf = []
-                i = m.end()
-                continue
-        buf.append(ch)
-        i += 1
-    parts.append("".join(buf))
-    return parts
+    """Split on a regex separator only at paren depth 0 outside quotes
+    (shared scanner in sqlcompat)."""
+    from dataengineeringworkshop_spark.sqlcompat import split_top_level
+
+    return split_top_level(text, sep_re, quotes="'")
 
 
 _UPDATE_RE = re.compile(r"^update\s+(\w+)\s+set\s+(.*)$", re.IGNORECASE | re.DOTALL)
