@@ -45,6 +45,14 @@ EXTRA = [
     "w5_distribution_ranks",
     "t_fuzzy_match_levenshtein",
     "cp_pii_redact",
+    # round-4 surfaces outside the prefix
+    "mm_resize_roundtrip",
+    "cp_incremental_corpus",
+    "b_unpivot_event_stats",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "rb_string_funcs_breadth",
+    "rb_time_funcs_breadth",
 ]
 
 
