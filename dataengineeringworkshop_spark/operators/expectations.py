@@ -37,6 +37,13 @@ class ExpectationFailed(Exception):
     pass
 
 
+# unique token emitted by fail_guard's raise_error message; the pipeline
+# runner matches exactly this when deciding whether a write failure was an
+# expectation violation (see runner._translate_fail_guard)
+FAIL_SENTINEL = "__dew_expectation_violated__:"
+FAIL_SENTINEL_END = ":__"
+
+
 _METRIC_SCHEMA = "constraint_name string, passed_records long, failed_records long"
 
 
@@ -61,7 +68,15 @@ def fail_guard(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         # literal-safe characters (constraint names may be arbitrary
         # backtick-quoted text; a quote would break or inject SQL)
         safe = re.sub(r"[^A-Za-z0-9 _.\-]", "_", e.name)
-        msg = f"expectation {safe} violated (ON VIOLATION FAIL UPDATE)"
+        # FAIL_SENTINEL makes the guard's runtime error uniquely
+        # recognizable: the runner translates ONLY messages carrying this
+        # token back to ExpectationFailed, so an unrelated failure whose
+        # text happens to say "ON VIOLATION FAIL UPDATE" (user data, a
+        # user raise_error) is never mis-wrapped.
+        msg = (
+            f"{FAIL_SENTINEL}{safe}{FAIL_SENTINEL_END} "
+            "(ON VIOLATION FAIL UPDATE)"
+        )
         out = out.filter(
             F.expr(
                 f"CASE WHEN NOT coalesce(({e.predicate}), false) "
@@ -131,13 +146,21 @@ def quarantine_split(
     Returns ``(kept, quarantined)`` where ``quarantined`` carries a
     ``violated`` column: the comma-joined names of the failed
     expectations in definition order.  One scan, no shuffle — the split
-    is two filters over the same tagged frame."""
+    is two filters over the same tagged frame.
+
+    A predicate that evaluates NULL (e.g. ``amount > 0`` on a null
+    ``amount``) counts as a VIOLATION — consistent with the runner's
+    drop filter (``filter(pred)`` removes NULL rows) and its metrics
+    (``failed = total - passed``, which counts NULLs as failed).
+    Without the coalesce, a NULL-evaluating row would be untagged here
+    yet dropped by the main-table filter: removed from the dataset but
+    never routed to quarantine — silently lost."""
     if not expectations:
         return df, df.limit(0).withColumn("violated", F.lit(""))
     tags = F.concat_ws(
         ",",
         *[
-            F.when(~F.expr(e.predicate), F.lit(e.name))
+            F.when(~F.coalesce(F.expr(e.predicate), F.lit(False)), F.lit(e.name))
             for e in expectations
         ],
     )

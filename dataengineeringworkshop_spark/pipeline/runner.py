@@ -236,7 +236,6 @@ class Pipeline:
                 if spec.kind in ("table", "temp_table"):
                     df = self._build_batch(spark, spec)
                     kept, finish = self._prepare_node_write(df, spec)
-                    self._write_quarantine(df, spec)
                     try:
                         if spec.kind == "table":
                             vt = open_table(spark, self._table_dir(spec.name))
@@ -250,6 +249,11 @@ class Pipeline:
                             self._write_temp(kept, spec.name)
                     except Exception as ex:  # noqa: BLE001
                         _translate_fail_guard(spec.name, ex)
+                    # quarantine side table AFTER the guarded main write:
+                    # if a fail-mode expectation aborts the node, the
+                    # previous run's quarantine stays intact instead of
+                    # being overwritten with the aborted run's rows
+                    self._write_quarantine(df, spec)
                     n, metrics = finish()
                     results[spec.name] = {"rows": n, "expectations": metrics}
                     self._emit(ev, "flow_progress", spec.name, {
@@ -377,7 +381,11 @@ class Pipeline:
         return f"{self.storage}/quarantine/{name}"
 
     def _write_quarantine(
-        self, df: DataFrame, spec: DatasetSpec, mode: str = "overwrite"
+        self,
+        df: DataFrame,
+        spec: DatasetSpec,
+        mode: str = "overwrite",
+        batch_id: int | None = None,
     ) -> None:
         """QUARANTINE mode (the reference documents it as DLT roadmap,
         N4:98): violating rows are removed from the dataset like ``drop``
@@ -395,7 +403,17 @@ class Pipeline:
         )
 
         _kept, violating = quarantine_split(df, quarantine)
-        violating.write.mode(mode).parquet(self._quarantine_dir(spec.name))
+        if batch_id is not None:
+            # streaming path: key each batch's quarantine rows by a
+            # hive-style batch_id=N subdirectory written with OVERWRITE —
+            # a replayed foreachBatch (checkpoint recovery) rewrites the
+            # same directory instead of double-appending, giving the
+            # side table the same exactly-once guarantee as the main sink
+            violating.write.mode("overwrite").parquet(
+                f"{self._quarantine_dir(spec.name)}/batch_id={batch_id}"
+            )
+        else:
+            violating.write.mode(mode).parquet(self._quarantine_dir(spec.name))
 
     def read_quarantine(self, spark: SparkSession, name: str) -> DataFrame:
         """The quarantined rows of a dataset's latest run (with the
@@ -442,8 +460,6 @@ class Pipeline:
                 name=spec.name, kind="table", expectations=expectations
             )
             kept, finish = self._prepare_node_write(batch_df, batch_spec)
-            # quarantined rows accumulate across batches (append)
-            self._write_quarantine(batch_df, batch_spec, mode="append")
             if has_fail:
                 # the fail guard can abort the write mid-scan; a plain
                 # parquet append would leave the partial batch visible.
@@ -464,6 +480,9 @@ class Pipeline:
                 shutil.rmtree(staging, ignore_errors=True)
             else:
                 kept.write.mode("append").parquet(target)
+            # quarantine AFTER the (possibly guarded) main write, keyed
+            # by batch_id so a checkpoint replay is idempotent
+            self._write_quarantine(batch_df, batch_spec, batch_id=batch_id)
             cnt, metrics = finish()
             state["metrics"] = _merge_metrics(state["metrics"], metrics)
             state["rows"] += cnt
@@ -507,16 +526,30 @@ def _translate_fail_guard(node_name: str, ex: Exception) -> None:
     API-level :class:`ExpectationFailed`; anything else propagates
     unchanged."""
     msg = str(ex)
-    # two spellings: the guard's raise_error text (batch write actions)
-    # and an already-translated ExpectationFailed re-wrapped by the
-    # streaming engine (foreachBatch exceptions surface as
-    # StreamingQueryException with the Python traceback in the message)
-    if "ON VIOLATION FAIL UPDATE" in msg or "ExpectationFailed" in msg:
+    # two spellings, both carrying the unique sentinel token so an
+    # unrelated failure whose message merely echoes "ON VIOLATION FAIL
+    # UPDATE" (user data, a user raise_error) is NEVER mis-wrapped:
+    # the guard's own raise_error text (batch write actions), and an
+    # already-translated ExpectationFailed re-wrapped by the streaming
+    # engine (foreachBatch exceptions surface as StreamingQueryException
+    # with the Python traceback in the message — we re-emit the sentinel
+    # in our message below so the outer translation still matches).
+    from dataengineeringworkshop_spark.operators.expectations import (
+        FAIL_SENTINEL,
+        FAIL_SENTINEL_END,
+    )
+
+    if FAIL_SENTINEL in msg:
         # non-greedy: constraint names may be multi-word backtick text
-        m = re.search(r"expectation '?\"?(.+?)'?\"? violated", msg)
+        m = re.search(
+            re.escape(FAIL_SENTINEL) + r"(.*?)" + re.escape(FAIL_SENTINEL_END),
+            msg,
+            re.DOTALL,
+        )
         which = m.group(1) if m else "<unknown>"
         raise ExpectationFailed(
-            f"{node_name}: expectation {which!r} violated"
+            f"{node_name}: expectation {which!r} violated "
+            f"[{FAIL_SENTINEL}{which}{FAIL_SENTINEL_END}]"
         ) from ex
     raise ex
 
@@ -525,7 +558,12 @@ def _merge_metrics(acc: list[dict], new: list[dict]) -> list[dict]:
     by = {m["name"]: dict(m) for m in acc}
     for m in new:
         if m["name"] in by:
-            for k in ("passed_records", "failed_records", "dropped_records"):
+            for k in (
+                "passed_records",
+                "failed_records",
+                "dropped_records",
+                "quarantined_records",
+            ):
                 by[m["name"]][k] += m[k]
         else:
             by[m["name"]] = dict(m)

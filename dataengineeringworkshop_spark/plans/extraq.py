@@ -393,16 +393,36 @@ def t_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate supplier names at edit distance ≤ 1 — the typo-dedup
     self-match every entity-resolution pipeline starts with, yielding
     real pairs at every test scale (45 / 900 / 13.5k at sf0.001/0.01/
-    0.1).  The self-join runs over the SMALL distinct-name set, never
-    row×row over facts; at scale a length/prefix block pre-prunes the
-    candidate pairs before the distance evaluates."""
+    0.1).
+
+    Bucketed, never all-pairs: candidate generation is a **deletion
+    neighborhood** (FastSS) equi-join.  Each name emits len+1 block keys
+    — itself plus every single-character deletion — and two names at
+    edit distance ≤ 1 PROVABLY share a key (substitution at position i →
+    both deletions at i are equal; insertion/deletion → the shorter
+    string IS one of the longer one's deletion keys).  So the join is a
+    plain shuffle equi-join on the key (no BroadcastNestedLoopJoin, no
+    O(n²) theta join); ``levenshtein`` then verifies only the bounded
+    candidate set.  Key fan-out is O(avg name length) per name — at
+    100 TB the candidate space is Σ bucket², bounded by key selectivity,
+    not n²."""
     return _sql(
         spark, sf_dir, ("supplier",),
         """
-        WITH names AS (SELECT DISTINCT s_name AS nm FROM dew_supplier)
-        SELECT a.nm AS nm1, b.nm AS nm2, levenshtein(a.nm, b.nm) AS dist
-        FROM names a JOIN names b ON a.nm < b.nm
-        WHERE levenshtein(a.nm, b.nm) <= 1
+        WITH names AS (SELECT DISTINCT s_name AS nm FROM dew_supplier),
+        keys AS (
+            SELECT nm, nm AS k FROM names
+            UNION ALL
+            SELECT nm, concat(substr(nm, 1, i - 1), substr(nm, i + 1)) AS k
+            FROM names LATERAL VIEW explode(sequence(1, length(nm))) AS i
+        ),
+        cand AS (
+            SELECT DISTINCT a.nm AS nm1, b.nm AS nm2
+            FROM keys a JOIN keys b ON a.k = b.k AND a.nm < b.nm
+        )
+        SELECT nm1, nm2, levenshtein(nm1, nm2) AS dist
+        FROM cand
+        WHERE levenshtein(nm1, nm2) <= 1
         """,
     )
 

@@ -86,6 +86,38 @@ def translate_sql(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def strip_line_comments(text: str, quotes: str = "'\"`") -> str:
+    """Remove ``-- …`` line comments, but ONLY outside quoted strings —
+    a ``--`` inside a literal (``UPDATE t SET s = 'a--b'``) is data, not
+    a comment.  Naive regex stripping would eat the rest of the line
+    including the literal's closing quote, silently merging the mangled
+    statement with the next one.  Newlines are preserved so statement
+    text keeps its shape."""
+    out: list[str] = []
+    quote = None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in quotes:
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "-" and i + 1 < n and text[i + 1] == "-":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def split_top_level(text: str, sep_re: str, quotes: str = "'") -> list[str]:
     """Split ``text`` on a regex separator matched only at paren depth 0
     and outside any of the ``quotes`` characters.  Separator matches are

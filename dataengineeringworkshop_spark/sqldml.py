@@ -39,20 +39,26 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 def _strip(sql: str) -> str:
-    """Drop SQL line comments and trailing semicolon/whitespace."""
-    sql = re.sub(r"--[^\n]*", " ", sql)
-    return sql.strip().rstrip(";").strip()
+    """Drop SQL line comments (quote-aware — a ``--`` inside a string
+    literal is data) and trailing semicolon/whitespace."""
+    from dataengineeringworkshop_spark.sqlcompat import strip_line_comments
+
+    return strip_line_comments(sql).strip().rstrip(";").strip()
 
 
 def split_statements(script: str) -> list[str]:
     """Split a multi-statement script on ``;`` outside quoted strings
-    and backticks; comments stripped, empties dropped."""
-    from dataengineeringworkshop_spark.sqlcompat import split_top_level
+    (single, double — Spark treats ``"…"`` as a string literal — and
+    backticks); comments stripped quote-aware, empties dropped."""
+    from dataengineeringworkshop_spark.sqlcompat import (
+        split_top_level,
+        strip_line_comments,
+    )
 
-    script = re.sub(r"--[^\n]*", " ", script)
+    script = strip_line_comments(script)
     return [
         p.strip()
-        for p in split_top_level(script, r";", quotes="'`")
+        for p in split_top_level(script, r";", quotes="'\"`")
         if p.strip()
     ]
 

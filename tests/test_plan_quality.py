@@ -282,3 +282,14 @@ def test_shared_passages_no_pairwise_join(spark, registry):
     ops = _ops(plan)
     assert ops.get("SortMergeJoin", 0) + ops.get("BroadcastHashJoin", 0) == 0, ops
     assert ops.get("HashAggregate", 0) >= 2  # partial+final
+
+
+def test_fuzzy_levenshtein_blocked_equi_join(spark, registry):
+    """t_fuzzy_match_levenshtein candidates come from a deletion-
+    neighborhood EQUI-join on the block key — never an all-pairs
+    BroadcastNestedLoopJoin over the `a.nm < b.nm` theta condition
+    (the O(n²) shape the dedup brief bans)."""
+    df = registry["t_fuzzy_match_levenshtein"].fn(spark, SF_SMOKE)
+    ops = _ops(_plan(df))
+    assert ops["BroadcastNestedLoopJoin"] == 0 and ops["CartesianProduct"] == 0
+    assert ops["BroadcastHashJoin"] + ops["SortMergeJoin"] + ops["ShuffledHashJoin"] >= 1, ops

@@ -333,3 +333,158 @@ def test_fail_guard_with_quoted_multiword_name(spark, tmp_path):
     )
     with _pytest.raises(ExpectationFailed, match="value isn_t too big"):
         p.run(spark)
+
+
+# ---------------------------------------------------------------- round 5
+
+
+def test_quarantine_null_predicate_rows_are_quarantined(spark, tmp_path):
+    """A row whose quarantine predicate evaluates NULL (e.g. `v > 0` on
+    a null v) must land in the quarantine table — previously it was
+    dropped from the main table but untagged by quarantine_split
+    (`~NULL` is NULL), i.e. silently lost while metrics claimed it was
+    quarantined."""
+    from dataengineeringworkshop_spark.operators.expectations import Expectation
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    p = Pipeline("qnull", str(tmp_path / "pl"))
+    p.table(
+        "gated",
+        fn=lambda s, _r: s.createDataFrame(
+            [(1, 10), (2, None), (3, -4), (4, None), (5, 7)],
+            "id INT, v INT",
+        ),
+        expectations=[Expectation("v_pos", "v > 0", mode="quarantine")],
+    )
+    r = p.run(spark)
+    kept = {x.id for x in p.read_dataset(spark, "gated").collect()}
+    assert kept == {1, 5}
+    q = {x.id: x.violated for x in p.read_quarantine(spark, "gated").collect()}
+    # NULL-evaluating rows (2, 4) AND the false row (3) are all routed
+    assert q == {2: "v_pos", 3: "v_pos", 4: "v_pos"}
+    m = {x["name"]: x for x in r["gated"]["expectations"]}
+    # metrics and the side table agree: nothing lost
+    assert m["v_pos"]["quarantined_records"] == 3 == len(q)
+
+
+def test_quarantine_not_clobbered_by_failed_run(spark, tmp_path):
+    """The quarantine side table is written AFTER the guarded main
+    write: a fail-mode abort must leave the previous run's quarantine
+    rows intact instead of overwriting them with the aborted run's."""
+    from dataengineeringworkshop_spark.operators.expectations import (
+        Expectation,
+        ExpectationFailed,
+    )
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    src = {"rows": [(1, 10), (2, -5)]}
+
+    def build(s, _r):
+        return s.createDataFrame(src["rows"], "id INT, v INT")
+
+    p = Pipeline("qfail", str(tmp_path / "pl"))
+    p.table(
+        "gated",
+        fn=build,
+        expectations=[
+            Expectation("v_pos", "v > 0", mode="quarantine"),
+            Expectation("id_ok", "id < 50", mode="fail"),
+        ],
+    )
+    p.run(spark)
+    assert {x.id for x in p.read_quarantine(spark, "gated").collect()} == {2}
+    # second run violates the fail-mode expectation -> node aborts
+    src["rows"] = [(99, 10), (101, -5)]
+    with pytest.raises(ExpectationFailed):
+        p.run(spark)
+    # quarantine still shows run 1's rows, not the aborted run's
+    assert {x.id for x in p.read_quarantine(spark, "gated").collect()} == {2}
+
+
+def test_streaming_quarantine_batch_keyed(spark, tmp_path):
+    """Incremental-table quarantine rows are keyed by batch_id (hive
+    subdirs written with overwrite) so checkpoint replays cannot
+    double-append; two incremental runs accumulate without dupes."""
+    import json as _json
+
+    from dataengineeringworkshop_spark.operators.expectations import Expectation
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "a.json", "w") as f:
+        for i in range(10):
+            f.write(_json.dumps({"k": i, "v": i}) + "\n")
+
+    p = Pipeline("stq", str(tmp_path / "pl"))
+    p.table(
+        "incr",
+        f"SELECT * FROM cloud_files('{landing}', 'json')",
+        incremental=True,
+        expectations=[Expectation("v_small", "v < 7", mode="quarantine")],
+    )
+    p.run(spark)
+    assert p.read_dataset(spark, "incr").count() == 7
+    q1 = p.read_quarantine(spark, "incr")
+    assert "batch_id" in q1.columns  # partition column from the keying
+    assert sorted(x.v for x in q1.collect()) == [7, 8, 9]
+    # second file -> second batch appends under a NEW batch_id dir
+    with open(landing / "b.json", "w") as f:
+        for i in range(10, 14):
+            f.write(_json.dumps({"k": i, "v": i}) + "\n")
+    p.run(spark)
+    q2 = p.read_quarantine(spark, "incr")
+    assert sorted(x.v for x in q2.collect()) == [7, 8, 9, 10, 11, 12, 13]
+    assert q2.select("batch_id").distinct().count() == 2
+
+
+def test_split_statements_preserves_literal_dashes():
+    """'--' inside a string literal is data, not a comment: the
+    statement keeps its literal intact and the following statement is
+    not absorbed (previously a regex pre-pass mangled both)."""
+    from dataengineeringworkshop_spark.sqldml import split_statements
+
+    script = (
+        "UPDATE t SET s = 'a--b';\n"
+        "DELETE FROM t WHERE x = 1; -- real comment\n"
+        'SELECT "c--d" AS lit FROM t;\n'
+    )
+    stmts = split_statements(script)
+    assert stmts == [
+        "UPDATE t SET s = 'a--b'",
+        "DELETE FROM t WHERE x = 1",
+        'SELECT "c--d" AS lit FROM t',
+    ]
+
+
+def test_strip_line_comments_quote_aware():
+    from dataengineeringworkshop_spark.sqlcompat import strip_line_comments
+
+    assert strip_line_comments("SELECT 1 -- x\n , 2") == "SELECT 1 \n , 2"
+    assert strip_line_comments("SELECT 'a--b' -- c") == "SELECT 'a--b' "
+    assert strip_line_comments('SELECT "x--y", `a--b`') == 'SELECT "x--y", `a--b`'
+
+
+def test_fail_guard_translation_requires_sentinel(spark, tmp_path):
+    """An unrelated failure whose message merely echoes 'ON VIOLATION
+    FAIL UPDATE' (e.g. a user raise_error in a node query) must NOT be
+    rewrapped as ExpectationFailed — only the guard's unique sentinel
+    token triggers translation."""
+    from dataengineeringworkshop_spark.operators.expectations import (
+        ExpectationFailed,
+    )
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    p = Pipeline("notexp", str(tmp_path / "pl"))
+    p.table(
+        "boom",
+        fn=lambda s, _r: s.range(3).selectExpr(
+            "CASE WHEN id >= 0 THEN "
+            "raise_error('user says: ON VIOLATION FAIL UPDATE lol') "
+            "ELSE 'x' END AS c"
+        ),
+    )
+    with pytest.raises(Exception) as ei:
+        p.run(spark)
+    assert not isinstance(ei.value, ExpectationFailed)
+    assert "user says" in str(ei.value)
