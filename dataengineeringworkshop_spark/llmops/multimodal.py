@@ -534,9 +534,15 @@ def byte_histogram_features(media: DataFrame, dim: int = 64) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(
+    out = media.mapInPandas(
         batches, "media_id long, features array<double>, byte_entropy double"
     )
+    # entropy is a log2-sum whose bit pattern depends on summation order
+    # and libm — round to 6 decimals (the repo's derived-float-chain
+    # contract) so it hashes identically against a SQL oracle; the
+    # histogram probabilities are single exact double divisions
+    # (count/total) and stay unrounded
+    return out.withColumn("byte_entropy", F.round("byte_entropy", 6))
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:

@@ -137,6 +137,48 @@ def encode_pq(df: DataFrame, id_col: str, vec_col: str, books: list) -> DataFram
     )
 
 
+def _finalize_topk(
+    exact: DataFrame, k: int, vid_col: str, decimal_rescore: bool
+) -> DataFrame:
+    """Final top-k cut shared by the PQ serve paths (``exact`` carries
+    qid, q_vec, c_vec, <vid_col>, cosine).  With ``decimal_rescore`` the
+    double-ranked top k+30 survivors are rescored with the exact
+    DECIMAL(28,14) fold — dot and both norms — and re-ranked before the
+    final cut (the same two-phase device as ``ivf.ann_topk_ivf``), so
+    reported cosines are bit-identical to a DuckDB decimal oracle."""
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col(vid_col)
+    )
+    if decimal_rescore:
+        from dataengineeringworkshop_spark.llmops.expr import DOT_DECIMAL
+
+        exact = (
+            exact.withColumn("pre2", F.row_number().over(w))
+            .filter(F.col("pre2") <= k + 30)
+            .withColumn(
+                "cosine",
+                F.expr(DOT_DECIMAL.format(a="q_vec", b="c_vec"))
+                / F.sqrt(
+                    F.expr(DOT_DECIMAL.format(a="q_vec", b="q_vec"))
+                    * F.expr(DOT_DECIMAL.format(a="c_vec", b="c_vec"))
+                ),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc_nulls_last(), F.col(vid_col)
+        )
+    return (
+        exact.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col(vid_col).alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "sim_rank",
+        )
+    )
+
+
 def ann_topk_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -149,6 +191,7 @@ def ann_topk_pq(
     rerank: int = 50,
     seed: int = 42,
     index_key: str | None = None,
+    decimal_rescore: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, sim_rank) — ADC candidate scan
     over PQ codes + exact-cosine rerank of the top ``rerank`` candidates
@@ -235,17 +278,7 @@ def ann_topk_pq(
         )
         .filter(F.col("cosine").isNotNull())
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid"))
-    return (
-        exact.withColumn("sim_rank", F.row_number().over(w))
-        .filter(F.col("sim_rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("vid").alias("neighbor_id"),
-            F.round("cosine", 6).alias("cosine"),
-            "sim_rank",
-        )
-    )
+    return _finalize_topk(exact, k, "vid", decimal_rescore)
 
 
 def _centroids_sql(centroid_rows: list) -> str:
@@ -272,6 +305,7 @@ def ann_topk_ivfpq(
     rerank: int = 50,
     seed: int = 42,
     index_key: str | None = None,
+    decimal_rescore: bool = False,
 ) -> DataFrame:
     """IVF-PQ (the full FAISS ``IVFADC`` construction, relational):
     coarse cells bound how many vectors a probe SCANS (nprobe/nlist of
@@ -409,14 +443,4 @@ def ann_topk_ivfpq(
         )
         .filter(F.col("cosine").isNotNull())
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("rid"))
-    return (
-        exact.withColumn("sim_rank", F.row_number().over(w))
-        .filter(F.col("sim_rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("rid").alias("neighbor_id"),
-            F.round("cosine", 6).alias("cosine"),
-            "sim_rank",
-        )
-    )
+    return _finalize_topk(exact, k, "rid", decimal_rescore)

@@ -14,10 +14,11 @@ from dataengineeringworkshop_spark.plans.registry import kbucket, query
 from dataengineeringworkshop_spark.plans.tables import load_table, register_views
 
 
-@query(
-    "mh_minhash_lsh_dedup",
-    oracle="""
-        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+#: exhaustive word-3-gram shingle intersection CTEs (DuckDB) — the exact
+#: pair machinery shared by the minhash-dedup oracle and the
+#: dedup-survivors oracle built on top of those pairs
+_MH_SHINGLE_PAIRS_CTE = """
+        tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (
             SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []
@@ -27,14 +28,21 @@ from dataengineeringworkshop_spark.plans.tables import load_table, register_view
             )
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        pairs AS (
+        rawpairs AS (
             SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
+"""
+
+
+@query(
+    "mh_minhash_lsh_dedup",
+    oracle=f"""
+        WITH {_MH_SHINGLE_PAIRS_CTE}
         SELECT d1, d2,
                ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
-        FROM pairs
+        FROM rawpairs
         JOIN sizes s1 ON d1 = s1.doc_id
         JOIN sizes s2 ON d2 = s2.doc_id
         WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.3
@@ -100,11 +108,45 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-@query("d_dedup_survivors", tags=("ext-dedup", "iterative"))
+@query(
+    "d_dedup_survivors",
+    # the LSH pair set provably equals the exhaustive-Jaccard pair set on
+    # this testdata (see mh_minhash_lsh_dedup: every true pair sits at
+    # j >= 0.89, P(LSH miss) < 1e-7), so survivors derived from it are
+    # directly oracle-able: transitive closure of the exact pairs ->
+    # drop every non-minimum cluster member
+    oracle=f"""
+        WITH RECURSIVE {_MH_SHINGLE_PAIRS_CTE},
+        mp AS (
+            SELECT d1, d2
+            FROM rawpairs
+            JOIN sizes s1 ON d1 = s1.doc_id
+            JOIN sizes s2 ON d2 = s2.doc_id
+            WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.3
+        ),
+        edges AS (SELECT d1 AS u, d2 AS v FROM mp UNION SELECT d2, d1 FROM mp),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        losers AS (
+            SELECT u AS member FROM reach GROUP BY u
+            HAVING u <> LEAST(u, MIN(v))
+        )
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT member FROM losers)
+    """,
+    tags=("ext-dedup", "iterative"),
+)
 def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup contract: MinHash-LSH pairs → components → keep
-    one survivor per cluster + all unimplicated docs.  Rows-only check;
-    pytest verifies against a python union-find on the same pairs."""
+    one survivor per cluster + all unimplicated docs.  Hash-checked
+    against a DuckDB oracle that recomputes the pairs exhaustively
+    (exact Jaccard, no LSH), closes them transitively with a recursive
+    CTE, and anti-selects non-minimum cluster members; pytest
+    additionally verifies against a python union-find on the same
+    pairs."""
     from dataengineeringworkshop_spark.llmops.clusters import dedup_survivors
     from dataengineeringworkshop_spark.llmops.minhash import minhash_dedup_pairs
 
@@ -258,9 +300,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_fullprobe_exact",
-    oracle=f"""
+#: brute-force exact cosine top-10 over the deterministic 32-query batch —
+#: the shared oracle for every "exact serve" ANN variant (IVF full-probe,
+#: PQ full-rerank, IVF-PQ full-probe+full-rerank): each must reproduce
+#: this answer bit-for-bit when its approximation knob is opened fully
+_EXACT_COSINE_TOPK_ORACLE = f"""
         WITH ex AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
             FROM embeddings
@@ -294,7 +338,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY cosine DESC, neighbor_id ASC) AS sim_rank
             FROM scored
         ) WHERE sim_rank <= 10
-    """,
+    """
+
+
+@query(
+    "ann_ivf_fullprobe_exact",
+    oracle=_EXACT_COSINE_TOPK_ORACLE,
     tags=("ext-sim", "ivf"),
 )
 def ann_ivf_fullprobe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,6 +364,54 @@ def ann_ivf_fullprobe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(
         e, q, "vec_id", "embedding", k=10, nlist=16, nprobe=16,
         index_key=f"embeddings:{sf_dir}", decimal_rescore=True,
+    )
+
+
+@query(
+    "ann_pq_fullrerank_exact",
+    oracle=_EXACT_COSINE_TOPK_ORACLE,
+    tags=("ext-sim", "pq"),
+)
+def ann_pq_fullrerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ served with the rerank window opened to the whole corpus — the
+    losslessness proof for the PQ machinery (codebook encode, broadcast
+    ADC LUT, code-array aggregate, candidate plumbing, exact-rerank
+    join): when every ADC candidate is exact-reranked the output must be
+    the brute-force top-k, hash-checked against the DuckDB decimal
+    oracle.  Any bug in the encode/LUT indexing or the rerank join
+    breaks the hash.  ``ann_pq_topk`` (rerank=60) is the production
+    serve path; pytest measures its recall against this exact answer."""
+    from dataengineeringworkshop_spark.llmops.pq import ann_topk_pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_sample(e)
+    return ann_topk_pq(
+        e, q, "vec_id", "embedding", dim=64, k=10, rerank=1_000_000_000,
+        index_key=f"embeddings:{sf_dir}", decimal_rescore=True,
+    )
+
+
+@query(
+    "ann_ivfpq_fullprobe_exact",
+    oracle=_EXACT_COSINE_TOPK_ORACLE,
+    tags=("ext-sim", "ivf", "pq"),
+)
+def ann_ivfpq_fullprobe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with BOTH approximation knobs opened — nprobe = nlist
+    (probe every cell) and rerank = corpus (exact-rerank every ADC
+    candidate) — so the full IVFADC pipeline (cell assignment, residual
+    codebooks, per-cell centroid dot + residual LUT sum, rerank join)
+    must reproduce the brute-force top-k bit-for-bit against the DuckDB
+    decimal oracle.  ``ann_ivfpq_topk`` (nprobe=4, rerank=60) is the
+    production path; pytest measures its recall vs this exact answer."""
+    from dataengineeringworkshop_spark.llmops.pq import ann_topk_ivfpq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_sample(e)
+    return ann_topk_ivfpq(
+        e, q, "vec_id", "embedding", dim=64, k=10, nlist=16, nprobe=16,
+        rerank=1_000_000_000, index_key=f"embeddings:{sf_dir}",
+        decimal_rescore=True,
     )
 
 
@@ -442,11 +539,48 @@ def mm_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(documents_as_media(d), width=32, height=32, fake=True)
 
 
-@query("mm_byte_features", tags=("ext-mm",))
+@query(
+    "mm_byte_features",
+    # deterministic byte math — DuckDB recomputes the same 64-bin
+    # histogram from character code points (testdata text is pure ASCII,
+    # so code point == UTF-8 byte; the Spark side hashes real bytes).
+    # Probabilities are exact count/total double divisions (bit-identical
+    # in both engines); entropy is rounded to 6 decimals on both sides
+    # because log2-sum bit patterns depend on summation order.
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id, (ord(substr(text, CAST(i AS INT), 1)) * 64) // 256 AS bkt
+            FROM pos
+        ),
+        counts AS (SELECT doc_id, bkt, COUNT(*) AS c FROM bytes GROUP BY 1, 2),
+        totals AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS total FROM documents),
+        grid AS (SELECT doc_id, unnest(range(0, 64)) AS bkt FROM documents),
+        p AS (
+            SELECT g.doc_id, g.bkt,
+                   CAST(COALESCE(c.c, 0) AS DOUBLE) / t.total AS p
+            FROM grid g
+            LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bkt = c.bkt
+            JOIN totals t ON g.doc_id = t.doc_id
+        )
+        SELECT f.doc_id AS media_id, f.features, e.byte_entropy
+        FROM (SELECT doc_id, list(p ORDER BY bkt) AS features FROM p GROUP BY doc_id) f
+        JOIN (SELECT doc_id, ROUND(-SUM(p * log2(p)), 6) AS byte_entropy
+              FROM p WHERE p > 0 GROUP BY doc_id) e
+        ON f.doc_id = e.doc_id
+    """,
+    tags=("ext-mm",),
+)
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real binary-content features: 64-bin byte histogram + Shannon
-    entropy per payload (numpy inside mapInPandas, Arrow-batched).
-    Rows-only driver check; pytest asserts normalization + determinism."""
+    entropy per payload (numpy inside mapInPandas, Arrow-batched),
+    hash-checked against a DuckDB oracle recomputing the histogram from
+    code points (valid because the testdata text is pure ASCII — the
+    Spark side operates on true UTF-8 bytes).  Pytest additionally
+    asserts normalization + determinism."""
     from dataengineeringworkshop_spark.llmops.multimodal import (
         byte_histogram_features,
         documents_as_media,

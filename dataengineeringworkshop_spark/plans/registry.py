@@ -108,71 +108,74 @@ DRIVER_PREFIX = 50
 # singleton family that was green in r1–r3 keeps its cumulative evidence;
 # tests/test_registry_order.py enforces prefix ∪ past-green coverage).
 # All 50 rows are oracle-paired — no rows-only slots in the window.
+# Round-5 composition: flagship + 22 live family anchors (all past-green,
+# kept so a repo regression in a core family is caught the same round) +
+# 27 first-time-evidence rotations (every oracle-paired query that has
+# never earned a driver hash row, incl. the four newly oracle-paired
+# round-5 queries) + t_fuzzy_match_levenshtein, whose implementation
+# changed this round (deletion-neighborhood blocking) and must re-prove
+# its hash.  mm_byte_features is oracle-paired and local-green but
+# deliberately kept OUT of the window: it returns an array<double>
+# column, which no driver row has ever exercised — see COVERAGE.md.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
-    # §2 breadth composites: all ten rb_* rows earned rows+schema+hash
-    # evidence in CORRECTNESS_r03; five keep live slots as family
-    # anchors, five yield their slots to round-4 first-time-evidence
-    # queries (test_registry_order enforces prefix ∪ past-green)
+    # §2 breadth composites (family anchors, green r3/r4)
     "rb_projection_breadth",
     "rb_join_agg_breadth",
     "rb_window_order_breadth",
     "rb_cte_subquery_breadth",
     "rb_text_analysis_breadth",
-    # round-4 surfaces, first driver evidence
-    "vt_maintenance_sql",
-    "st_stream_dedup",
-    "cp_cdc_passage_chunks",
-    "cp_shared_passages",
-    "mm_audio_features",
-    # versioned-table DML + DDL live representatives (rest: green r1-r3)
+    # versioned-table DML + DDL live representatives
     "vt_sql_dml_verbatim",
     "vt_merge_upsert",
-    "vt_update_case",
     "vt_history_time_travel",
     "vt_optimize_roundtrip",
+    "vt_maintenance_sql",
     "ddl_ctas_lifecycle",
-    # expectations / pipeline DAG / source scan / streaming-stateful
+    # expectations / pipeline / source scan / streaming
     "ws_expectation_metrics",
-    # DLT SQL-text front-end evidence replaces pl_dag_gold (green r3)
     "pl_dlt_sql_pipeline",
     "s1_csv_roundtrip",
     "st_stateful_user_totals",
-    # LLM-pipeline extension representatives (newly oracle-paired rows
-    # replace the old rows-only ones: simhash -> planted-dup pairs,
-    # IVF -> full-probe exact)
+    "st_stream_dedup",
+    # LLM-extension family anchors
     "mh_minhash_lsh_dedup",
     "sh_simhash_dup_pairs",
     "ann_ivf_fullprobe_exact",
-    # real BMP/WAV encode->parse roundtrip replaces the metadata-only row
-    # (mm_media_metadata: green r3, evidence persists)
     "mm_decode_roundtrip",
+    "mm_audio_features",
     "cp_corpus_pipeline",
-    # first-time-evidence rotation: never had a driver row before r4
-    "j5_outer_semi_anti",
-    "a8_rollup",
-    "a9_cube",
-    "a10_grouping_sets",
-    "a11_exact_quantiles",
-    "c3_union_except_intersect",
-    "c4_correlated_scalar_subquery",
-    "b_pivot_event_types",
-    "w3_lead_lag_gap",
-    "w4_running_total",
-    "w5_distribution_ranks",
-    "f19_date_arithmetic",
-    "prof_column_stats",
-    "t_quality_score",
+    # changed this round (blocked fuzzy join) — re-prove the hash
     "t_fuzzy_match_levenshtein",
-    "tj_sessionize_gap30",
-    "tj_range_click_purchase",
-    "cp_decontaminate",
-    "cp_pii_redact",
-    "cp_stratified_sample",
-    "cp_sequence_packing",
-    "rag_chunk_topk",
-    "cl_kmeans_two_rounds",
-    "d_incremental_dedup_probe",
+    # first-time evidence: newly oracle-paired round-5 queries
+    "d_dedup_survivors",
+    "ann_pq_fullrerank_exact",
+    "ann_ivfpq_fullprobe_exact",
+    "tj_sessionize_sql_script",
+    # first-time evidence: oracle-paired since earlier rounds but never
+    # yet inside the driver window
+    "f13_size_split",
+    "t_text_stats",
+    "t_token_count_regex",
+    "t_bpe_pair_counts",
+    "t_lang_guess",
+    "t_fingerprint",
+    "d_dup_group_stats",
+    "sim_label_centroid_dist",
+    "vt_stats_skipping",
+    "cp_incremental_corpus",
+    "mm_resize_roundtrip",
+    "cp_quality_gate_stats",
+    "cp_clean_text_stats",
+    "cp_pii_pattern_scan",
+    "cp_repetition_filter",
+    "cp_source_mix",
+    "cp_split_assignment",
+    "a_sketch_bounds",
+    "b_unpivot_event_stats",
+    "cp_bigram_lm_score",
+    "sim_embed_quantize",
+    "cp_chunk_documents",
 )
 
 

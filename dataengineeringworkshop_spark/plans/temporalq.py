@@ -139,3 +139,85 @@ def tj_range_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "gap_us",
     )
+
+
+@query(
+    "tj_sessionize_sql_script",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, event_id, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(event_id) AS first_event,
+               MAX(event_id) AS last_event,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    tags=("ext-temporal", "session", "sql-dml"),
+)
+def tj_sessionize_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization expressed as plain SQL TEXT through
+    ``Lakehouse.sql_script`` — the documented MATCH_RECOGNIZE-free
+    session idiom (lag → gap flag → running-sum session id) for
+    workshop-style users who work in ``%sql`` cells, not the Python
+    API (reference runs all analytics as SQL text, e.g. `2 Medaillon
+    architecture.py:323-349`).  Three statements: two temp views and
+    the rollup; same answer and oracle as ``tj_sessionize_gap30``,
+    which is the Python-API twin.  Plan shape is identical (lag and
+    cumsum share one user_id exchange) because both compile to the
+    same window spec."""
+    import tempfile
+
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(
+        tempfile.mkdtemp(prefix="dew_sess_sql_"), spark=spark,
+        table_backend="versioned",
+    )
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "dew_sess_events_src"
+    )
+    results = lh.sql_script(
+        """
+        -- 1) flag session starts: gap to the previous event > 30 min
+        CREATE OR REPLACE TEMPORARY VIEW dew_sess_flagged AS
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR unix_micros(cast(ts AS timestamp))
+                            - unix_micros(cast(lag(ts) OVER w AS timestamp))
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM dew_sess_events_src
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts);
+
+        -- 2) session id = running count of start flags per user
+        CREATE OR REPLACE TEMPORARY VIEW dew_sess_ids AS
+        SELECT user_id, event_id, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM dew_sess_flagged;
+
+        -- 3) per-session rollup
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(event_id) AS first_event,
+               MAX(event_id) AS last_event,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        FROM dew_sess_ids
+        GROUP BY user_id, session_id
+        """
+    )
+    return results[-1]

@@ -47,6 +47,8 @@ def _norm_cell(v):
         return ("ts", v.replace(tzinfo=None).isoformat() if hasattr(v, "replace") else str(v))
     if isinstance(v, (list, tuple)):
         return ("list", tuple(_norm_cell(x) for x in v))
+    if type(v).__name__ == "ndarray":  # array columns (Spark & DuckDB both
+        return ("list", tuple(_norm_cell(x.item()) for x in v))  # yield numpy)
     if isinstance(v, bytes):
         return ("bytes", v)
     return (type(v).__name__, v)
