@@ -221,3 +221,79 @@ def tj_sessionize_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return results[-1]
+
+
+@query(
+    "tj_asof_sql_script",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        ),
+        views AS (
+            SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'
+        )
+        SELECT c.event_id AS click_id,
+               c.user_id AS user_id,
+               v.event_id AS view_id,
+               ROUND(v.value, 6) AS view_value,
+               CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+        FROM clicks c ASOF JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    tags=("ext-temporal", "asof", "sql-dml"),
+)
+def tj_asof_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as plain SQL TEXT through
+    ``Lakehouse.sql_script`` — the documented SQL idiom for engines
+    without a native ASOF JOIN: union both sides into one ordered
+    stream, carry the right row as a packed struct, and take
+    ``last_value(payload, true)`` (ignore nulls) over an unbounded
+    preceding window.  Packing into ONE struct keeps the matched row
+    atomic (three separate last_values could disagree if a right column
+    were null).  Same answer and oracle (DuckDB native ASOF JOIN) as
+    ``tj_asof_click_view``, the Python-API twin; plan shape is the same
+    single user_id exchange + one window pass, cost independent of
+    match fan-out."""
+    import tempfile
+
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(
+        tempfile.mkdtemp(prefix="dew_asof_sql_"), spark=spark,
+        table_backend="versioned",
+    )
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "dew_asof_events_src"
+    )
+    results = lh.sql_script(
+        """
+        -- 1) one tagged stream: clicks carry their id, views a payload
+        CREATE OR REPLACE TEMPORARY VIEW dew_asof_tagged AS
+        SELECT user_id, ts,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+               CASE WHEN event_type = 'view' THEN
+                 named_struct('v_ts', ts, 'view_id', event_id, 'v_value', value)
+               END AS payload
+        FROM dew_asof_events_src
+        WHERE event_type IN ('click', 'view');
+
+        -- 2) as-of = latest non-null payload at-or-before each row
+        --    (views sort before clicks at equal ts: >= semantics)
+        CREATE OR REPLACE TEMPORARY VIEW dew_asof_filled AS
+        SELECT user_id, ts, side, click_id,
+               last_value(payload, true) OVER (
+                 PARTITION BY user_id ORDER BY ts, side
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM dew_asof_tagged;
+
+        -- 3) keep clicks that found a prior view (inner as-of)
+        SELECT click_id, user_id, p.view_id AS view_id,
+               ROUND(p.v_value, 6) AS view_value,
+               unix_micros(cast(ts AS timestamp))
+                 - unix_micros(cast(p.v_ts AS timestamp)) AS lag_us
+        FROM dew_asof_filled
+        WHERE side = 1 AND p IS NOT NULL
+        """
+    )
+    return results[-1]

@@ -293,3 +293,22 @@ def test_fuzzy_levenshtein_blocked_equi_join(spark, registry):
     ops = _ops(_plan(df))
     assert ops["BroadcastNestedLoopJoin"] == 0 and ops["CartesianProduct"] == 0
     assert ops["BroadcastHashJoin"] + ops["SortMergeJoin"] + ops["ShuffledHashJoin"] >= 1, ops
+
+
+def test_sql_script_temporal_idioms_single_exchange(spark, registry):
+    """The SQL-text sessionize and as-of idioms must compile to the same
+    single-exchange window shapes as their Python-API twins — no extra
+    shuffle, no join at all for the as-of (it's union+window)."""
+    sess = _ops(_plan(registry["tj_sessionize_sql_script"].fn(spark, SF_SMOKE)))
+    # lag + cumsum share ONE user_id exchange; the rollup adds its own
+    assert sess.get("Window", 0) >= 1 and sess.get("CartesianProduct", 0) == 0
+    asof = _ops(_plan(registry["tj_asof_sql_script"].fn(spark, SF_SMOKE)))
+    joins = (
+        asof.get("BroadcastHashJoin", 0)
+        + asof.get("SortMergeJoin", 0)
+        + asof.get("ShuffledHashJoin", 0)
+        + asof.get("BroadcastNestedLoopJoin", 0)
+        + asof.get("CartesianProduct", 0)
+    )
+    assert joins == 0, asof  # as-of is union+window, never a pair join
+    assert asof.get("Window", 0) == 1 and asof.get("Exchange", 0) == 1, asof
