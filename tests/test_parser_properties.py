@@ -181,3 +181,60 @@ def test_versioned_table_matches_model(spark_session_global, tmp_path_factory, o
         got_v = {r.k: r.v for r in t.read(version=ver).collect()}
         assert got_v == snap, (ops, ver)
     assert t.history().count() == len(snapshots)
+
+
+# ---------------------------------------------------------------- round 5
+
+
+@st.composite
+def _script_with_literals(draw):
+    """Build a script as a model: a list of statements, each made of
+    plain segments and quoted literals (which may contain --, ; and
+    newlines), plus optional trailing comments.  Returns (script_text,
+    expected_statement_list)."""
+    quotes = ["'", '"', "`"]
+    stmts = []
+    for _ in range(draw(st.integers(1, 4))):
+        parts = []
+        for _ in range(draw(st.integers(1, 3))):
+            # parens excluded: the splitter treats ';' inside parens as
+            # nested (real statements are balanced; the model is flat)
+            parts.append(draw(st.from_regex(r"[A-Za-z0-9 =,<>\.]{1,12}", fullmatch=True)))
+            if draw(st.booleans()):
+                q = draw(st.sampled_from(quotes))
+                body = draw(
+                    st.text(
+                        alphabet="ab-;x \n",
+                        min_size=0,
+                        max_size=8,
+                    ).filter(lambda s, q=q: q not in s)
+                )
+                parts.append(f"{q}{body}{q}")
+        stmt = "".join(parts).strip()
+        if stmt:
+            stmts.append(stmt)
+    script_parts = []
+    for s in stmts:
+        script_parts.append(s)
+        if draw(st.booleans()):
+            script_parts.append(" -- trailing comment; with ; and --\n")
+        script_parts.append(";")
+        if draw(st.booleans()):
+            script_parts.append("\n-- whole-line comment; DELETE FROM t\n")
+    return "".join(script_parts), stmts
+
+
+@given(_script_with_literals())
+@settings(max_examples=200, deadline=None)
+def test_split_statements_model(case):
+    """split_statements must recover exactly the model's statements:
+    quoted literals (in any of the three quote styles) keep their
+    content verbatim — including '--', ';' and newlines — and comments
+    outside quotes never merge or absorb statements."""
+    from dataengineeringworkshop_spark.sqldml import split_statements
+
+    script, expected = case
+    got = split_statements(script)
+    # comment stripping may leave interior whitespace runs; statements
+    # themselves contain no comments in the model, so compare stripped
+    assert [g.strip() for g in got] == [e.strip() for e in expected], script
