@@ -1,0 +1,139 @@
+"""Scale-technique queries: the write-time layout and skew devices the
+100 TB design notes (SCALE.md) prescribe, exercised as oracle-paired
+registry entries so the driver hash-checks that each technique is
+RESULT-preserving — the whole point of a physical-layout optimization.
+
+- Bucketed co-located join: both fact tables written ``bucketBy`` the
+  join key once; every later equi join on that key plans with NO shuffle
+  exchange on either side (pay the shuffle once at write time, amortize
+  over every query).  The OSS analogue of the reference's OPTIMIZE
+  layout story (`2 Medaillon architecture.py:449-458`) for join
+  locality.
+- Salted skew join: a handful of hot keys re-skew even AQE-split
+  partitions; salting spreads the skewed side across n sub-keys and
+  replicates only the small build side.  Semantics identical to the
+  plain join — which is exactly what the DuckDB oracle asserts.
+- ORC roundtrip: Spark-native columnar source beyond the reference's
+  CSV/JSON surface (S1/S2) — same options-scan contract.
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.tables import load_table
+
+
+def _slug(sf_dir: str) -> str:
+    return re.sub(r"[^A-Za-z0-9]", "_", sf_dir).strip("_")[-24:]
+
+
+@query(
+    "pp_bucketed_join_agg",
+    oracle="""
+        SELECT o.o_orderstatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+    tags=("extra", "scale-layout"),
+)
+def pp_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join over BUCKETED tables: orders and
+    lineitem are persisted ``bucketBy(8, orderkey)`` catalog tables,
+    and the join carries a ``merge`` hint so the bucketed sort-merge
+    path is exercised (broadcast would hide the layout).  The plan has
+    ZERO shuffle exchanges before the join — the single Exchange in the
+    plan belongs to the final aggregate (asserted in
+    tests/test_plan_quality.py).  The oracle proves the layout change
+    is result-preserving: identical to the plain parquet join."""
+    from dataengineeringworkshop_spark.sources.bucketing import write_bucketed
+
+    slug = _slug(sf_dir)
+    to, tl = f"dew_bkt_orders_{slug}", f"dew_bkt_lineitem_{slug}"
+    # external tables at a fresh temp path: the session catalog is
+    # in-memory but the default warehouse DIRECTORY persists across
+    # processes — a stale managed location would fail saveAsTable
+    if not spark.catalog.tableExists(to):
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        write_bucketed(
+            o, to, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
+            path=tempfile.mkdtemp(prefix="dew_bkt_o_") + "/t",
+        )
+    if not spark.catalog.tableExists(tl):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+        )
+        write_bucketed(
+            li, tl, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
+            path=tempfile.mkdtemp(prefix="dew_bkt_l_") + "/t",
+        )
+    j = spark.table(to).hint("merge").join(spark.table(tl), "o_orderkey")
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "pp_salted_skew_agg",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, MIN(event_type) AS first_type
+            FROM events GROUP BY user_id
+        )
+        SELECT d.first_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY d.first_type
+    """,
+    tags=("extra", "scale-skew"),
+)
+def pp_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join, hash-proved result-preserving: the (skewed)
+    events fact joins a small per-user dim through ``salted_join``
+    (8 salts — the fact side shuffles on (user_id, salt), the dim is
+    replicated 8×), then aggregates.  The salt participates only in
+    partitioning, so the DuckDB oracle is the PLAIN join — any leak of
+    the salt into the semantics breaks the hash.  The per-row salt
+    values themselves are partition-order dependent (F.rand), which is
+    exactly why only salt-insensitive results are deterministic — the
+    aggregate here, or any plain join output."""
+    from dataengineeringworkshop_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    dim = e.groupBy("user_id").agg(F.min("event_type").alias("first_type"))
+    j = salted_join(e.select("user_id", "value"), dim, on="user_id", n_salts=8)
+    return j.groupBy("first_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").alias(
+            "total_value"
+        ),
+    )
+
+
+@query(
+    "s_orc_roundtrip",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part",
+    tags=("extra", "source-formats"),
+)
+def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan roundtrip — the second Spark-native columnar
+    format beyond the reference's CSV/JSON (S1/S2): part → ORC → read
+    back with column pruning reaching the ORC scan."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    out = tempfile.mkdtemp(prefix="dew_orc_") + "/part_orc"
+    p.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select("p_partkey", "p_name", "p_retailprice")

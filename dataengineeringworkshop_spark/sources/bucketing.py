@@ -26,13 +26,19 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     fmt: str = "parquet",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (+ optionally sorted) catalog table.
 
     ``n_buckets`` should be sized so one bucket of the LARGER table fits
     an executor core's working memory at target scale (e.g. 100 TB /
     4096 buckets ≈ 25 GB per bucket pre-compression — split further or
-    combine with date partitioning in practice)."""
+    combine with date partitioning in practice).
+
+    ``path`` makes the table EXTERNAL at that location — use it when the
+    session catalog is in-memory but the default warehouse directory
+    persists across processes (a stale managed-table dir from a previous
+    run otherwise fails saveAsTable with LOCATION_ALREADY_EXISTS)."""
     w = (
         df.write.mode("overwrite")
         .format(fmt)
@@ -40,6 +46,8 @@ def write_bucketed(
     )
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

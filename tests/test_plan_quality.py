@@ -312,3 +312,39 @@ def test_sql_script_temporal_idioms_single_exchange(spark, registry):
     )
     assert joins == 0, asof  # as-of is union+window, never a pair join
     assert asof.get("Window", 0) == 1 and asof.get("Exchange", 0) == 1, asof
+
+
+def test_bucketed_join_agg_pays_no_join_shuffle(spark, registry):
+    """pp_bucketed_join_agg: the bucketed layout eliminates BOTH join
+    shuffles — the only Exchange left in the plan is the final
+    aggregate's.  This is the pay-the-shuffle-once contract the query
+    exists to demonstrate."""
+    df = registry["pp_bucketed_join_agg"].fn(spark, SF_SMOKE)
+    ops = _ops(_plan(df))
+    assert ops["SortMergeJoin"] == 1, ops
+    assert ops.get("Exchange", 0) <= 1, ops  # agg only — none for the join
+
+
+def test_salted_skew_join_no_nested_loop(spark, registry):
+    """pp_salted_skew_agg joins on (key, salt) — an equi join (never a
+    nested loop), with the small dim side carrying the salt explode."""
+    df = registry["pp_salted_skew_agg"].fn(spark, SF_SMOKE)
+    ops = _ops(_plan(df))
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 0
+    assert ops.get("CartesianProduct", 0) == 0
+    assert (
+        ops.get("SortMergeJoin", 0)
+        + ops.get("ShuffledHashJoin", 0)
+        + ops.get("BroadcastHashJoin", 0)
+        >= 1
+    ), ops
+
+
+def test_orc_roundtrip_prunes_columns(spark, registry):
+    """The ORC scan must read only the 3 projected columns."""
+    df = registry["s_orc_roundtrip"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "p_partkey", "p_name", "p_retailprice"
+    }, (m and m.group(1))
