@@ -1,0 +1,166 @@
+"""BPE merge learning — the tokenizer-training primitive of an LLM data
+pipeline, done relationally.
+
+Classic byte-pair encoding (Sennrich et al. 2016): start from the
+per-word character sequences weighted by word frequency, repeatedly
+(1) count adjacent symbol pairs corpus-wide, (2) merge the most frequent
+pair everywhere.  Each round here is ONE partial-aggregated groupBy over
+the (distinct-word, weight) vocabulary table; the only driver-side state
+is the per-round argmax row — O(n_merges) scalars, never corpus data —
+so the loop structure survives 100 TB unchanged (the vocabulary table is
+distinct words, orders of magnitude smaller than the corpus, and pair
+counting is map-side-combined).
+
+Symbol sequences are carried as marker-delimited strings
+(``<h><e><l><l><o>``) so a merge is a plain left-to-right
+``replace('<l><r>', '<lr>')`` — exactly the non-overlapping greedy
+semantics reference BPE uses, and bit-identical between Spark and a SQL
+oracle (no regex, no lookarounds).  Valid while symbols can't contain
+``<``/``>`` (the testdata corpus is lowercase alphanumeric; callers with
+arbitrary bytes should remap first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERGES_SCHEMA = "merge_rank int, left string, right string, pair_count long"
+
+
+def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def _adjacent_pairs(seqs: DataFrame) -> DataFrame:
+    """(l, r, cnt) — corpus-wide weighted adjacent-pair counts from the
+    marker-string sequences.  One explode + one partial-agg groupBy."""
+    return (
+        seqs.select(
+            F.expr("split(substr(s, 2, length(s) - 2), '><')").alias("toks"),
+            "weight",
+        )
+        .select(
+            F.explode(
+                # CASE guard: Spark's sequence(1, 0) counts DOWN, so a
+                # fully-merged 1-symbol word would index out of bounds
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN array() "
+                    "ELSE transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r)) END"
+                )
+            ).alias("p"),
+            "weight",
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("weight").alias("cnt"))
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus.
+
+    Returns (merge_rank, left, right, pair_count) — the merge table a
+    tokenizer ships.  Deterministic: argmax tiebreak is (count DESC,
+    left ASC, right ASC) over binary string order.
+    """
+    spark = docs.sparkSession
+    seqs = _word_vocab(docs, text_col).select(
+        F.regexp_replace("w", "(.)", "<$1>").alias("s"), "weight"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _adjacent_pairs(seqs)
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((rank, l, r, cnt))
+        seqs = seqs.select(
+            F.replace(
+                F.col("s"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
+            ).alias("s"),
+            "weight",
+        )
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list: per word, wrap
+    characters in markers and apply every merge in rank order (the
+    standard greedy apply), then emit the word's symbol array.  Pure
+    map — chained JVM ``replace`` calls, no shuffle, no Python."""
+    expr = F.regexp_replace(F.col("__w"), "(.)", "<$1>")
+    for l, r in merges:
+        expr = F.replace(expr, F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>"))
+    # strip the outer markers, split on the inter-symbol boundary
+    seq = F.expr("substr(__seq, 2, length(__seq) - 2)")
+    return (
+        df.select(
+            "*",
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__w"),
+        )
+        .filter(F.length("__w") > 0)
+        .withColumn("__seq", expr)
+        .withColumn(out_col, F.split(seq, "><"))
+        .drop("__w", "__seq")
+    )
+
+
+def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
+    """The DuckDB twin of :func:`learn_bpe_merges`, UNROLLED: one
+    pairs/best/seq CTE triple per merge round, same marker-string
+    replace, same tiebreak — an independent re-derivation the driver
+    hash-compares against."""
+    parts = [
+        f"""
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS weight
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM {table})
+            WHERE length(w) > 0 GROUP BY w
+        ),
+        seq1 AS (SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, weight FROM words)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+        toks{i} AS (
+            SELECT string_split(substr(s, 2, length(s) - 2), '><') AS toks, weight
+            FROM seq{i}
+        ),
+        pairs{i} AS (
+            SELECT toks[i] AS l, toks[i + 1] AS r, CAST(SUM(weight) AS BIGINT) AS cnt
+            FROM (SELECT toks, weight, unnest(range(1, len(toks))) AS i FROM toks{i})
+            GROUP BY 1, 2
+        ),
+        best{i} AS (
+            SELECT {i} AS merge_rank, l, r, cnt FROM pairs{i}
+            ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+        ),
+        seq{i + 1} AS (
+            SELECT replace(s, '<' || b.l || '><' || b.r || '>',
+                              '<' || b.l || b.r || '>') AS s, weight
+            FROM seq{i}, best{i} b
+        )"""
+        )
+    union = "\n        UNION ALL ".join(
+        f'SELECT merge_rank, l AS "left", r AS "right", cnt AS pair_count FROM best{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n        " + union

@@ -525,3 +525,26 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
     )
     return out
+
+
+from dataengineeringworkshop_spark.llmops.bpe import bpe_oracle_sql  # noqa: E402
+
+
+@query(
+    "t_bpe_learn_merges",
+    oracle=bpe_oracle_sql(n_merges=8),
+    tags=("ext-text", "iterative"),
+)
+def t_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer-training loop (8 merge rounds), hash-checked:
+    the Spark side is a driver loop of partial-agg pair-count rounds
+    over the weighted word vocabulary (llmops/bpe.py — only the per-
+    round argmax row ever reaches the driver), the oracle is the SAME
+    algorithm UNROLLED as 8 CTE triples in DuckDB.  Extends
+    ``t_bpe_pair_counts`` (one counting pass) to the real iterative
+    training product: the ranked merge table a tokenizer ships."""
+    from dataengineeringworkshop_spark.llmops.bpe import learn_bpe_merges
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(d, "text", n_merges=8)

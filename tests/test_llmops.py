@@ -487,3 +487,82 @@ def test_ann_ivfpq_recall_vs_bruteforce(spark):
         ["query_id", "neighbor_id"],
     )
     assert joined.filter(F.abs(F.col("cosine") - F.col("exact_cos")) > 1e-9).count() == 0
+
+
+# ------------------------------------------------------------------ BPE
+
+
+def _py_bpe(word_weights: dict[str, int], n_merges: int):
+    """Clean-room reference BPE (Sennrich-style) on word frequencies:
+    count adjacent symbol pairs, merge the (count desc, left asc,
+    right asc) argmax left-to-right non-overlapping, repeat."""
+    seqs = {tuple(w): c for w, c in word_weights.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, c in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        new_seqs: dict[tuple, int] = {}
+        for seq, c in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            t = tuple(out)
+            new_seqs[t] = new_seqs.get(t, 0) + c
+        seqs = new_seqs
+    return merges
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    from dataengineeringworkshop_spark.llmops.bpe import learn_bpe_merges
+
+    corpus = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(" ".join(corpus),)], "text STRING")
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in learn_bpe_merges(docs, "text", n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # weights collapse per DISTINCT word (vocabulary semantics)
+    weights = {w: corpus.count(w) for w in set(corpus)}
+    assert got == _py_bpe(weights, 6)
+
+
+def test_bpe_apply_uses_learned_merges(spark):
+    from dataengineeringworkshop_spark.llmops.bpe import (
+        apply_bpe,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [("low lower newest newest",), ("newest low",)], "text STRING"
+    )
+    merges = [
+        (r.left, r.right)
+        for r in learn_bpe_merges(docs, "text", n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    out = apply_bpe(docs, merges, "text")
+    toks = [tuple(r.bpe_tokens) for r in out.collect()]
+    # every emitted symbol is a contiguous substring of its word, and
+    # concatenating the symbols reconstructs the word exactly
+    rows = out.collect()
+    for r in rows:
+        assert "".join(r.bpe_tokens) in r.text.split()
+    # the most frequent word should compress below character count
+    newest = [t for t in toks if "".join(t) == "newest"]
+    assert newest and all(len(t) < len("newest") for t in newest)
