@@ -123,11 +123,11 @@ def apply_bpe(
     )
 
 
-def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
-    """The DuckDB twin of :func:`learn_bpe_merges`, UNROLLED: one
-    pairs/best/seq CTE triple per merge round, same marker-string
-    replace, same tiebreak — an independent re-derivation the driver
-    hash-compares against."""
+def bpe_cte_prologue(n_merges: int = 8, table: str = "documents") -> str:
+    """The unrolled DuckDB CTE chain: words → seq1 → (pairs/best/seq)×n
+    — ends having defined ``best1..best{n}`` and ``seq{n+1}`` (the
+    post-merge vocabulary).  Shared by the merge-table oracle and the
+    apply-side vocabulary-stats oracle."""
     parts = [
         f"""
         WITH words AS (
@@ -159,8 +159,33 @@ def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
             FROM seq{i}, best{i} b
         )"""
         )
+    return "".join(parts)
+
+
+def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
+    """The DuckDB twin of :func:`learn_bpe_merges`, UNROLLED: one
+    pairs/best/seq CTE triple per merge round, same marker-string
+    replace, same tiebreak — an independent re-derivation the driver
+    hash-compares against."""
     union = "\n        UNION ALL ".join(
         f'SELECT merge_rank, l AS "left", r AS "right", cnt AS pair_count FROM best{i}'
         for i in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n        " + union
+    return bpe_cte_prologue(n_merges, table) + "\n        " + union
+
+
+def bpe_vocab_stats_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
+    """Symbols-per-word distribution of the post-merge vocabulary
+    (``seq{n+1}`` of the unrolled chain) — the oracle for the APPLY
+    side of BPE."""
+    return (
+        bpe_cte_prologue(n_merges, table)
+        + f"""
+        SELECT n_symbols, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(weight) AS BIGINT) AS total_weight
+        FROM (SELECT len(string_split(substr(s, 2, length(s) - 2), '><')) AS n_symbols,
+                     weight
+              FROM seq{n_merges + 1})
+        GROUP BY n_symbols
+    """
+    )

@@ -527,7 +527,10 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-from dataengineeringworkshop_spark.llmops.bpe import bpe_oracle_sql  # noqa: E402
+from dataengineeringworkshop_spark.llmops.bpe import (  # noqa: E402
+    bpe_oracle_sql,
+    bpe_vocab_stats_oracle_sql,
+)
 
 
 @query(
@@ -548,3 +551,48 @@ def t_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return learn_bpe_merges(d, "text", n_merges=8)
+
+
+@query(
+    "t_bpe_vocab_stats",
+    oracle=bpe_vocab_stats_oracle_sql(n_merges=8),
+    tags=("ext-text", "iterative"),
+)
+def t_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE, hash-checked: learn 8 merges, apply them
+    to the word vocabulary (chained JVM replaces — ``apply_bpe``'s
+    engine), and report the symbols-per-word distribution.  The oracle
+    reuses the unrolled training CTEs' post-merge vocabulary (seq9), so
+    any divergence between the Spark apply path and the training loop's
+    own sequence state breaks the hash."""
+    from dataengineeringworkshop_spark.llmops.bpe import (
+        _word_vocab,
+        learn_bpe_merges,
+    )
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in learn_bpe_merges(d, "text", n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    vocab = _word_vocab(d, "text")
+    seq = F.regexp_replace("w", "(.)", "<$1>")
+    for l, r in merges:
+        seq = F.replace(seq, F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>"))
+    return (
+        vocab.select(seq.alias("s"), "weight")
+        .select(
+            F.expr("size(split(substr(s, 2, length(s) - 2), '><'))").alias(
+                "n_symbols"
+            ),
+            "weight",
+        )
+        .groupBy("n_symbols")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("weight").cast("long").alias("total_weight"),
+        )
+    )
