@@ -88,14 +88,15 @@ def pp_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pp_salted_skew_agg",
     oracle="""
         WITH dim AS (
-            SELECT user_id, MIN(event_type) AS first_type
+            SELECT user_id, MIN(event_type) AS first_type,
+                   user_id % 7 AS cohort
             FROM events GROUP BY user_id
         )
-        SELECT d.first_type,
+        SELECT e.event_type, d.cohort,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         FROM events e JOIN dim d ON e.user_id = d.user_id
-        GROUP BY d.first_type
+        GROUP BY e.event_type, d.cohort
     """,
     tags=("extra", "scale-skew"),
 )
@@ -112,9 +113,13 @@ def pp_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineeringworkshop_spark.operators.skew import salted_join
 
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    dim = e.groupBy("user_id").agg(F.min("event_type").alias("first_type"))
-    j = salted_join(e.select("user_id", "value"), dim, on="user_id", n_salts=8)
-    return j.groupBy("first_type").agg(
+    dim = (
+        e.groupBy("user_id")
+        .agg(F.min("event_type").alias("first_type"))
+        .withColumn("cohort", F.col("user_id") % 7)
+    )
+    j = salted_join(e.select("user_id", "event_type", "value"), dim, on="user_id", n_salts=8)
+    return j.groupBy("event_type", "cohort").agg(
         F.count("*").alias("n_events"),
         F.expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").alias(
             "total_value"

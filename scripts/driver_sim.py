@@ -59,6 +59,13 @@ EXTRA = [
     # array<double>-valued oracle row — prove it here under the hostile
     # non-UTC session instead
     "mm_byte_features",
+    # round-5 additions outside the prefix (next round's rotation pool)
+    "tj_asof_sql_script",
+    "pp_bucketed_join_agg",
+    "pp_salted_skew_agg",
+    "s_orc_roundtrip",
+    "t_bpe_learn_merges",
+    "t_bpe_vocab_stats",
     # rows-only serve paths (recall-tested; exact twins are in-prefix)
     "ann_pq_topk",
     "ann_ivfpq_topk",
