@@ -52,9 +52,14 @@ _COMMENT_RE = re.compile(r"^comment\s+(\"[^\"]*\"|'[^']*')\s*", re.IGNORECASE)
 def _strip_notebook(sql_text: str) -> list[str]:
     """Notebook text → list of statement strings (comments removed,
     empty cells dropped, trailing semicolons stripped)."""
+    from dataengineeringworkshop_spark.sqlcompat import strip_line_comments
+
     stmts = []
     for cell in _CELL_SEP.split(sql_text):
-        cell = _MAGIC_OR_COMMENT.sub("", cell)
+        # line-anchored pass for -- MAGIC markdown lines, then the
+        # quote-aware stripper for trailing comments (a '--' inside a
+        # COMMENT "…" string literal is data, not a comment)
+        cell = strip_line_comments(_MAGIC_OR_COMMENT.sub("", cell))
         for stmt in _split_semicolons(cell):
             stmt = stmt.strip()
             if stmt:

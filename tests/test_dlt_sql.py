@@ -150,3 +150,20 @@ group by d.country_code
     assert r2["bronze_dlt"]["rows_appended"] == 6
     gold2 = p.read_dataset(spark, "gold_dlt")
     assert gold2.filter(F.col("country_code") == "AUS").first().n_sales == 26
+
+
+def test_dlt_sql_comment_inside_literal_preserved(spark, tmp_path):
+    """A '--' inside a COMMENT string literal is data; a trailing
+    '-- note' after the statement is stripped."""
+    from dataengineeringworkshop_spark.pipeline.dlt_sql import pipeline_from_sql
+
+    (tmp_path / "d.json").write_text('{"v": 1}\n{"v": 2}\n')
+    script = f"""
+CREATE LIVE TABLE gated
+COMMENT "range a--b check"  -- trailing note; should vanish
+AS SELECT * FROM json.`{tmp_path / "d.json"}`
+"""
+    p = pipeline_from_sql("qc", str(tmp_path / "pl"), script)
+    assert p.datasets["gated"].comment == "range a--b check"
+    p.run(spark)
+    assert p.read_dataset(spark, "gated").count() == 2
