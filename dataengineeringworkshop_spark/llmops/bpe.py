@@ -72,27 +72,36 @@ def learn_bpe_merges(
     left ASC, right ASC) over binary string order.
     """
     spark = docs.sparkSession
-    seqs = _word_vocab(docs, text_col).select(
+    # persist the initial vocabulary: every round's pair count replays
+    # the lineage from here, so without the cache each of the n_merges
+    # rounds would re-scan the corpus and redo the word aggregation —
+    # with it, the corpus is scanned ONCE and later rounds replay only
+    # the (cheap, vocab-sized) chained replaces
+    seqs0 = _word_vocab(docs, text_col).select(
         F.regexp_replace("w", "(.)", "<$1>").alias("s"), "weight"
-    )
+    ).persist()
+    seqs = seqs0
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        best = (
-            _adjacent_pairs(seqs)
-            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
-        merges.append((rank, l, r, cnt))
-        seqs = seqs.select(
-            F.replace(
-                F.col("s"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
-            ).alias("s"),
-            "weight",
-        )
+    try:
+        for rank in range(1, n_merges + 1):
+            best = (
+                _adjacent_pairs(seqs)
+                .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0].cnt is None:
+                break
+            l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+            merges.append((rank, l, r, cnt))
+            seqs = seqs.select(
+                F.replace(
+                    F.col("s"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
+                ).alias("s"),
+                "weight",
+            )
+    finally:
+        seqs0.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
@@ -154,9 +163,12 @@ def bpe_cte_prologue(n_merges: int = 8, table: str = "documents") -> str:
             ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
         ),
         seq{i + 1} AS (
-            SELECT replace(s, '<' || b.l || '><' || b.r || '>',
-                              '<' || b.l || b.r || '>') AS s, weight
-            FROM seq{i}, best{i} b
+            -- LEFT JOIN pass-through: if this round found no pair
+            -- (vocabulary fully merged early), the cross join would
+            -- annihilate every later seq; instead carry seq{i} forward
+            SELECT COALESCE(replace(s, '<' || b.l || '><' || b.r || '>',
+                                       '<' || b.l || b.r || '>'), s) AS s, weight
+            FROM seq{i} LEFT JOIN best{i} b ON TRUE
         )"""
         )
     return "".join(parts)

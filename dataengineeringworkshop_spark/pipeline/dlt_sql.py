@@ -26,7 +26,11 @@ from dataengineeringworkshop_spark.operators.expectations import Expectation
 from dataengineeringworkshop_spark.pipeline.runner import Pipeline
 
 _CELL_SEP = re.compile(r"^--\s*COMMAND\s*-+\s*$", re.MULTILINE)
-_MAGIC_OR_COMMENT = re.compile(r"^\s*--.*$", re.MULTILINE)
+# MAGIC markdown lines only — general comments go through the quote-aware
+# stripper instead, so a '--'-prefixed line INSIDE a multi-line COMMENT
+# "…" literal is not deleted (the line-anchored regex can't know it's
+# inside a string; strip_line_comments can)
+_MAGIC_OR_COMMENT = re.compile(r"^\s*--\s*MAGIC.*$", re.MULTILINE)
 
 _HEADER_RE = re.compile(
     r"^create\s+(?:or\s+refresh\s+)?"

@@ -548,17 +548,24 @@ def mm_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in both engines); entropy is rounded to 6 decimals on both sides
     # because log2-sum bit patterns depend on summation order.
     oracle="""
-        WITH pos AS (
-            SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+        WITH src AS (
+            -- empty/null text maps to a single NUL byte, mirroring the
+            -- Spark side's np.frombuffer(b or b"\\x00") substitution
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR text = '' THEN chr(0) ELSE text END AS text
             FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+            FROM src
         ),
         bytes AS (
             SELECT doc_id, (ord(substr(text, CAST(i AS INT), 1)) * 64) // 256 AS bkt
             FROM pos
         ),
         counts AS (SELECT doc_id, bkt, COUNT(*) AS c FROM bytes GROUP BY 1, 2),
-        totals AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS total FROM documents),
-        grid AS (SELECT doc_id, unnest(range(0, 64)) AS bkt FROM documents),
+        totals AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS total FROM src),
+        grid AS (SELECT doc_id, unnest(range(0, 64)) AS bkt FROM src),
         p AS (
             SELECT g.doc_id, g.bkt,
                    CAST(COALESCE(c.c, 0) AS DOUBLE) / t.total AS p

@@ -30,7 +30,14 @@ from dataengineeringworkshop_spark.plans.tables import load_table
 
 
 def _slug(sf_dir: str) -> str:
-    return re.sub(r"[^A-Za-z0-9]", "_", sf_dir).strip("_")[-24:]
+    """Catalog-safe unique name component: a readable path tail PLUS a
+    full-path digest, so two sf_dirs whose sanitized tails coincide
+    (long tmp paths differing only in an earlier component) can never
+    silently share one bucketed table."""
+    import hashlib
+
+    tail = re.sub(r"[^A-Za-z0-9]", "_", sf_dir).strip("_")[-16:]
+    return f"{tail}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
 
 
 @query(

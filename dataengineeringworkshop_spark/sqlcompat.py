@@ -92,13 +92,21 @@ def strip_line_comments(text: str, quotes: str = "'\"`") -> str:
     a comment.  Naive regex stripping would eat the rest of the line
     including the literal's closing quote, silently merging the mangled
     statement with the next one.  Newlines are preserved so statement
-    text keeps its shape."""
+    text keeps its shape.  Inside ``'``/``"`` literals a backslash
+    escapes the next character (Spark's default string syntax —
+    ``'don\\'t'``); backticks escape by doubling, which the plain
+    close-reopen scan already handles."""
     out: list[str] = []
     quote = None
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
         if quote:
+            if ch == "\\" and quote != "`" and i + 1 < n:
+                out.append(ch)
+                out.append(text[i + 1])
+                i += 2
+                continue
             out.append(ch)
             if ch == quote:
                 quote = None
@@ -121,13 +129,20 @@ def strip_line_comments(text: str, quotes: str = "'\"`") -> str:
 def split_top_level(text: str, sep_re: str, quotes: str = "'") -> list[str]:
     """Split ``text`` on a regex separator matched only at paren depth 0
     and outside any of the ``quotes`` characters.  Separator matches are
-    consumed; quoting/nesting inside parts is preserved verbatim."""
+    consumed; quoting/nesting inside parts is preserved verbatim.
+    Backslash escapes the next character inside ``'``/``"`` literals
+    (Spark default string syntax); backticks escape by doubling."""
     pat = re.compile(sep_re, re.IGNORECASE)
     parts, buf, depth, quote = [], [], 0, None
     i = 0
     while i < len(text):
         ch = text[i]
         if quote:
+            if ch == "\\" and quote != "`" and i + 1 < len(text):
+                buf.append(ch)
+                buf.append(text[i + 1])
+                i += 2
+                continue
             buf.append(ch)
             if ch == quote:
                 quote = None

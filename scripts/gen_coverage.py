@@ -202,7 +202,9 @@ def main() -> None:
         "",
         "Generated by `scripts/gen_coverage.py` from the tags on each",
         "registered query, cross-referenced against the CUMULATIVE driver",
-        f"correctness records (CORRECTNESS_r01..{(corr_file or 'none yet')[-8:-5]} — "
+        "correctness records ("
+        + (f"CORRECTNESS_r01..{corr_file[-8:-5]}" if corr_file else "none yet")
+        + " — "
         "the driver's green files persist per round, so evidence earned in",
         "any prior round keeps counting).  States:",
         "",

@@ -488,3 +488,77 @@ def test_fail_guard_translation_requires_sentinel(spark, tmp_path):
         p.run(spark)
     assert not isinstance(ei.value, ExpectationFailed)
     assert "user says" in str(ei.value)
+
+
+# ------------------------------------------------- round-5 self-review
+
+
+def test_strip_line_comments_backslash_escaped_quote():
+    """Spark's default string syntax escapes quotes with backslash:
+    'don\\'t -- keep' is ONE literal; the stripper must not close the
+    quote at the escaped apostrophe and eat the rest of the line."""
+    from dataengineeringworkshop_spark.sqlcompat import strip_line_comments
+
+    s = r"SELECT 'don\'t -- keep' AS a, 2"
+    assert strip_line_comments(s) == s
+    # and a real trailing comment after the literal still goes
+    assert strip_line_comments(s + " -- gone") == s + " "
+
+
+def test_split_statements_backslash_escaped_quote():
+    from dataengineeringworkshop_spark.sqldml import split_statements
+
+    stmts = split_statements(r"SELECT 'don\'t x'; SELECT 2;")
+    assert stmts == [r"SELECT 'don\'t x'", "SELECT 2"]
+
+
+def test_dlt_multiline_comment_literal_survives(tmp_path):
+    """A '--'-prefixed line INSIDE a multi-line COMMENT literal is data;
+    only genuine MAGIC/comment lines outside literals are stripped."""
+    from dataengineeringworkshop_spark.pipeline.dlt_sql import pipeline_from_sql
+
+    script = (
+        '-- MAGIC # markdown title\n'
+        'CREATE LIVE TABLE t\n'
+        'COMMENT "first\n-- second"\n'
+        "AS SELECT 1 AS a -- trailing\n"
+    )
+    p = pipeline_from_sql("mlc", str(tmp_path / "pl"), script)
+    assert p.datasets["t"].comment == "first\n-- second"
+
+
+def test_bpe_oracle_survives_early_merge_exhaustion(spark):
+    """When the vocabulary fully merges before n_merges rounds, the
+    unrolled oracle's later seq CTEs must pass the vocabulary through
+    (LEFT JOIN), not annihilate it — and the Spark learn loop stops at
+    the same point, so both merge table and vocab stats agree."""
+    import duckdb
+
+    from dataengineeringworkshop_spark.llmops.bpe import (
+        bpe_oracle_sql,
+        bpe_vocab_stats_oracle_sql,
+        learn_bpe_merges,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 'aa aa ab' AS text")
+    merges = con.execute(bpe_oracle_sql(n_merges=8)).fetchall()
+    stats = con.execute(bpe_vocab_stats_oracle_sql(n_merges=8)).fetchall()
+    # two distinct words, each fully merged after 2 rounds
+    assert len(merges) == 2
+    assert stats, "vocab stats must not be annihilated by empty rounds"
+    assert sum(r[1] for r in stats) == 2  # both words still present
+    docs = spark.createDataFrame([("aa aa ab",)], "text STRING")
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in learn_bpe_merges(docs, "text", n_merges=8).collect()
+    ]
+    assert got == [tuple(m) for m in merges]
+
+
+def test_bucketed_slug_no_suffix_collision():
+    from dataengineeringworkshop_spark.plans.scaleq import _slug
+
+    a = _slug("/tmp/pytest-1/data/sf0_001")
+    b = _slug("/tmp/pytest-2/data/sf0_001")
+    assert a != b
