@@ -348,3 +348,19 @@ def test_orc_roundtrip_prunes_columns(spark, registry):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "p_partkey", "p_name", "p_retailprice"
     }, (m and m.group(1))
+
+
+def test_apply_bpe_is_map_only(spark):
+    """apply_bpe = explode + chained JVM replaces: zero Exchange, zero
+    joins, no Python in the plan."""
+    from dataengineeringworkshop_spark.llmops.bpe import apply_bpe
+
+    docs = spark.createDataFrame([("low lower newest",)], "text STRING")
+    out = apply_bpe(docs, [("l", "o"), ("lo", "w"), ("e", "s")], "text")
+    plan = _plan(out)
+    ops = _ops(plan)
+    assert ops.get("Exchange", 0) == 0, ops
+    assert not any("Join" in k for k in ops), ops
+    # no Python-UDF eval operators (the local createDataFrame scan node
+    # itself may mention python — that's the test input, not the op)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
