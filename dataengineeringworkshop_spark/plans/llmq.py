@@ -683,3 +683,49 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dew_documents
         """
     )
+
+
+@query(
+    "mm_frame_sample",
+    # ASCII corpus: byte slices == char slices, so DuckDB can recompute
+    # each frame's md5 from substr() while Spark hashes real binary
+    oracle="""
+        WITH vids AS (
+            SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+        ),
+        idx AS (
+            SELECT media_id, text,
+                   unnest(range(1,
+                       greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) + 1
+                   )) AS i
+            FROM vids
+        )
+        SELECT media_id,
+               CAST(i - 1 AS INT) AS frame_no,
+               CAST(length(substr(text, CAST((i - 1) * 64 + 1 AS BIGINT), 64)) AS BIGINT)
+                   AS frame_len,
+               md5(substr(text, CAST((i - 1) * 64 + 1 AS BIGINT), 64)) AS frame_md5
+        FROM idx
+    """,
+    tags=("ext-mm",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLUMBING, hash-checked: slice each video
+    payload's byte stream into fixed 64-byte frames with positions
+    (llmops.multimodal.frame_sample — pure JVM array ops, zero shuffle;
+    a real pipeline swaps the slicer for a codec UDF with the same
+    shape).  Output fingerprints every frame with md5 so the oracle
+    verifies the exact BYTES of each slice, not just counts."""
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        documents_as_media,
+        frame_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(documents_as_media(d), every_n_bytes=64)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        "frame_len",
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
