@@ -66,6 +66,7 @@ EXTRA = [
     "s_orc_roundtrip",
     "t_bpe_learn_merges",
     "t_bpe_vocab_stats",
+    "mm_frame_sample",
     # rows-only serve paths (recall-tested; exact twins are in-prefix)
     "ann_pq_topk",
     "ann_ivfpq_topk",
