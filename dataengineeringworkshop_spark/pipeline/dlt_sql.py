@@ -26,11 +26,6 @@ from dataengineeringworkshop_spark.operators.expectations import Expectation
 from dataengineeringworkshop_spark.pipeline.runner import Pipeline
 
 _CELL_SEP = re.compile(r"^--\s*COMMAND\s*-+\s*$", re.MULTILINE)
-# MAGIC markdown lines only — general comments go through the quote-aware
-# stripper instead, so a '--'-prefixed line INSIDE a multi-line COMMENT
-# "…" literal is not deleted (the line-anchored regex can't know it's
-# inside a string; strip_line_comments can)
-_MAGIC_OR_COMMENT = re.compile(r"^\s*--\s*MAGIC.*$", re.MULTILINE)
 
 _HEADER_RE = re.compile(
     r"^create\s+(?:or\s+refresh\s+)?"
@@ -60,10 +55,12 @@ def _strip_notebook(sql_text: str) -> list[str]:
 
     stmts = []
     for cell in _CELL_SEP.split(sql_text):
-        # line-anchored pass for -- MAGIC markdown lines, then the
-        # quote-aware stripper for trailing comments (a '--' inside a
-        # COMMENT "…" string literal is data, not a comment)
-        cell = strip_line_comments(_MAGIC_OR_COMMENT.sub("", cell))
+        # ONE quote-aware pass: '-- MAGIC' markdown lines and plain
+        # comments are both '--'-to-EOL outside string literals, while a
+        # '--'-prefixed line INSIDE a multi-line COMMENT "…" literal is
+        # data and survives (a line-anchored regex can't tell these
+        # apart; the scanner can)
+        cell = strip_line_comments(cell)
         for stmt in _split_semicolons(cell):
             stmt = stmt.strip()
             if stmt:

@@ -86,26 +86,34 @@ def translate_sql(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _escape_len(text: str, i: int, quote: str) -> int:
+    """2 if ``text[i]`` starts a backslash escape inside a ``'``/``"``
+    literal (Spark's default string syntax — ``'don\\'t'``), else 0.
+    Backticks escape by doubling, which the plain close-reopen scan
+    already handles.  THE one escape rule, shared by all three scanners
+    below — change it here, not in a copy."""
+    if text[i] == "\\" and quote != "`" and i + 1 < len(text):
+        return 2
+    return 0
+
+
 def strip_line_comments(text: str, quotes: str = "'\"`") -> str:
     """Remove ``-- …`` line comments, but ONLY outside quoted strings —
     a ``--`` inside a literal (``UPDATE t SET s = 'a--b'``) is data, not
     a comment.  Naive regex stripping would eat the rest of the line
     including the literal's closing quote, silently merging the mangled
     statement with the next one.  Newlines are preserved so statement
-    text keeps its shape.  Inside ``'``/``"`` literals a backslash
-    escapes the next character (Spark's default string syntax —
-    ``'don\\'t'``); backticks escape by doubling, which the plain
-    close-reopen scan already handles."""
+    text keeps its shape.  Escape handling per :func:`_escape_len`."""
     out: list[str] = []
     quote = None
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
         if quote:
-            if ch == "\\" and quote != "`" and i + 1 < n:
-                out.append(ch)
-                out.append(text[i + 1])
-                i += 2
+            k = _escape_len(text, i, quote)
+            if k:
+                out.append(text[i : i + k])
+                i += k
                 continue
             out.append(ch)
             if ch == quote:
@@ -130,18 +138,17 @@ def split_top_level(text: str, sep_re: str, quotes: str = "'") -> list[str]:
     """Split ``text`` on a regex separator matched only at paren depth 0
     and outside any of the ``quotes`` characters.  Separator matches are
     consumed; quoting/nesting inside parts is preserved verbatim.
-    Backslash escapes the next character inside ``'``/``"`` literals
-    (Spark default string syntax); backticks escape by doubling."""
+    Escape handling per :func:`_escape_len`."""
     pat = re.compile(sep_re, re.IGNORECASE)
     parts, buf, depth, quote = [], [], 0, None
     i = 0
     while i < len(text):
         ch = text[i]
         if quote:
-            if ch == "\\" and quote != "`" and i + 1 < len(text):
-                buf.append(ch)
-                buf.append(text[i + 1])
-                i += 2
+            k = _escape_len(text, i, quote)
+            if k:
+                buf.append(text[i : i + k])
+                i += k
                 continue
             buf.append(ch)
             if ch == quote:
@@ -172,17 +179,28 @@ def split_top_level(text: str, sep_re: str, quotes: str = "'") -> list[str]:
 
 def take_paren_group(text: str, quotes: str = "'\"`") -> tuple[str, str]:
     """``text`` starting at '(' → (content inside the matching paren,
-    remainder after it), quote-aware."""
+    remainder after it), quote-aware.  Escape handling per
+    :func:`_escape_len` — without it this scanner would close a literal
+    at a backslash-escaped quote and disagree with the other two about
+    string boundaries."""
     if not text or text[0] != "(":
         raise ValueError(f"expected '(' at start of: {text[:40]!r}")
     depth, quote = 0, None
-    for i, ch in enumerate(text):
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
         if quote:
+            k = _escape_len(text, i, quote)
+            if k:
+                i += k
+                continue
             if ch == quote:
                 quote = None
+            i += 1
             continue
         if ch in quotes:
             quote = ch
+            i += 1
             continue
         if ch == "(":
             depth += 1
@@ -190,4 +208,5 @@ def take_paren_group(text: str, quotes: str = "'\"`") -> tuple[str, str]:
             depth -= 1
             if depth == 0:
                 return text[1:i], text[i + 1 :]
+        i += 1
     raise ValueError(f"unbalanced parentheses in: {text[:80]!r}")

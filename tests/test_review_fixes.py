@@ -562,3 +562,28 @@ def test_bucketed_slug_no_suffix_collision():
     a = _slug("/tmp/pytest-1/data/sf0_001")
     b = _slug("/tmp/pytest-2/data/sf0_001")
     assert a != b
+
+
+def test_take_paren_group_backslash_escaped_quote():
+    """All three sqlcompat scanners share one escape rule: a constraint
+    predicate containing a Spark-escaped quote must not close the
+    literal early and truncate the paren group."""
+    from dataengineeringworkshop_spark.sqlcompat import take_paren_group
+
+    inside, after = take_paren_group(r"(flag != 'don\')t') AS x")
+    assert inside == r"flag != 'don\')t'"
+    assert after == " AS x"
+
+
+def test_dlt_magic_line_inside_literal_survives(tmp_path):
+    """A '-- MAGIC'-prefixed line inside a multi-line COMMENT literal is
+    data; genuine MAGIC markdown lines outside literals still vanish."""
+    from dataengineeringworkshop_spark.pipeline.dlt_sql import pipeline_from_sql
+
+    script = (
+        "-- MAGIC # real markdown, stripped\n"
+        'CREATE LIVE TABLE t\nCOMMENT "notes:\n-- MAGIC demo"\n'
+        "AS SELECT 1 AS a\n"
+    )
+    p = pipeline_from_sql("mgl", str(tmp_path / "pl"), script)
+    assert p.datasets["t"].comment == "notes:\n-- MAGIC demo"
