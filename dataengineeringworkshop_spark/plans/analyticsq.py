@@ -1,0 +1,251 @@
+"""Behavioral-analytics and incremental-maintenance queries (round 6).
+
+Product-analytics surface every warehouse user expects on an events
+table — funnel conversion, cohort retention, path mining, moving
+time-range windows, FILTER-clause aggregates — plus the incremental
+materialized-view maintenance pattern that makes 100 TB aggregates
+affordable: aggregate ONLY the delta batch and merge it with the stored
+partials (count/decimal-sum form a commutative monoid, so partial-merge
+equals full recompute — which is exactly what the DuckDB oracle
+asserts by recomputing from scratch).
+
+Scale shapes:
+- Funnel: three per-user scalar aggregates chained by (user_id)
+  equi-joins — every stage shuffles on the same key, so AQE coalesces
+  them onto one exchange footprint; no window over the raw stream.
+- Retention: one groupBy(user) for cohorts + one join back on user_id +
+  one grouped count-distinct; week arithmetic is integer epoch-division
+  (no calendar functions in the hot path).
+- Path bigrams: a single lag() window partitioned by user — state is
+  one row per partition, the streaming-friendly shape.
+- Moving revenue: RANGE interval frame partitioned by customer; Spark
+  evaluates it with a bounded sliding frame per partition, never a
+  global sort.
+- MV maintenance: the delta aggregate touches only `delta` rows; the
+  merge is a groupBy over |groups| partial rows, independent of base
+  table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.tables import register_views
+
+# Spark SQL and DuckDB share this ANSI funnel text verbatim (dialect-free):
+# stage N's population = users whose stage-N event strictly follows their
+# earliest stage-(N-1) event — the standard ordered-funnel semantics.
+_FUNNEL_BODY = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t_view
+    FROM {events} WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM {events} e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM {events} e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS stage_name,
+       (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+"""
+
+
+@query(
+    "e_funnel_conversion",
+    oracle=_FUNNEL_BODY.format(events="events"),
+    tags=("ext-analytics",),
+)
+def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): how many users reach
+    each stage, where a stage only counts if it happens STRICTLY AFTER
+    the user's earliest previous-stage event.  Three per-user MIN
+    aggregates chained by user_id equi-joins — no self-join on the raw
+    stream, no window; each stage's input shrinks monotonically."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_FUNNEL_BODY.format(events="dew_events"))
+
+
+_RETENTION_BODY = """
+WITH f AS (
+    SELECT user_id, MIN(ts) AS t0 FROM {events} GROUP BY user_id
+)
+SELECT CAST(FLOOR({epoch_t0} / 604800) AS BIGINT) AS cohort_week,
+       CAST(FLOOR({epoch_ts} / 604800) - FLOOR({epoch_t0} / 604800) AS BIGINT)
+           AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM {events} e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "e_retention_cohorts",
+    oracle=_RETENTION_BODY.format(
+        events="events",
+        epoch_t0="epoch(f.t0)",
+        epoch_ts="epoch(e.ts)",
+    ),
+    tags=("ext-analytics",),
+)
+def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen
+    epoch-week, activity counted per (cohort_week, week_offset).  Week
+    arithmetic is integer epoch division — engine-portable and free of
+    calendar/timezone functions (session TZ pinned UTC either way).
+    One groupBy(user) + one user_id join + one grouped distinct."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        _RETENTION_BODY.format(
+            events="dew_events",
+            epoch_t0="unix_timestamp(f.t0)",
+            epoch_ts="unix_timestamp(e.ts)",
+        )
+    )
+
+
+_PATH_BODY = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM {events}
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@query(
+    "e_user_path_bigrams",
+    oracle=_PATH_BODY.format(events="events"),
+    tags=("ext-analytics",),
+)
+def e_user_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path mining: the user-journey transition matrix
+    (prev_type → next_type counts) via one lag() window per user.
+    ORDER BY (ts, event_id) — the unique event_id tiebreaker makes the
+    sequence, and therefore every transition count, deterministic."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_PATH_BODY.format(events="dew_events"))
+
+
+@query(
+    "w6_time_range_window",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS revenue_7d
+        FROM orders
+    """,
+    tags=("ext-analytics", "W2"),
+)
+def w6_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 7-day revenue per customer: a RANGE interval frame over
+    event time — the time-windowed aggregation RANGE frames exist for
+    (ROWS frames can't express "trailing week").  Peers at the same
+    timestamp are in-frame in both engines (RANGE includes ties), and
+    the frame sum folds through DECIMAL so accumulation order can't
+    perturb the double."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS revenue_7d
+        FROM dew_orders
+        """
+    )
+
+
+_FILTERED_AGG_BODY = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_revenue
+FROM {orders}
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "a13_filtered_agg",
+    oracle=_FILTERED_AGG_BODY.format(orders="orders"),
+    tags=("ext-analytics", "A1"),
+)
+def a13_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates — per-group conditional counts and
+    sums in ONE scan/shuffle instead of N filtered self-aggregations
+    (the conditional-aggregation idiom every reporting query uses).
+    Identical SQL text runs on both engines."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_FILTERED_AGG_BODY.format(orders="dew_orders"))
+
+
+@query(
+    "mv_incremental_agg",
+    # the oracle is the FULL recompute — the whole claim of incremental
+    # MV maintenance is that merging delta partials into stored partials
+    # is indistinguishable from recomputing over base ∪ delta
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("ext-analytics", "incremental"),
+)
+def mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the standing MV holds
+    per-group partials (count + exact DECIMAL sum) over the base rows
+    (o_orderkey % 10 != 0); a delta batch (% 10 = 0) is aggregated
+    ALONE and merged by summing partials.  count and decimal-sum are a
+    commutative monoid, so the merge is exact — the driver hash-checks
+    it against a full recompute.  At 100 TB the delta aggregate reads
+    only the new files and the merge touches |groups| rows, never the
+    base table."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        # keep the sum in DECIMAL: partial-merge must be exact, the
+        # cast to double happens once, after the final merge
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("psum"),
+        )
+
+    mv = partials(o.filter(F.col("o_orderkey") % 10 != 0))  # the stored MV
+    delta = partials(o.filter(F.col("o_orderkey") % 10 == 0))  # the new batch
+    return (
+        mv.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.sum("psum").cast("double").alias("revenue"),
+        )
+    )

@@ -327,19 +327,27 @@ def j5_outer_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     cond = c.c_custkey == o.o_custkey
+
+    def counts(how: str) -> tuple[int, int]:
+        # ONE pass per join type: total and matched come from the same
+        # aggregate (COUNT(col) skips the null-extended rows), instead
+        # of executing each join twice
+        row = (
+            c.join(o, cond, how)
+            .agg(F.count(F.lit(1)).alias("n"), F.count("o_orderkey").alias("m"))
+            .first()
+        )
+        return int(row.n), int(row.m)
+
+    n_left, m_left = counts("left")
+    n_full, m_full = counts("full")
+    n_semi = c.join(o, cond, "left_semi").count()
+    n_anti = c.join(o, cond, "left_anti").count()
     rows = [
-        (
-            "left_outer",
-            c.join(o, cond, "left").count(),
-            c.join(o, cond, "left").filter(F.col("o_orderkey").isNotNull()).count(),
-        ),
-        (
-            "full_outer",
-            c.join(o, cond, "full").count(),
-            c.join(o, cond, "full").filter(F.col("o_orderkey").isNotNull()).count(),
-        ),
-        ("semi", c.join(o, cond, "left_semi").count(), c.join(o, cond, "left_semi").count()),
-        ("anti", c.join(o, cond, "left_anti").count(), 0),
+        ("left_outer", n_left, m_left),
+        ("full_outer", n_full, m_full),
+        ("semi", n_semi, n_semi),
+        ("anti", n_anti, 0),
     ]
     return spark.createDataFrame(rows, "join_type STRING, n BIGINT, n_matched BIGINT")
 

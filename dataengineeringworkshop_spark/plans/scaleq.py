@@ -19,6 +19,7 @@ RESULT-preserving — the whole point of a physical-layout optimization.
 
 from __future__ import annotations
 
+import os
 import re
 import tempfile
 
@@ -65,14 +66,18 @@ def pp_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     slug = _slug(sf_dir)
     to, tl = f"dew_bkt_orders_{slug}", f"dew_bkt_lineitem_{slug}"
-    # external tables at a fresh temp path: the session catalog is
-    # in-memory but the default warehouse DIRECTORY persists across
-    # processes — a stale managed location would fail saveAsTable
+    # external tables at a FIXED per-sf temp path: the session catalog
+    # is in-memory but the default warehouse DIRECTORY persists across
+    # processes (a stale managed location would fail saveAsTable), and
+    # a fixed deterministic location means repeated sessions / bench
+    # iterations REUSE one directory per sf_dir instead of leaking a
+    # fresh mkdtemp per process (mode=overwrite replaces stale files)
+    base = os.path.join(tempfile.gettempdir(), "dew_bkt", slug)
     if not spark.catalog.tableExists(to):
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
         write_bucketed(
             o, to, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
-            path=tempfile.mkdtemp(prefix="dew_bkt_o_") + "/t",
+            path=os.path.join(base, "orders"),
         )
     if not spark.catalog.tableExists(tl):
         li = load_table(spark, sf_dir, "lineitem").select(
@@ -80,7 +85,7 @@ def pp_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_bucketed(
             li, tl, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
-            path=tempfile.mkdtemp(prefix="dew_bkt_l_") + "/t",
+            path=os.path.join(base, "lineitem"),
         )
     j = spark.table(to).hint("merge").join(spark.table(tl), "o_orderkey")
     return j.groupBy("o_orderstatus").agg(
