@@ -132,6 +132,61 @@ def apply_bpe(
     )
 
 
+def token_id_map(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """The merge-rank vocabulary: single-char symbols take their code
+    point as id (byte-fallback, like every BPE tokenizer's base vocab);
+    the symbol produced by merge rank r takes id 255 + r.  If two merges
+    produce the same concatenated string (e.g. (a,bc) and (ab,c) both
+    yield 'abc'), the EARLIER rank wins — mirrored by MIN(merge_rank)
+    in the SQL oracle's vocab CTE."""
+    ids: dict[str, int] = {}
+    for rank, (l, r) in enumerate(merges, start=1):
+        ids.setdefault(l + r, 255 + rank)
+    return ids
+
+
+def bpe_token_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """apply_bpe + merge-rank vocabulary lookup → ``array<int>`` token
+    ids per word (plus ``__word_idx`` for the in-document word order).
+    Still a pure map: the vocabulary is a literal in-plan map (bounded
+    by n_merges), symbol→id is a JVM map lookup with an ``ascii()``
+    byte fallback for unmerged single chars — no shuffle, no Python."""
+    vocab = token_id_map(merges)
+    expr = F.regexp_replace(F.col("__w"), "(.)", "<$1>")
+    for l, r in merges:
+        expr = F.replace(expr, F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>"))
+    seq = F.expr("substr(__seq, 2, length(__seq) - 2)")
+    if vocab:
+        pairs = [x for kv in vocab.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        vmap = F.create_map(*pairs)
+        lookup = "coalesce(element_at(__vmap, t), ascii(t))"
+    else:
+        lookup = "ascii(t)"
+    out = (
+        df.select(
+            "*",
+            F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+                "__wi", "__w"
+            ),
+        )
+        .filter(F.length("__w") > 0)
+        .withColumn("__seq", expr)
+        .withColumn("__syms", F.split(seq, "><"))
+    )
+    if vocab:
+        out = out.withColumn("__vmap", vmap)
+    return (
+        out.withColumn(out_col, F.expr(f"transform(__syms, t -> {lookup})"))
+        .withColumn("__word_idx", F.col("__wi"))
+        .drop("__wi", "__w", "__seq", "__syms", *(["__vmap"] if vocab else []))
+    )
+
+
 def bpe_cte_prologue(n_merges: int = 8, table: str = "documents") -> str:
     """The unrolled DuckDB CTE chain: words → seq1 → (pairs/best/seq)×n
     — ends having defined ``best1..best{n}`` and ``seq{n+1}`` (the
@@ -169,6 +224,47 @@ def bpe_cte_prologue(n_merges: int = 8, table: str = "documents") -> str:
             SELECT COALESCE(replace(s, '<' || b.l || '><' || b.r || '>',
                                        '<' || b.l || b.r || '>'), s) AS s, weight
             FROM seq{i} LEFT JOIN best{i} b ON TRUE
+        )"""
+        )
+    return "".join(parts)
+
+
+def bpe_doc_apply_cte(n_merges: int = 8, table: str = "documents") -> str:
+    """DuckDB CTE suffix (appended after :func:`bpe_cte_prologue`) that
+    APPLIES the learned merges to every document's words: defines
+    ``vocab`` (merged-symbol → token id, earlier rank wins) and
+    ``enc{n+1}`` — (doc_id, source, word_idx, s) with the fully-merged
+    marker string per word."""
+    parts = [
+        f""",
+        doc_words AS (
+            SELECT doc_id, source, ws, unnest(range(1, len(ws) + 1)) AS word_idx
+            FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+                  FROM {table})
+        ),
+        dw AS (
+            SELECT doc_id, source, word_idx, ws[CAST(word_idx AS INT)] AS w
+            FROM doc_words WHERE length(ws[CAST(word_idx AS INT)]) > 0
+        ),
+        vocab AS (
+            SELECT sym, 255 + MIN(merge_rank) AS tid FROM (
+                {" UNION ALL ".join(f"SELECT merge_rank, l || r AS sym FROM best{i}" for i in range(1, n_merges + 1))}
+            ) GROUP BY sym
+        ),
+        enc1 AS (
+            SELECT doc_id, source, word_idx,
+                   regexp_replace(w, '(.)', '<\\1>', 'g') AS s
+            FROM dw
+        )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+        enc{i + 1} AS (
+            SELECT doc_id, source, word_idx,
+                   COALESCE(replace(s, '<' || b.l || '><' || b.r || '>',
+                                       '<' || b.l || b.r || '>'), s) AS s
+            FROM enc{i} LEFT JOIN best{i} b ON TRUE
         )"""
         )
     return "".join(parts)

@@ -108,18 +108,20 @@ DRIVER_PREFIX = 50
 # singleton family that was green in r1–r3 keeps its cumulative evidence;
 # tests/test_registry_order.py enforces prefix ∪ past-green coverage).
 # All 50 rows are oracle-paired — no rows-only slots in the window.
-# Round-5 composition: flagship + 22 live family anchors (all past-green,
+# Round-6 composition: flagship + 22 live family anchors (all past-green,
 # kept so a repo regression in a core family is caught the same round) +
-# 27 first-time-evidence rotations (every oracle-paired query that has
-# never earned a driver hash row, incl. the four newly oracle-paired
-# round-5 queries) + t_fuzzy_match_levenshtein, whose implementation
-# changed this round (deletion-neighborhood blocking) and must re-prove
-# its hash.  mm_byte_features is oracle-paired and local-green but
-# deliberately kept OUT of the window: it returns an array<double>
-# column, which no driver row has ever exercised — see COVERAGE.md.
+# the 8 never-driver-evidenced oracle-paired queries from the round-5
+# backlog (incl. mm_byte_features, the FIRST array<double> driver row —
+# the local-harness norm() support landed in r5) + the 10 new round-6
+# queries (behavioral analytics, incremental MV maintenance, winnowing,
+# containment dedup, BPE token ids + tokenize→pack chain) +
+# j5_outer_semi_anti, whose implementation changed this round
+# (single-pass counts) and must re-prove its hash + 8 evidence
+# refreshes for high-traffic families whose latest green row is
+# r03-or-older.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
-    # §2 breadth composites (family anchors, green r3/r4)
+    # §2 breadth composites (family anchors)
     "rb_projection_breadth",
     "rb_join_agg_breadth",
     "rb_window_order_breadth",
@@ -145,37 +147,37 @@ _PRIORITY: tuple[str, ...] = (
     "mm_decode_roundtrip",
     "mm_audio_features",
     "cp_corpus_pipeline",
-    # changed this round (blocked fuzzy join) — re-prove the hash
-    "t_fuzzy_match_levenshtein",
-    # first-time evidence: newly oracle-paired round-5 queries
-    "d_dedup_survivors",
-    "ann_pq_fullrerank_exact",
-    "ann_ivfpq_fullprobe_exact",
-    "tj_sessionize_sql_script",
-    # first-time evidence: oracle-paired since earlier rounds but never
-    # yet inside the driver window
-    "f13_size_split",
-    "t_text_stats",
-    "t_token_count_regex",
-    "t_bpe_pair_counts",
-    "t_lang_guess",
-    "t_fingerprint",
-    "d_dup_group_stats",
-    "sim_label_centroid_dist",
-    "vt_stats_skipping",
-    "cp_incremental_corpus",
-    "mm_resize_roundtrip",
-    "cp_quality_gate_stats",
-    "cp_clean_text_stats",
-    "cp_pii_pattern_scan",
-    "cp_repetition_filter",
-    "cp_source_mix",
-    "cp_split_assignment",
-    "a_sketch_bounds",
-    "b_unpivot_event_stats",
-    "cp_bigram_lm_score",
-    "sim_embed_quantize",
-    "cp_chunk_documents",
+    # first-time evidence: the round-5 backlog (never in a driver window)
+    "t_bpe_learn_merges",
+    "t_bpe_vocab_stats",
+    "mm_frame_sample",
+    "mm_byte_features",
+    "tj_asof_sql_script",
+    "pp_bucketed_join_agg",
+    "pp_salted_skew_agg",
+    "s_orc_roundtrip",
+    # first-time evidence: new round-6 queries
+    "e_funnel_conversion",
+    "e_retention_cohorts",
+    "e_user_path_bigrams",
+    "w6_time_range_window",
+    "a13_filtered_agg",
+    "mv_incremental_agg",
+    "t_winnowing_fingerprint",
+    "d_containment_pairs",
+    "t_bpe_token_ids",
+    "t_bpe_tokenize_pack",
+    # changed this round (single-pass join counts) — re-prove the hash
+    "j5_outer_semi_anti",
+    # evidence refresh: latest green row r03 or older
+    "j2_three_way_inner",
+    "w1_dedup_keep_latest",
+    "d_exact_dedup_keep_first",
+    "sd_semantic_dedup",
+    "tj_asof_click_view",
+    "cp_bm25_search",
+    "ws_medallion_gold",
+    "sim_cosine_topk",
 )
 
 
@@ -201,6 +203,7 @@ def load_all() -> dict[str, QuerySpec]:
     import dataengineeringworkshop_spark.plans.searchq  # noqa: F401
     import dataengineeringworkshop_spark.plans.breadth  # noqa: F401
     import dataengineeringworkshop_spark.plans.scaleq  # noqa: F401
+    import dataengineeringworkshop_spark.plans.analyticsq  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)

@@ -596,3 +596,310 @@ def t_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("weight").cast("long").alias("total_weight"),
         )
     )
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, MOSS): hash every k-gram, keep
+# the minimum hash of each sliding window of w consecutive k-gram hashes
+# — the selected fingerprints are guaranteed to share at least one hash
+# with any other document containing a matching substring of length
+# >= w + k - 1.  Hashes are an md5-hex prefix, identical in both engines.
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+@query(
+    "t_winnowing_fingerprint",
+    oracle=f"""
+        WITH src AS (
+            SELECT doc_id, text, length(text) - {_WINNOW_K} + 1 AS n_g
+            FROM documents WHERE length(text) >= {_WINNOW_K}
+        ),
+        g AS (
+            SELECT doc_id, n_g, unnest(range(1, n_g + 1)) AS i, text
+            FROM src
+        ),
+        h AS (
+            SELECT doc_id, n_g, i,
+                   substr(md5(substr(text, CAST(i AS INT), {_WINNOW_K})), 1, 8) AS h
+            FROM g
+        ),
+        wins AS (
+            SELECT doc_id, n_g, i,
+                   MIN(h) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+                   ) AS wmin
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+               MIN(wmin) AS min_fp, MAX(wmin) AS max_fp
+        FROM wins WHERE i <= n_g - {_WINNOW_W} + 1
+        GROUP BY doc_id
+    """,
+    tags=("ext-text", "fingerprint"),
+)
+def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): md5-prefix
+    hash of every 8-char k-gram, minimum per sliding window of 4 —
+    per-doc distinct fingerprint count plus min/max fingerprint, so the
+    oracle pins the actual selected-hash SET boundaries, not just sizes.
+
+    Scale shape: position explode is per-doc char-linear (same cost
+    class as the byte-histogram features), the window min partitions by
+    doc_id (embarrassingly parallel), and the grouped distinct is the
+    only shuffle.  100 TB variant: fingerprints feed the same
+    inverted-index join the shingle dedup family uses."""
+    from dataengineeringworkshop_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        WITH src AS (
+            SELECT doc_id, text, length(text) - {_WINNOW_K} + 1 AS n_g
+            FROM dew_documents WHERE length(text) >= {_WINNOW_K}
+        ),
+        g AS (
+            SELECT doc_id, n_g, i, text
+            FROM src LATERAL VIEW explode(sequence(1, n_g)) AS i
+        ),
+        h AS (
+            SELECT doc_id, n_g, i,
+                   substr(md5(substr(text, i, {_WINNOW_K})), 1, 8) AS h
+            FROM g
+        ),
+        wins AS (
+            SELECT doc_id, n_g, i,
+                   MIN(h) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+                   ) AS wmin
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+               MIN(wmin) AS min_fp, MAX(wmin) AS max_fp
+        FROM wins WHERE i <= n_g - {_WINNOW_W} + 1
+        GROUP BY doc_id
+        """
+    )
+
+
+@query(
+    "d_containment_pairs",
+    # containment (inter / min size) catches SUBSET duplicates that
+    # Jaccard misses: a doc pasted inside a larger one scores ~1.0 here
+    # but low Jaccard.  Same df-capped inverted index as the Jaccard
+    # query; the division is an exact int/int double ratio.
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []
+                                           ELSE [array_to_string(list_slice(w, i, i + 2), ' ')
+                                                 FOR i IN range(1, len(w) - 1)] END) AS shingle
+                FROM tok
+            )
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {{maxdf}}),
+        shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+        pairs AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d1, d2, inter,
+               LEAST(s1.sz, s2.sz) AS min_sz,
+               CAST(inter AS DOUBLE) / LEAST(s1.sz, s2.sz) AS containment
+        FROM pairs
+        JOIN sizes s1 ON pairs.d1 = s1.doc_id
+        JOIN sizes s2 ON pairs.d2 = s2.doc_id
+        WHERE inter * 2 >= LEAST(s1.sz, s2.sz)
+        ORDER BY containment DESC, d1 ASC, d2 ASC
+        LIMIT 200
+    """.format(maxdf=_JACCARD_MAXDF),
+    tags=("ext-dedup",),
+)
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup pairs: |A∩B| / min(|A|,|B|) >= 0.5
+    — the measure that catches a document EMBEDDED in a larger one
+    (quote-expansion, boilerplate wrapping), where symmetric Jaccard
+    stays low.  Reuses the standing df-capped 3-gram inverted index
+    (one materialized artifact shared across the dedup family), so the
+    pair space stays bounded by key selectivity, never n²; the integer
+    pre-filter (inter*2 >= min_sz) keeps the division off the hot path."""
+    from pyspark.sql import functions as F  # noqa: F811 (module-level too)
+
+    sh, shf = _shingle_artifacts(spark, sf_dir)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    pairs = (
+        shf.alias("a")
+        .join(
+            shf.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        pairs.join(sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .withColumn("min_sz", F.least("sz1", "sz2"))
+        .filter(F.col("inter") * 2 >= F.col("min_sz"))
+        .withColumn(
+            "containment", F.col("inter").cast("double") / F.col("min_sz")
+        )
+        .select("d1", "d2", "inter", "min_sz", "containment")
+    )
+    return scored.orderBy(
+        F.col("containment").desc(), F.col("d1").asc(), F.col("d2").asc()
+    ).limit(200)
+
+
+def _bpe_merge_list(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Learn the standard 8-merge table over documents (bounded collect:
+    8 rows of scalars — the merge table IS the model artifact)."""
+    from dataengineeringworkshop_spark.llmops.bpe import learn_bpe_merges
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return [
+        (r.left, r.right)
+        for r in learn_bpe_merges(d, "text", n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+
+def _bpe_token_ids_oracle() -> str:
+    from dataengineeringworkshop_spark.llmops.bpe import (
+        bpe_cte_prologue,
+        bpe_doc_apply_cte,
+    )
+
+    return (
+        bpe_cte_prologue(8, "documents")
+        + bpe_doc_apply_cte(8, "documents")
+        + """
+        , syms AS (
+            SELECT doc_id, word_idx, toks,
+                   unnest(range(1, len(toks) + 1)) AS sym_idx
+            FROM (SELECT doc_id, word_idx,
+                         string_split(substr(s, 2, length(s) - 2), '><') AS toks
+                  FROM enc9
+                  WHERE doc_id % 50 = 0)
+        )
+        SELECT y.doc_id,
+               CAST(y.word_idx - 1 AS INT) AS word_idx,
+               CAST(y.sym_idx - 1 AS INT) AS sym_idx,
+               CAST(COALESCE(v.tid, ord(y.sym)) AS INT) AS token_id
+        FROM (SELECT doc_id, word_idx, sym_idx,
+                     toks[CAST(sym_idx AS INT)] AS sym FROM syms) y
+        LEFT JOIN vocab v ON y.sym = v.sym
+        """
+    )
+
+
+@query(
+    "t_bpe_token_ids",
+    oracle=_bpe_token_ids_oracle(),
+    tags=("ext-text", "bpe"),
+)
+def t_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL token-id emission from the learned BPE tokenizer: every
+    50th document tokenized to integer ids under the merge-rank
+    vocabulary (single chars → code point, merge rank r → 255 + r,
+    earlier rank wins on collisions).  The oracle replays learning AND
+    application as one unrolled CTE chain and re-derives every id — so
+    the driver hash pins the exact token stream, position by position.
+    Apply side stays a pure map (plan-shape-pinned for the shared
+    apply path in tests/test_plan_quality.py)."""
+    from dataengineeringworkshop_spark.llmops.bpe import bpe_token_ids
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    toks = bpe_token_ids(
+        d.select("doc_id", "text"), _bpe_merge_list(spark, sf_dir)
+    )
+    return toks.select(
+        "doc_id",
+        F.col("__word_idx").cast("int").alias("word_idx"),
+        F.posexplode("token_ids").alias("sym_idx", "token_id"),
+    ).select(
+        "doc_id", "word_idx", F.col("sym_idx").cast("int").alias("sym_idx"),
+        F.col("token_id").cast("int").alias("token_id"),
+    )
+
+
+def _bpe_pack_oracle() -> str:
+    from dataengineeringworkshop_spark.llmops.bpe import (
+        bpe_cte_prologue,
+        bpe_doc_apply_cte,
+    )
+
+    return (
+        bpe_cte_prologue(8, "documents")
+        + bpe_doc_apply_cte(8, "documents")
+        + """
+        , per_doc AS (
+            SELECT doc_id, source,
+                   CAST(SUM(len(string_split(substr(s, 2, length(s) - 2), '><')))
+                        AS BIGINT) AS n_tokens
+            FROM enc9 GROUP BY doc_id, source
+        ),
+        packed AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+            FROM per_doc
+        )
+        SELECT source, pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed GROUP BY source, pack_id
+        """
+    )
+
+
+@query(
+    "t_bpe_tokenize_pack",
+    oracle=_bpe_pack_oracle(),
+    tags=("ext-text", "bpe", "ext-corpus"),
+)
+def t_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize → pack chain of a real training-shard build:
+    documents are tokenized with the LEARNED BPE merges (not the
+    whitespace proxy), per-doc true token counts feed the same
+    4096-token sequence-packing window cp_sequence_packing uses, and
+    the oracle replays the whole chain (learning included) in one
+    unrolled CTE.  Scale shape: learning scans the corpus once
+    (cached vocab table); apply is a map; per-doc counts one shuffle;
+    packing one window partitioned by source."""
+    from dataengineeringworkshop_spark.llmops.bpe import apply_bpe
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = apply_bpe(
+        d.select("doc_id", "source", "text"), _bpe_merge_list(spark, sf_dir)
+    )
+    per_doc = tok.groupBy("source", "doc_id").agg(
+        F.sum(F.size("bpe_tokens")).cast("long").alias("n_tokens")
+    )
+    return per_doc.selectExpr(
+        "source",
+        "doc_id",
+        "n_tokens",
+        """CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id""",
+    ).groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )

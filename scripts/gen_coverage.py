@@ -100,6 +100,12 @@ INVENTORY: list[tuple[str, str]] = [
     ("ext-temporal", "Temporal: as-of join, sessionization, range join"),
     ("ext-streaming", "Streaming: windows+watermark, stateful accumulator"),
     ("ext-corpus", "Corpus prep: quality gate, stratified sampling, split assignment"),
+    (
+        "ext-analytics",
+        "Behavioral analytics + incremental maintenance: funnel, retention "
+        "cohorts, path mining, time-range windows, FILTER aggregates, "
+        "incremental MV merge",
+    ),
 ]
 
 # Capabilities proven by pytest suites / pipeline framework rather than a

@@ -364,3 +364,35 @@ def test_apply_bpe_is_map_only(spark):
     # no Python-UDF eval operators (the local createDataFrame scan node
     # itself may mention python — that's the test input, not the op)
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bpe_token_ids_is_map_only(spark):
+    """Token-id emission (apply_bpe + literal vocab-map lookup) must
+    stay a pure map like apply_bpe itself: the vocabulary is an in-plan
+    literal map, so NO Exchange, no joins, no Python appears."""
+    from dataengineeringworkshop_spark.llmops.bpe import bpe_token_ids
+
+    docs = spark.createDataFrame([(1, "low lower newest")], "doc_id INT, text STRING")
+    out = bpe_token_ids(docs, [("l", "o"), ("lo", "w"), ("e", "s")], "text")
+    plan = _plan(out)
+    ops = _ops(plan)
+    assert ops.get("Exchange", 0) == 0, ops
+    assert not any("Join" in k for k in ops), ops
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_funnel_has_no_cartesian(spark, registry):
+    """The funnel chains user_id equi-joins — no nested-loop fallback
+    from the scalar-subquery counts."""
+    df = registry["e_funnel_conversion"].fn(spark, SF_SMOKE)
+    ops = _ops(_plan(df))
+    assert ops.get("CartesianProduct", 0) == 0, ops
+    assert ops.get("BroadcastNestedLoopJoin", 0) <= 3, ops  # scalar count joins only
+
+
+def test_mv_incremental_single_scan_per_branch(spark, registry):
+    """MV maintenance reads orders twice (base + delta filters) but must
+    not shuffle more than the two partial aggs + final merge need."""
+    df = registry["mv_incremental_agg"].fn(spark, SF_SMOKE)
+    ops = _ops(_plan(df))
+    assert ops.get("Exchange", 0) <= 3, ops
