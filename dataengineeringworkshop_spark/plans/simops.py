@@ -269,3 +269,70 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ex1.label, ex1.vec_id
         """
     )
+
+
+def _knn_oracle() -> str:
+    """Wrap the sim_cosine_topk oracle (already registered) as the
+    neighbor source: 5-NN majority vote per query, ties broken toward
+    the smaller label, compared against the query's true label."""
+    from dataengineeringworkshop_spark.plans.registry import REGISTRY
+
+    topk = REGISTRY["sim_cosine_topk"].oracle
+    return f"""
+        WITH topk AS (SELECT * FROM ({topk}) t0 WHERE sim_rank <= 5),
+        votes AS (
+            SELECT t.query_id, e.label, COUNT(*) AS votes
+            FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+            GROUP BY t.query_id, e.label
+        ),
+        pred AS (
+            SELECT query_id, label AS predicted_label, votes,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY votes DESC, label ASC
+                   ) AS rn
+            FROM votes
+        )
+        SELECT p.query_id, p.predicted_label, CAST(p.votes AS BIGINT) AS votes,
+               q.label AS true_label
+        FROM pred p JOIN embeddings q ON p.query_id = q.vec_id
+        WHERE p.rn = 1
+    """
+
+
+@query(
+    "sim_knn_classify",
+    oracle=_knn_oracle(),
+    tags=("ext-sim", "knn"),
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding column: exact cosine 5-NN
+    per query vector (reusing the two-phase decimal-exact top-k scan),
+    majority label vote with deterministic tie-break (votes DESC, label
+    ASC), reported against the true label.  The label lookup joins are
+    on vec_id (broadcast-able dimension access); the vote is a
+    |Q|·k-row aggregate — negligible next to the scan.  At scale the
+    neighbor source swaps for the IVF/PQ serve path unchanged."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    topk = sim_cosine_topk(spark, sf_dir).filter(F.col("sim_rank") <= 5)
+    votes = (
+        topk.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+    return pred.join(
+        e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
+        "query_id",
+    ).select("query_id", "predicted_label", "votes", "true_label")

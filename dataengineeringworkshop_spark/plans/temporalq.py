@@ -297,3 +297,77 @@ def tj_asof_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return results[-1]
+
+
+@query(
+    "tj_range_sql_script",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS user_id,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+    """,
+    tags=("ext-temporal", "range-join", "sql-dml"),
+)
+def tj_range_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded range join as plain SQL TEXT through
+    ``Lakehouse.sql_script`` — completes the temporal sql-script trio
+    (as-of, sessionize, range): the left side explodes to its time band
+    and the next (a constant 2× replication), the join is a pure
+    (user_id, band) EQUI join, and the true inequality runs only on
+    in-band candidates.  Same answer and oracle (DuckDB inequality
+    join) as ``tj_range_click_purchase``, the Python-API twin; the plan
+    is a shuffled equi-join, never a nested loop."""
+    import tempfile
+
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(
+        tempfile.mkdtemp(prefix="dew_range_sql_"), spark=spark,
+        table_backend="versioned",
+    )
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "dew_range_events_src"
+    )
+    results = lh.sql_script(
+        """
+        -- 1) band both sides by the max-gap width (600 s)
+        CREATE OR REPLACE TEMPORARY VIEW dew_range_clicks AS
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(unix_micros(cast(ts AS timestamp)) / 600000000) AS BIGINT)
+                   AS band
+        FROM dew_range_events_src WHERE event_type = 'click';
+
+        CREATE OR REPLACE TEMPORARY VIEW dew_range_purchases AS
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(unix_micros(cast(ts AS timestamp)) / 600000000) AS BIGINT)
+                   AS band
+        FROM dew_range_events_src WHERE event_type = 'purchase';
+
+        -- 2) left side replicated to (band, band + 1): any purchase within
+        --    600 s of a click lands in one of those two bands
+        CREATE OR REPLACE TEMPORARY VIEW dew_range_click_bands AS
+        SELECT user_id, ts, event_id, pband
+        FROM dew_range_clicks
+        LATERAL VIEW explode(array(band, band + 1)) AS pband;
+
+        -- 3) pure equi join on (user_id, band); exact range check after
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS user_id,
+               unix_micros(cast(p.ts AS timestamp))
+                   - unix_micros(cast(c.ts AS timestamp)) AS gap_us
+        FROM dew_range_click_bands c
+        JOIN dew_range_purchases p
+          ON c.user_id = p.user_id AND c.pband = p.band
+        WHERE p.ts >= c.ts
+          AND unix_micros(cast(p.ts AS timestamp))
+              - unix_micros(cast(c.ts AS timestamp)) <= 600000000
+        """
+    )
+    return results[-1]
