@@ -633,3 +633,130 @@ def cp_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "cp_mix_temperature",
+    # determinism: share and u = sqrt(share) are exact IEEE ops on
+    # identical inputs (int/int division, correctly-rounded sqrt); the
+    # normalizer Z folds through DECIMAL so accumulation order can't
+    # perturb it; final weights rounded to 6dp on both sides.
+    oracle="""
+        WITH sized AS (
+            SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents
+        ),
+        tot AS (
+            SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
+            FROM sized GROUP BY source
+        ),
+        g AS (SELECT CAST(SUM(source_tokens) AS DOUBLE) AS grand FROM tot),
+        p AS (
+            SELECT source, source_tokens,
+                   CAST(source_tokens AS DOUBLE) / g.grand AS share,
+                   sqrt(CAST(source_tokens AS DOUBLE) / g.grand) AS u
+            FROM tot CROSS JOIN g
+        ),
+        z AS (SELECT CAST(SUM(CAST(u AS DECIMAL(18,12))) AS DOUBLE) AS z FROM p)
+        SELECT source, source_tokens,
+               ROUND(share, 6) AS natural_share,
+               ROUND(u / z.z, 6) AS weight_alpha05,
+               CAST(FLOOR(u / z.z * 1000000) AS BIGINT) AS tokens_per_million
+        FROM p CROSS JOIN z
+    """,
+    tags=("ext-corpus", "ext-analytics"),
+)
+def cp_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (α = 0.5, the standard
+    up-weighting of low-resource sources in pretraining mixtures):
+    w_i = p_i^α / Σ p_j^α over per-source token shares, plus the
+    per-million token allocation those weights imply.  All driver-side
+    state is one row per source; the token totals are one partial-agg
+    groupBy over the corpus, and the two CROSS JOINs are 1-row scalar
+    aggregates (grand total, normalizer) — the sanctioned pattern."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH sized AS (
+            SELECT source, size(split(text, ' ')) AS n_tokens FROM dew_documents
+        ),
+        tot AS (
+            SELECT source, SUM(CAST(n_tokens AS BIGINT)) AS source_tokens
+            FROM sized GROUP BY source
+        ),
+        g AS (SELECT CAST(SUM(source_tokens) AS DOUBLE) AS grand FROM tot),
+        p AS (
+            SELECT source, source_tokens,
+                   CAST(source_tokens AS DOUBLE) / g.grand AS share,
+                   sqrt(CAST(source_tokens AS DOUBLE) / g.grand) AS u
+            FROM tot CROSS JOIN g
+        ),
+        z AS (SELECT CAST(SUM(CAST(u AS DECIMAL(18,12))) AS DOUBLE) AS z FROM p)
+        SELECT source, source_tokens,
+               ROUND(share, 6) AS natural_share,
+               ROUND(u / z.z, 6) AS weight_alpha05,
+               CAST(FLOOR(u / z.z * 1000000) AS BIGINT) AS tokens_per_million
+        FROM p CROSS JOIN z
+        """
+    )
+
+
+@query(
+    "cp_shard_manifest",
+    oracle="""
+        WITH sized AS (
+            SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+            FROM sized
+        )
+        SELECT source,
+               CAST(FLOOR(pack_id / 8) AS BIGINT) AS shard_id,
+               CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM packed GROUP BY source, CAST(FLOOR(pack_id / 8) AS BIGINT)
+    """,
+    tags=("ext-corpus",),
+)
+def cp_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard manifest a training-shard writer emits: packed
+    sequences (cp_sequence_packing's 4096-token windows) grouped 8
+    packs per output shard, with per-shard pack/doc/token counts and
+    the [first_doc, last_doc] id range — the metadata a dataloader
+    needs to address shards without opening them.  Same single window
+    per source + one grouped agg; the manifest is tiny (one row per
+    shard) and the doc→shard assignment is deterministic, so shard
+    writes are idempotently retryable at 100 TB."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH sized AS (
+            SELECT source, doc_id, size(split(text, ' ')) AS n_tokens
+            FROM dew_documents
+        ),
+        packed AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+            FROM sized
+        )
+        SELECT source,
+               CAST(FLOOR(pack_id / 8) AS BIGINT) AS shard_id,
+               CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+               COUNT(*) AS n_docs,
+               SUM(CAST(n_tokens AS BIGINT)) AS shard_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM packed GROUP BY source, CAST(FLOOR(pack_id / 8) AS BIGINT)
+        """
+    )
