@@ -249,3 +249,87 @@ def mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("psum").cast("double").alias("revenue"),
         )
     )
+
+
+_SESSION_PATHS_SPARK = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR unix_micros(cast(ts AS timestamp))
+                        - unix_micros(cast(lag(ts) OVER w AS timestamp))
+                        > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM dew_events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+paths AS (
+    SELECT user_id, session_id,
+           array_join(
+               transform(
+                   array_sort(collect_list(struct(ts, event_id, event_type))),
+                   s -> s.event_type
+               ), '>'
+           ) AS path
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+_SESSION_PATHS_DUCK = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
+@query(
+    "e_session_topk_paths",
+    oracle=_SESSION_PATHS_DUCK,
+    tags=("ext-analytics", "session"),
+)
+def e_session_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 full session paths: 30-min-gap sessionization, the
+    within-session event-type sequence joined into a path string, and
+    the most common paths ranked (count DESC, path ASC — the unique
+    path is the tiebreaker, so the top-20 cut is deterministic).
+    In-session order is pinned by (ts, event_id): Spark sorts each
+    session's (ts, event_id, type) structs with array_sort (collect_list
+    alone has no order contract) — DuckDB's ORDER BY inside string_agg
+    is the same contract.  This is the path-mining step beyond
+    e_user_path_bigrams: exact sequence frequencies, not transitions.
+
+    Scale shape: sessionize = one user_id window (shared by lag +
+    cumsum); per-session paths = one grouped agg whose state is the
+    session's own events; the global top-20 compiles to
+    TakeOrderedAndProject, never a single-partition sort."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_SESSION_PATHS_SPARK)

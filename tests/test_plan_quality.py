@@ -396,3 +396,26 @@ def test_mv_incremental_single_scan_per_branch(spark, registry):
     df = registry["mv_incremental_agg"].fn(spark, SF_SMOKE)
     ops = _ops(_plan(df))
     assert ops.get("Exchange", 0) <= 3, ops
+
+
+def test_range_sql_script_is_equi_join(spark, registry):
+    """The SQL-text banded range join must plan as an equi join on
+    (user_id, band) — no nested loop, no cartesian."""
+    df = registry["tj_range_sql_script"].fn(spark, SF_SMOKE)
+    ops = _ops(_plan(df))
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 0, ops
+    assert ops.get("CartesianProduct", 0) == 0, ops
+
+
+def test_session_paths_topk_is_take_ordered(spark, registry):
+    """The global top-20 paths must compile to TakeOrderedAndProject
+    (per-partition heaps), never a single-partition global sort."""
+    plan = _plan(registry["e_session_topk_paths"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_shard_manifest_single_window(spark, registry):
+    """Packing + shard rollup share one source-partitioned window —
+    exactly one Window operator in the plan."""
+    ops = _ops(_plan(registry["cp_shard_manifest"].fn(spark, SF_SMOKE)))
+    assert ops.get("Window", 0) == 1, ops
