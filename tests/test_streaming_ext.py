@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -224,3 +225,122 @@ def test_apply_changes_out_of_order_across_batches(spark, tmp_path):
     assert state[2] == (20, "b2")
     assert state[3] == (10, "c1"), "stale out-of-order change overwrote newer state"
     assert state[4] == (1, "d1")
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def _run_funnel_stream(spark, src, chk, sink):
+    from dataengineeringworkshop_spark.streaming.funnel import funnel_stage_tracker
+
+    stream = spark.readStream.schema(FUNNEL_SCHEMA).json(str(src))
+
+    def collect_batch(batch_df, batch_id):
+        sink.extend(batch_df.collect())
+
+    q = (
+        funnel_stage_tracker(stream)
+        .writeStream.foreachBatch(collect_batch)
+        .outputMode("update")
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+def _batch_funnel_stage(events):
+    """Independent reference: the batch MIN-chain funnel semantics
+    (earliest view, earliest click strictly after it, earliest purchase
+    strictly after that) per user."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for e in events:
+        by_user[e["user_id"]].append(e)
+    stages = {}
+    for uid, evs in by_user.items():
+        views = sorted(e["ts"] for e in evs if e["event_type"] == "view")
+        stage, t = 0, None
+        if views:
+            stage, t = 1, views[0]
+            clicks = sorted(
+                e["ts"] for e in evs if e["event_type"] == "click" and e["ts"] > t
+            )
+            if clicks:
+                stage, t = 2, clicks[0]
+                purchases = sorted(
+                    e["ts"] for e in evs if e["event_type"] == "purchase" and e["ts"] > t
+                )
+                if purchases:
+                    stage, t = 3, purchases[0]
+        stages[uid] = stage
+    return stages
+
+
+def test_funnel_tracker_progresses_across_restarts(spark, tmp_path):
+    """The stage survives checkpointed restarts and only advances on a
+    strictly-later next-stage event."""
+    src, chk = tmp_path / "src", tmp_path / "chk"
+    _write_jsonl(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "view"},
+            # same-timestamp click must NOT advance (strictly-after rule)
+            {"event_id": 2, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "click"},
+            # purchase before any click must be ignored for user 2
+            {"event_id": 3, "ts": "2024-01-01 00:01:00", "user_id": 2, "event_type": "purchase"},
+        ],
+    )
+    sink1 = _run_funnel_stream(spark, src, chk, [])
+    got1 = {r.user_id: (r.stage, r.stage_name) for r in sink1}
+    assert got1 == {1: (1, "view"), 2: (0, "none")}
+
+    _write_jsonl(
+        src / "b2.json",
+        [
+            {"event_id": 4, "ts": "2024-01-01 00:02:00", "user_id": 1, "event_type": "click"},
+            {"event_id": 5, "ts": "2024-01-01 00:03:00", "user_id": 1, "event_type": "purchase"},
+            {"event_id": 6, "ts": "2024-01-01 00:02:00", "user_id": 2, "event_type": "view"},
+        ],
+    )
+    sink2 = _run_funnel_stream(spark, src, chk, [])
+    got2 = {r.user_id: (r.stage, r.stage_name) for r in sink2}
+    # user 1 resumed from stage 1 (view) and advanced click -> purchase;
+    # user 2 entered the funnel at view (the earlier purchase stays ignored)
+    assert got2 == {1: (3, "purchase"), 2: (1, "view")}
+
+
+def test_funnel_tracker_matches_batch_min_chain(spark, tmp_path):
+    """Single ordered batch: the greedy stateful fold must equal the
+    batch MIN-chain funnel (the e_funnel_conversion semantics) on a
+    generated many-user event set."""
+    import random
+
+    rng = random.Random(42)
+    types = ["view", "click", "purchase", "error", "signup"]
+    events = []
+    for eid in range(400):
+        events.append(
+            {
+                "event_id": eid,
+                "ts": f"2024-01-01 {rng.randrange(24):02d}:{rng.randrange(60):02d}:00",
+                "user_id": rng.randrange(40),
+                "event_type": rng.choice(types),
+            }
+        )
+    # one batch, event-time ordered (the operator's ordering contract)
+    events.sort(key=lambda e: (e["ts"], e["event_id"]))
+    src, chk = tmp_path / "src", tmp_path / "chk"
+    _write_jsonl(src / "b1.json", events)
+    sink = _run_funnel_stream(spark, src, chk, [])
+    got = {r.user_id: r.stage for r in sink}
+    assert got == _batch_funnel_stage(events)
