@@ -77,6 +77,9 @@ def test_every_family_has_prefix_or_past_green_evidence():
         "asof": "tj_asof_click_view",
         "corpus": "cp_corpus_pipeline",
         "bm25": "cp_bm25_search",
+        "analytics": "e_funnel_conversion",
+        "mv-incremental": "mv_incremental_agg",
+        "bpe-apply": "t_bpe_token_ids",
     }
     absent = {fam: q for fam, q in families.items() if q not in covered}
     assert not absent, f"families with neither prefix slot nor past evidence: {absent}"
