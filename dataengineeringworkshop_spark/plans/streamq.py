@@ -333,3 +333,79 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "st_funnel_stages",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            GROUP BY e.user_id
+        ),
+        allu AS (SELECT DISTINCT user_id FROM events)
+        SELECT a.user_id,
+               CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                         WHEN c.user_id IS NOT NULL THEN 2
+                         WHEN v.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS stage,
+               CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+                    WHEN c.user_id IS NOT NULL THEN 'click'
+                    WHEN v.user_id IS NOT NULL THEN 'view'
+                    ELSE 'none' END AS stage_name,
+               CAST(COALESCE(epoch_us(COALESCE(t3, t2, t1)), -1) AS BIGINT)
+                   AS stage_ts_us
+        FROM allu a
+        LEFT JOIN v ON a.user_id = v.user_id
+        LEFT JOIN c ON a.user_id = c.user_id
+        LEFT JOIN p ON a.user_id = p.user_id
+    """,
+    tags=("ext-streaming", "ext-analytics", "ST-state"),
+)
+def st_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful funnel tracker (streaming/funnel.py,
+    applyInPandasWithState) over the bounded event stream: each user's
+    final funnel stage + the event time it was reached.  On a bounded
+    single-file source the whole table is one micro-batch, and the
+    operator sorts each batch by (ts, event_id), so the greedy fold
+    provably equals the batch MIN-chain funnel — which is exactly what
+    the DuckDB oracle computes (earliest view, earliest strictly-later
+    click, earliest strictly-later purchase).  Pytest separately proves
+    stage persistence across checkpointed restarts and the
+    strictly-after / wrong-order rules on multi-batch streams."""
+    from dataengineeringworkshop_spark.streaming.funnel import funnel_stage_tracker
+
+    stream = _events_stream(spark, sf_dir)
+    out = funnel_stage_tracker(stream)
+    name = f"st_funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dew_st_funnel_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink appends one row per (user, micro-batch); stage is
+    # monotone, so keep each user's furthest-stage (then latest-ts) row
+    from pyspark.sql import Window
+
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("stage").desc(), F.col("stage_ts_us").desc()
+    )
+    return (
+        t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
