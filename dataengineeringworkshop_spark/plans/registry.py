@@ -112,13 +112,15 @@ DRIVER_PREFIX = 50
 # kept so a repo regression in a core family is caught the same round) +
 # the 8 never-driver-evidenced oracle-paired queries from the round-5
 # backlog (incl. mm_byte_features, the FIRST array<double> driver row —
-# the local-harness norm() support landed in r5) + the 10 new round-6
-# queries (behavioral analytics, incremental MV maintenance, winnowing,
-# containment dedup, BPE token ids + tokenize→pack chain) +
-# j5_outer_semi_anti, whose implementation changed this round
-# (single-pass counts) and must re-prove its hash + 8 evidence
-# refreshes for high-traffic families whose latest green row is
-# r03-or-older.
+# the local-harness norm() support landed in r5) + the 16 new round-6
+# queries (behavioral analytics incl. funnel/retention/paths, incremental
+# MV maintenance, winnowing, containment dedup, BPE token ids +
+# tokenize→pack chain, SQL-text range join, k-NN classify, mixture
+# weights, shard manifest, streaming funnel) + j5_outer_semi_anti, whose
+# implementation changed this round (single-pass counts) and must
+# re-prove its hash + 2 evidence refreshes (stale-evidence families;
+# their old green rows persist, so the other r03-or-older families keep
+# cumulative credit and are spot-checked in driver_sim's EXTRA list).
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
     # §2 breadth composites (family anchors)
@@ -167,17 +169,21 @@ _PRIORITY: tuple[str, ...] = (
     "d_containment_pairs",
     "t_bpe_token_ids",
     "t_bpe_tokenize_pack",
+    # first-time evidence: round-6 wave-2/3 (SQL-text range join, k-NN
+    # classify, mixture weights, shard manifest, session paths, and the
+    # streaming funnel tracker's bounded-run oracle row)
+    "tj_range_sql_script",
+    "sim_knn_classify",
+    "cp_mix_temperature",
+    "cp_shard_manifest",
+    "e_session_topk_paths",
+    "st_funnel_stages",
     # changed this round (single-pass join counts) — re-prove the hash
     "j5_outer_semi_anti",
-    # evidence refresh: latest green row r03 or older
+    # evidence refresh: high-traffic families whose latest green row is
+    # r03 or older (their old evidence persists; these re-prove live)
     "j2_three_way_inner",
-    "w1_dedup_keep_latest",
-    "d_exact_dedup_keep_first",
-    "sd_semantic_dedup",
-    "tj_asof_click_view",
-    "cp_bm25_search",
     "ws_medallion_gold",
-    "sim_cosine_topk",
 )
 
 

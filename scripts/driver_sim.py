@@ -83,6 +83,14 @@ EXTRA = [
     "cp_bigram_lm_score",
     "sim_embed_quantize",
     "cp_chunk_documents",
+    # stale-evidence family reps spot-checked here instead of holding
+    # prefix slots (their old driver evidence persists)
+    "w1_dedup_keep_latest",
+    "d_exact_dedup_keep_first",
+    "sd_semantic_dedup",
+    "tj_asof_click_view",
+    "cp_bm25_search",
+    "sim_cosine_topk",
     # rows-only serve paths (recall-tested; exact twins are in-prefix)
     "ann_pq_topk",
     "ann_ivfpq_topk",

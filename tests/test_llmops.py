@@ -655,3 +655,55 @@ def test_bpe_64_merges_vocab_bounded(spark):
         .first()[0]
     )
     assert chars_out == chars_in
+
+
+def test_bpe_property_roundtrip_random_corpora(spark):
+    """Property sweep (deterministic seeds, 12 random corpora): for ANY
+    lowercase corpus, (1) learned merges match the clean-room python
+    reference, (2) applying them preserves every word (symbols
+    concatenate back to the word), (3) token ids invert to symbols
+    under the vocabulary."""
+    import random
+
+    from dataengineeringworkshop_spark.llmops.bpe import (
+        apply_bpe,
+        bpe_token_ids,
+        learn_bpe_merges,
+        token_id_map,
+    )
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        alphabet = "abcd"
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 30))
+        ]
+        corpus = " ".join(words)
+        docs = spark.createDataFrame([(corpus,)], "text STRING")
+        n_merges = rng.randint(1, 5)
+
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in learn_bpe_merges(docs, "text", n_merges=n_merges)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        weights: dict[str, int] = {}
+        for w in words:
+            weights[w] = weights.get(w, 0) + 1
+        assert got == _py_bpe(weights, n_merges), (seed, corpus)
+
+        merges = [(l, r) for _, l, r, _ in got]
+        toks = apply_bpe(docs, merges, "text").collect()
+        assert sorted("".join(r.bpe_tokens) for r in toks) == sorted(words), seed
+
+        vocab = token_id_map(merges)
+        inv = {}
+        for s, i in vocab.items():
+            inv.setdefault(i, s)
+        ids = bpe_token_ids(docs, merges, "text").collect()
+        rebuilt = sorted(
+            "".join(inv.get(i, chr(i)) for i in r.token_ids) for r in ids
+        )
+        assert rebuilt == sorted(words), seed
