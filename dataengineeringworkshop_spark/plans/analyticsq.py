@@ -333,3 +333,51 @@ def e_session_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, never a single-partition sort."""
     register_views(spark, sf_dir, "events")
     return spark.sql(_SESSION_PATHS_SPARK)
+
+
+@query(
+    "mv_incremental_delete",
+    # oracle: full recompute over the rows that REMAIN after the delete
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders WHERE o_orderkey % 10 != 0
+        GROUP BY o_orderstatus
+    """,
+    tags=("ext-analytics", "incremental"),
+)
+def mv_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance under DELETES (retractions): the
+    standing MV holds partials over ALL orders; a delete batch
+    (o_orderkey % 10 = 0) is aggregated alone and SUBTRACTED —
+    count/decimal-sum form a group (not just a monoid), so retraction
+    is exact, and groups whose count reaches zero drop out entirely
+    (the HAVING), matching a recompute that never saw them.  The GDPR /
+    TTL-expiry shape: at 100 TB the delete batch aggregate reads only
+    the retracted rows; the base table is never rescanned."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            (F.count(F.lit(1)) * sign).alias("pn"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * sign).alias("psum"),
+        )
+
+    mv = partials(o, 1)  # the standing MV (over everything)
+    retract = partials(o.filter(F.col("o_orderkey") % 10 == 0), -1)
+    return (
+        mv.unionByName(retract)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.sum("psum").cast("double").alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )

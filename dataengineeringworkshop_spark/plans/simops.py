@@ -336,3 +336,101 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
         "query_id",
     ).select("query_id", "predicted_label", "votes", "true_label")
+
+
+_POWER_ITER_SPARK = """
+WITH ex AS (
+    SELECT vec_id, i, CAST(v AS DOUBLE) AS v
+    FROM dew_embeddings LATERAL VIEW posexplode(embedding) t AS i, v
+),
+gram AS (
+    SELECT a.i AS i, b.i AS j,
+           CAST(SUM(CAST(a.v * b.v AS DECIMAL(28,14))) AS DOUBLE) AS c
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+    GROUP BY a.i, b.i
+),
+w1 AS (
+    SELECT i, CAST(SUM(CAST(c AS DECIMAL(28,14))) AS DOUBLE) AS w
+    FROM gram GROUP BY i
+),
+n1 AS (
+    SELECT CAST(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,14))) AS DOUBLE))
+           AS DOUBLE) AS nrm FROM w1
+),
+v1 AS (SELECT i, w / n1.nrm AS v FROM w1 CROSS JOIN n1),
+u AS (
+    SELECT g.i, CAST(SUM(CAST(g.c * v1.v AS DECIMAL(28,14))) AS DOUBLE) AS u
+    FROM gram g JOIN v1 ON g.j = v1.i
+    GROUP BY g.i
+),
+n2 AS (
+    SELECT CAST(sqrt(CAST(SUM(CAST(u * u AS DECIMAL(28,14))) AS DOUBLE))
+           AS DOUBLE) AS nrm FROM u
+)
+SELECT CAST(u.i AS INT) AS dim,
+       ROUND(u.u / n2.nrm, 6) AS eigvec,
+       ROUND(n2.nrm, 6) AS lambda_est
+FROM u CROSS JOIN n2
+"""
+
+_POWER_ITER_DUCK = """
+WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+gram AS (
+    SELECT a.i AS i, b.i AS j,
+           CAST(SUM(CAST(a.v * b.v AS DECIMAL(28,14))) AS DOUBLE) AS c
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+    GROUP BY a.i, b.i
+),
+w1 AS (
+    SELECT i, CAST(SUM(CAST(c AS DECIMAL(28,14))) AS DOUBLE) AS w
+    FROM gram GROUP BY i
+),
+n1 AS (
+    SELECT CAST(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,14))) AS DOUBLE))
+           AS DOUBLE) AS nrm FROM w1
+),
+v1 AS (SELECT i, w / n1.nrm AS v FROM w1 CROSS JOIN n1),
+u AS (
+    SELECT g.i, CAST(SUM(CAST(g.c * v1.v AS DECIMAL(28,14))) AS DOUBLE) AS u
+    FROM gram g JOIN v1 ON g.j = v1.i
+    GROUP BY g.i
+),
+n2 AS (
+    SELECT CAST(sqrt(CAST(SUM(CAST(u * u AS DECIMAL(28,14))) AS DOUBLE))
+           AS DOUBLE) AS nrm FROM u
+)
+SELECT CAST(u.i AS INT) AS dim,
+       ROUND(u.u / n2.nrm, 6) AS eigvec,
+       ROUND(n2.nrm, 6) AS lambda_est
+FROM u CROSS JOIN n2
+"""
+
+
+@query(
+    "sim_power_iteration_pc1",
+    oracle=_POWER_ITER_DUCK,
+    tags=("ext-sim", "iterative"),
+)
+def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO power-iteration steps toward the top principal direction of
+    the embedding gram matrix — iterative linear algebra without
+    leaving SQL: the d×d gram matrix is ONE partial-agg self-join
+    (Σ x·xᵀ, d²=4096 cells regardless of corpus size), each iteration
+    is a d²-row matrix-vector join, and every float accumulation folds
+    through DECIMAL so the output is bit-identical across engines
+    (sign fixed by the deterministic all-ones start).  This is the PCA
+    primitive of embedding whitening / spectral dedup: corpus-sized
+    work is the single gram pass; iterations touch only d² cells, so
+    running it to convergence just repeats the cheap step.  Convergence
+    RATE depends on the spectral gap (pytest proves >0.99 alignment
+    with numpy's eigenvector on planted-spectrum data; this corpus's
+    near-isotropic embeddings exercise the arithmetic, which the
+    cross-engine hash pins exactly).  λ-estimate = ‖C·v₁‖, ‖v₁‖=1."""
+    from dataengineeringworkshop_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_POWER_ITER_SPARK)

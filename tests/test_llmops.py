@@ -707,3 +707,45 @@ def test_bpe_property_roundtrip_random_corpora(spark):
             "".join(inv.get(i, chr(i)) for i in r.token_ids) for r in ids
         )
         assert rebuilt == sorted(words), seed
+
+
+def test_power_iteration_matches_numpy_eig(spark, tmp_path):
+    """Algorithmic ground truth on PLANTED-spectrum data: embeddings with
+    a strong rank-1 component (clear spectral gap) — two power steps
+    from all-ones must align >0.99 with numpy's true top eigenvector of
+    the same gram matrix, and lambda_est must approach the top
+    eigenvalue from below.  (The sf testdata embeddings are
+    near-isotropic, so convergence SPEED is untestable there; the
+    cross-engine oracle hash on real data pins the arithmetic, this
+    pins the algorithm.)"""
+    import numpy as np
+
+    from dataengineeringworkshop_spark.plans.registry import load_all
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 200
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    X = rng.normal(size=(n, d)) + 6.0 * rng.normal(size=(n, 1)) * direction
+    spark.createDataFrame(
+        [(i, [float(x) for x in X[i]], 0) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    reg = load_all()
+    out = (
+        reg["sim_power_iteration_pc1"].fn(spark, str(tmp_path))
+        .orderBy("dim")
+        .collect()
+    )
+    v = np.array([r.eigvec for r in out])
+    lam = out[0].lambda_est
+
+    Xf = X.astype(np.float32).astype(np.float64)  # parquet stores float32
+    C = Xf.T @ Xf
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    align = abs(float(v @ top) / np.linalg.norm(v))
+    assert align > 0.99, align
+    assert lam <= evals[-1] * (1 + 1e-9)
+    assert lam >= evals[-1] * 0.95, (lam, evals[-1])
