@@ -305,3 +305,56 @@ def a12_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "events")
     return spark.sql(_CORR_SQL.format(table="dew_events"))
+
+
+@query(
+    "w9_sliding_event_windows",
+    # each event belongs to the 4 overlapping [start, start+1h) windows
+    # whose starts are the 15-min marks in (ts-1h, ts]; the oracle
+    # materializes exactly those via a 0..3 offset unnest
+    oracle="""
+        WITH slid AS (
+            SELECT e.event_type, e.value,
+                   to_timestamp(
+                       (CAST(floor(epoch(e.ts) / 900) AS BIGINT) - k.k) * 900
+                   ) AS window_start
+            FROM events e
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+        )
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM slid
+        GROUP BY window_start, event_type
+    """,
+    tags=("ext-streaming", "ST-window", "ext-analytics"),
+)
+def w9_sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (1-hour length, 15-minute slide) via
+    ``F.window(ts, '1 hour', '15 minutes')`` — Spark's native sliding
+    window explodes each event into its length/slide = 4 overlapping
+    windows, the semantics a monitoring dashboard's moving counters
+    use.  The oracle recomputes the same 4-window membership from epoch
+    arithmetic, pinning Spark's window-start alignment rule (windows
+    align to the epoch, start-inclusive end-exclusive).  Batch mode
+    here; the identical expression runs under readStream with a
+    watermark (st_windowed_event_counts is the tumbling twin)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

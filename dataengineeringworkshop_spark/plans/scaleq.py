@@ -26,7 +26,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.registry import kbucket, query
 from dataengineeringworkshop_spark.plans.tables import load_table
 
 
@@ -154,3 +154,79 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="dew_orc_") + "/part_orc"
     p.write.mode("overwrite").orc(out)
     return spark.read.orc(out).select("p_partkey", "p_name", "p_retailprice")
+
+
+@query(
+    "pp_partition_skew_report",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT user_id, {{kb}} AS bucket FROM events
+        ),
+        per_bucket AS (
+            SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket
+        ),
+        bstats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(MIN(n) AS BIGINT) AS min_bucket_rows,
+                   CAST(MAX(n) AS BIGINT) AS max_bucket_rows,
+                   CAST(SUM(n) AS BIGINT) AS total_rows
+            FROM per_bucket
+        ),
+        hot AS (
+            SELECT user_id AS hottest_key, CAST(COUNT(*) AS BIGINT) AS hottest_rows
+            FROM events GROUP BY user_id
+            ORDER BY COUNT(*) DESC, user_id ASC LIMIT 1
+        )
+        SELECT b.n_buckets, b.min_bucket_rows, b.max_bucket_rows, b.total_rows,
+               ROUND(CAST(b.max_bucket_rows AS DOUBLE)
+                     / (CAST(b.total_rows AS DOUBLE) / b.n_buckets), 6)
+                   AS bucket_skew_factor,
+               h.hottest_key, h.hottest_rows,
+               ROUND(CAST(h.hottest_rows AS DOUBLE) / b.total_rows, 6)
+                   AS hottest_key_share
+        FROM bstats b CROSS JOIN hot h
+    """.format(kb="((user_id % 1000000007) * 2654435761) % 32"),
+    tags=("extra", "scale-skew"),
+)
+def pp_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew diagnostic that justifies (or vetoes) salting: simulate
+    the shuffle's hash partitioning of events on user_id into 32
+    buckets with the engine's portable multiplicative hash, report
+    bucket-level imbalance (max/avg skew factor) plus the single
+    hottest key and its share of all rows.  This is the measurement
+    step before pp_salted_skew_agg's mitigation — at 100 TB you run
+    exactly this (it's two partial-agg passes + two 1-row scalar
+    joins) before deciding n_salts."""
+    from dataengineeringworkshop_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        f"""
+        WITH bucketed AS (
+            SELECT user_id, {kbucket('user_id', 32)} AS bucket FROM dew_events
+        ),
+        per_bucket AS (
+            SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket
+        ),
+        bstats AS (
+            SELECT COUNT(*) AS n_buckets,
+                   MIN(n) AS min_bucket_rows,
+                   MAX(n) AS max_bucket_rows,
+                   SUM(n) AS total_rows
+            FROM per_bucket
+        ),
+        hot AS (
+            SELECT user_id AS hottest_key, COUNT(*) AS hottest_rows
+            FROM dew_events GROUP BY user_id
+            ORDER BY COUNT(*) DESC, user_id ASC LIMIT 1
+        )
+        SELECT b.n_buckets, b.min_bucket_rows, b.max_bucket_rows, b.total_rows,
+               ROUND(CAST(b.max_bucket_rows AS DOUBLE)
+                     / (CAST(b.total_rows AS DOUBLE) / b.n_buckets), 6)
+                   AS bucket_skew_factor,
+               h.hottest_key, h.hottest_rows,
+               ROUND(CAST(h.hottest_rows AS DOUBLE) / b.total_rows, 6)
+                   AS hottest_key_share
+        FROM bstats b CROSS JOIN hot h
+        """
+    )
