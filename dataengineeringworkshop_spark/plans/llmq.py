@@ -729,3 +729,66 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_len",
         F.md5("frame_bytes").alias("frame_md5"),
     )
+
+
+def _dedup_stage_oracle() -> str:
+    from dataengineeringworkshop_spark.plans.registry import REGISTRY
+
+    survivors = REGISTRY["d_dedup_survivors"].oracle
+    return f"""
+        WITH s1 AS (SELECT COUNT(*) AS n FROM documents),
+        s2 AS (SELECT COUNT(DISTINCT text) AS n FROM documents),
+        s3 AS (SELECT COUNT(*) AS n FROM ({survivors}) surv)
+        SELECT 1 AS stage, 'input' AS stage_name,
+               CAST(s1.n AS BIGINT) AS n_docs,
+               CAST(0 AS BIGINT) AS removed,
+               0.0 AS removal_pct
+        FROM s1
+        UNION ALL
+        SELECT 2, 'after_exact_dedup', CAST(s2.n AS BIGINT),
+               CAST(s1.n - s2.n AS BIGINT),
+               ROUND(CAST(s1.n - s2.n AS DOUBLE) / s1.n, 6)
+        FROM s1 CROSS JOIN s2
+        UNION ALL
+        SELECT 3, 'after_near_dedup', CAST(s3.n AS BIGINT),
+               CAST(s2.n - s3.n AS BIGINT),
+               ROUND(CAST(s2.n - s3.n AS DOUBLE) / s1.n, 6)
+        FROM s1 CROSS JOIN s2 CROSS JOIN s3
+    """
+
+
+@query(
+    "cp_dedup_stage_report",
+    oracle=_dedup_stage_oracle(),
+    tags=("ext-dedup", "ext-corpus"),
+)
+def cp_dedup_stage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup cascade funnel every corpus build publishes: input →
+    after exact dedup (distinct text, keep-first) → after near-dedup
+    (MinHash-LSH pairs closed transitively, one survivor per cluster —
+    the exact d_dedup_survivors contract, whose oracle recomputes the
+    pairs exhaustively).  Near-dedup subsumes exact (identical text is
+    Jaccard 1.0), so the funnel is monotone by construction.  Each
+    stage count is a bounded scalar (3 numbers reach the driver); the
+    heavy lifting reuses the standing MinHash index artifacts."""
+    from dataengineeringworkshop_spark.llmops.clusters import dedup_survivors
+    from dataengineeringworkshop_spark.llmops.minhash import minhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    n1 = d.count()
+    n2 = d.select("text").distinct().count()
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.3,
+        index_key=f"documents:{sf_dir}",
+    ).select("d1", "d2")
+    n3 = dedup_survivors(d.select("doc_id"), "doc_id", pairs).count()
+    rows = [
+        (1, "input", n1, 0, 0.0),
+        (2, "after_exact_dedup", n2, n1 - n2, round((n1 - n2) / n1, 6)),
+        (3, "after_near_dedup", n3, n2 - n3, round((n2 - n3) / n1, 6)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage INT, stage_name STRING, n_docs BIGINT, removed BIGINT, "
+        "removal_pct DOUBLE",
+    )

@@ -91,6 +91,11 @@ EXTRA = [
     "tj_asof_click_view",
     "cp_bm25_search",
     "sim_cosine_topk",
+    # round-6 additions outside the prefix (next round's rotation pool)
+    "mv_incremental_delete",
+    "sim_power_iteration_pc1",
+    "w9_sliding_event_windows",
+    "pp_partition_skew_report",
     # rows-only serve paths (recall-tested; exact twins are in-prefix)
     "ann_pq_topk",
     "ann_ivfpq_topk",
