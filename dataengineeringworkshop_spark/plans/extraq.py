@@ -551,3 +551,68 @@ def b_unpivot_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (event_type, n)"
         ),
     ).select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "j7_null_safe_join",
+    oracle="""
+        WITH keyed AS (
+            SELECT event_id,
+                   CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS k
+            FROM events
+        )
+        SELECT 'plain_eq' AS join_type, COUNT(*) AS n_pairs
+        FROM keyed a JOIN keyed b ON a.k = b.k AND a.event_id < b.event_id
+        UNION ALL
+        SELECT 'null_safe', COUNT(*)
+        FROM keyed a JOIN keyed b
+          ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
+    """,
+    tags=("extra", "J1"),
+)
+def j7_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` ↔ ANSI IS NOT DISTINCT
+    FROM): a key column with planted NULLs self-joined both ways — the
+    plain equi join drops every NULL key, the null-safe join matches
+    NULL with NULL (all planted-NULL rows pair up).  The count gap IS
+    the semantic difference, hash-pinned.  Catalyst still plans ``<=>``
+    as a hash join (null-safe keys are hashable) — not a nested loop."""
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS k",
+    )
+    a, b = e.alias("a"), e.alias("b")
+    plain = a.join(
+        b, (F.col("a.k") == F.col("b.k")) & (F.col("a.event_id") < F.col("b.event_id"))
+    ).count()
+    nullsafe = a.join(
+        b, (F.col("a.k").eqNullSafe(F.col("b.k"))) & (F.col("a.event_id") < F.col("b.event_id"))
+    ).count()
+    return spark.createDataFrame(
+        [("plain_eq", plain), ("null_safe", nullsafe)],
+        "join_type STRING, n_pairs BIGINT",
+    )
+
+
+@query(
+    "a14_bitwise_aggs",
+    oracle="""
+        SELECT event_type,
+               CAST(bit_and(CAST(user_id AS BIGINT)) AS BIGINT) AS and_all,
+               CAST(bit_or(CAST(user_id AS BIGINT)) AS BIGINT) AS or_all,
+               CAST(bit_xor(CAST(user_id AS BIGINT)) AS BIGINT) AS xor_all
+        FROM events GROUP BY event_type
+    """,
+    tags=("extra", "A1"),
+)
+def a14_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions (bit_and/bit_or/bit_xor) per group —
+    commutative and associative, so partial aggregation merges exactly
+    like sums do; xor-aggregation is also the classic set-difference
+    checksum trick for reconciling two table snapshots."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("bit_and(CAST(user_id AS BIGINT))").alias("and_all"),
+        F.expr("bit_or(CAST(user_id AS BIGINT))").alias("or_all"),
+        F.expr("bit_xor(CAST(user_id AS BIGINT))").alias("xor_all"),
+    )
