@@ -96,6 +96,9 @@ EXTRA = [
     "sim_power_iteration_pc1",
     "w9_sliding_event_windows",
     "pp_partition_skew_report",
+    "cp_dedup_stage_report",
+    "j7_null_safe_join",
+    "a14_bitwise_aggs",
     # rows-only serve paths (recall-tested; exact twins are in-prefix)
     "ann_pq_topk",
     "ann_ivfpq_topk",
