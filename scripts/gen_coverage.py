@@ -292,12 +292,11 @@ def main() -> None:
         lines.append(f"- `{n}` — {ROWS_ONLY_JUSTIFICATION[n]}")
     lines += [
         "",
-        "`mm_byte_features` IS oracle-paired (DuckDB recomputes the 64-bin",
-        "byte histogram + entropy) and green under the local harness at",
-        "sf0.001/sf0.01, but is held OUT of the driver prefix: it returns an",
-        "`array<double>` column, which no driver correctness row has ever",
-        "exercised — local evidence only, by choice, until an array-valued",
-        "row is proven safe in the driver's hasher.",
+        "`mm_byte_features` (the repo's one `array<double>`-valued oracle",
+        "row) was deliberately held out of the driver prefix through round",
+        "5 while the local harness's array support matured; it holds a",
+        "round-6 prefix slot, so the driver's hasher exercises an",
+        "array-valued row for the first time this round.",
     ]
     Path(REPO / "COVERAGE.md").write_text("\n".join(lines) + "\n")
     print(f"COVERAGE.md: {covered}/{covered + missing} covered, "
