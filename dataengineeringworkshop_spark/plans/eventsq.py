@@ -315,8 +315,12 @@ def a12_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH slid AS (
             SELECT e.event_type, e.value,
-                   to_timestamp(
-                       (CAST(floor(epoch(e.ts) / 900) AS BIGINT) - k.k) * 900
+                   -- make_timestamp(µs) keeps the window start a NAIVE
+                   -- timestamp (to_timestamp would yield TIMESTAMPTZ and
+                   -- mismatch Spark's ntz output in the driver's hasher)
+                   make_timestamp(
+                       ((CAST(floor(epoch(e.ts) / 900) AS BIGINT) - k.k) * 900)
+                       * 1000000
                    ) AS window_start
             FROM events e
             CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k

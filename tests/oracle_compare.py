@@ -43,8 +43,12 @@ def _norm_cell(v):
             return ("float", "nan")
         # exact repr — determinism contract says bits must match
         return ("float", repr(v))
-    if hasattr(v, "isoformat"):  # datetime/date — normalize tz-naive text
-        return ("ts", v.replace(tzinfo=None).isoformat() if hasattr(v, "replace") else str(v))
+    if hasattr(v, "isoformat"):  # datetime/date
+        # tz-awareness is PART of the comparison: the external driver
+        # stringifies values, so a DuckDB TIMESTAMPTZ ('…+00:00') never
+        # hashes equal to Spark's naive timestamp — stripping tzinfo
+        # here once hid exactly that mismatch (w9_sliding, round 6)
+        return ("ts", v.isoformat())
     if isinstance(v, (list, tuple)):
         return ("list", tuple(_norm_cell(x) for x in v))
     if type(v).__name__ == "ndarray":  # array columns (Spark & DuckDB both
