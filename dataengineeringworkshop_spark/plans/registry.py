@@ -210,6 +210,8 @@ def load_all() -> dict[str, QuerySpec]:
     import dataengineeringworkshop_spark.plans.breadth  # noqa: F401
     import dataengineeringworkshop_spark.plans.scaleq  # noqa: F401
     import dataengineeringworkshop_spark.plans.analyticsq  # noqa: F401
+    import dataengineeringworkshop_spark.plans.timeseriesq  # noqa: F401
+    import dataengineeringworkshop_spark.plans.curationq  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)

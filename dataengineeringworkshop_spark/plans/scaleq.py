@@ -230,3 +230,86 @@ def pp_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bstats b CROSS JOIN hot h
         """
     )
+
+
+# Bit-spread for a 4-bit value: bit i moves to bit 2i (multiplication by
+# powers of two == shifts, identical in Spark SQL and DuckDB, so ONE
+# fragment serves both engines).
+_SPREAD4 = "(({x}) & 1) + (({x}) & 2) * 2 + (({x}) & 4) * 4 + (({x}) & 8) * 8"
+
+
+def _morton_sql(custkey: str, day: str) -> str:
+    """Shared Spark/DuckDB body computing a 16×16 Morton (Z-order) code
+    over min-max-scaled (custkey, order-day) and the per-file min/max
+    ranges when files are cut along the curve.  All-integer arithmetic
+    (the float divisions are exact: operands < 2^53, floor applied)."""
+    sx = _SPREAD4.format(x="bx")
+    sy = _SPREAD4.format(x="by")
+    return f"""
+        WITH d AS (
+            SELECT o_custkey, {day} AS o_day FROM {{orders}}
+        ),
+        b AS (
+            SELECT MIN(o_custkey) AS mnc, MAX(o_custkey) AS mxc,
+                   MIN(o_day) AS mnd, MAX(o_day) AS mxd
+            FROM d
+        ),
+        scaled AS (
+            SELECT d.o_custkey, d.o_day,
+                   CAST(floor((d.o_custkey - b.mnc) * 16.0
+                              / (b.mxc - b.mnc + 1)) AS BIGINT) AS bx,
+                   CAST(floor((d.o_day - b.mnd) * 16.0
+                              / (b.mxd - b.mnd + 1)) AS BIGINT) AS by
+            FROM d CROSS JOIN b
+        ),
+        coded AS (
+            SELECT o_custkey, o_day,
+                   CAST(floor((({sx}) + 2 * ({sy})) / 16.0) AS BIGINT)
+                       AS file_id
+            FROM scaled
+        )
+        SELECT file_id,
+               COUNT(*) AS n_rows,
+               MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+               MIN(o_day) AS min_day, MAX(o_day) AS max_day
+        FROM coded
+        GROUP BY file_id
+    """
+
+
+@query(
+    "pp_zorder_layout",
+    oracle=_morton_sql(
+        custkey="o_custkey",
+        day="CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)",
+    ).format(orders="orders"),
+    tags=("extra", "scale-layout"),
+)
+def pp_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-dimensional Z-order (Morton) clustering — the layout device
+    behind OPTIMIZE ZORDER BY (vt_optimize_roundtrip exercises the
+    single-column form through the table backend; this query exposes
+    the 2-D bit-interleave itself, hash-checked).  Each order's
+    (custkey, order-day) pair is min-max scaled to a 16×16 grid, the
+    two 4-bit coordinates are bit-interleaved into an 8-bit Morton
+    code, and 16 "files" are cut along the curve.  The per-file min/max
+    report IS the point: along the Z-curve BOTH dimensions stay
+    range-bounded per file (each file covers ~2 grid cells per axis),
+    so min/max stats can skip files for predicates on EITHER column —
+    a lexicographic sort bounds only its leading column.  The whole
+    computation is one map-side integer expression over the scan (the
+    bounds CTE is a 1-row broadcast) plus a 16-group aggregate; at
+    100 TB the same code feeds repartitionByRange(file_id) at write
+    time."""
+    from dataengineeringworkshop_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        _morton_sql(
+            custkey="o_custkey",
+            day=(
+                "CAST(floor(unix_timestamp(CAST(o_orderdate AS TIMESTAMP))"
+                " / 86400) AS BIGINT)"
+            ),
+        ).format(orders="dew_orders")
+    )

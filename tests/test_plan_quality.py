@@ -419,3 +419,75 @@ def test_shard_manifest_single_window(spark, registry):
     exactly one Window operator in the plan."""
     ops = _ops(_plan(registry["cp_shard_manifest"].fn(spark, SF_SMOKE)))
     assert ops.get("Window", 0) == 1, ops
+
+
+def test_forward_fill_reuses_window_partitioning(spark, registry):
+    """The per-user fill window and the per-user reduction share ONE
+    shuffle: groupBy(user_id) must reuse the window's hash
+    partitioning, so exactly one Exchange appears in the plan."""
+    ops = _ops(_plan(registry["ts_forward_fill"].fn(spark, SF_SMOKE)))
+    assert ops.get("Exchange", 0) == 1, ops
+    assert ops.get("Window", 0) == 1, ops
+
+
+def test_weighted_sample_single_exchange_two_windows(spark, registry):
+    """Cumulative weight and stratum total share the source partition:
+    one Exchange feeds both Window passes, the threshold test is a
+    map-side Filter (no join, no second shuffle)."""
+    ops = _ops(_plan(registry["cp_weighted_sample"].fn(spark, SF_SMOKE)))
+    assert ops.get("Exchange", 0) == 1, ops
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 0, ops
+
+
+def test_percentile_gate_single_exchange(spark, registry):
+    """Score → per-source percent_rank → per-source report rides one
+    source-hash Exchange end to end."""
+    ops = _ops(_plan(registry["cp_quality_percentile_gate"].fn(spark, SF_SMOKE)))
+    assert ops.get("Exchange", 0) == 1, ops
+
+
+def test_histogram_is_partial_agg_single_exchange(spark, registry):
+    """Bin id is a map-side expression; the histogram is partial+final
+    HashAggregate around a single tiny Exchange — the one-scan shape
+    that survives 100 TB."""
+    ops = _ops(_plan(registry["a15_value_histogram"].fn(spark, SF_SMOKE)))
+    assert ops.get("Exchange", 0) == 1, ops
+    assert ops.get("HashAggregate", 0) == 2, ops
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, registry):
+    """The per-doc top-3 must compile with WindowGroupLimit (rank
+    pushdown: per-partition heaps before the window sort) and the df
+    side must join hash/broadcast — the only nested-loop allowed is
+    the 1-row corpus-count broadcast."""
+    plan = _plan(registry["t_tfidf_topk"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert ops.get("CartesianProduct", 0) == 0, ops
+    assert ops.get("BroadcastNestedLoopJoin", 0) <= 1, ops
+
+
+def test_zorder_layout_is_map_side_plus_tiny_aggs(spark, registry):
+    """Morton coding is a map-side integer expression: the plan may
+    contain only the 1-row bounds aggregate and the 16-group report
+    aggregate (2 Exchanges), with the bounds row broadcast back."""
+    ops = _ops(_plan(registry["pp_zorder_layout"].fn(spark, SF_SMOKE)))
+    assert ops.get("Exchange", 0) <= 2, ops
+    assert ops.get("SortMergeJoin", 0) == 0, ops
+
+
+def test_mad_outliers_broadcasts_median_stats(spark, registry):
+    """Both median tables are |event types| rows — they must come back
+    onto the scan as broadcast joins, never sort-merge."""
+    ops = _ops(_plan(registry["e_mad_outliers"].fn(spark, SF_SMOKE)))
+    assert ops.get("SortMergeJoin", 0) == 0, ops
+    assert ops.get("BroadcastHashJoin", 0) >= 2, ops
+
+
+def test_spine_gapfill_generates_from_scalar_bounds(spark, registry):
+    """The spine derives from a 1-row bounds aggregate (Generate over a
+    scalar sequence), NOT from exploding raw rows: exactly one Generate,
+    and the raw scan count stays bounded (hourly rollup + types)."""
+    ops = _ops(_plan(registry["ts_spine_gapfill"].fn(spark, SF_SMOKE)))
+    assert ops.get("Generate", 0) == 1, ops
+    assert ops.get("CartesianProduct", 0) == 0, ops
