@@ -405,3 +405,58 @@ def rb_text_analysis_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dew_documents d JOIN hits h ON d.doc_id = h.doc_id
         """
     )
+
+
+@query(
+    "rb_array_hof_breadth",
+    # DuckDB's list lambdas mirror Spark's array HOFs; the only
+    # float-accumulating output (l1 component sum) goes through the
+    # engine-order-independent DECIMAL fold (simops.py's _DOT rule).
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               len(list_filter(embedding, x -> x > 0)) AS n_pos,
+               len(list_filter(embedding, x -> x > 0.25)) > 0 AS any_big,
+               len(list_filter(embedding, x -> NOT (abs(x) < 1.0))) = 0
+                   AS all_unit,
+               CAST(COALESCE(list_position(
+                   list_transform(embedding, x -> x > 0.25), true
+               ), 0) AS BIGINT) AS first_big_idx,
+               ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14)))
+                          AS DOUBLE), 6) AS comp_sum
+        FROM (
+            SELECT vec_id, embedding, unnest(embedding) AS v
+            FROM embeddings
+        ) e
+        GROUP BY vec_id, embedding
+    """,
+    tags=("extra", "F-hof"),
+)
+def rb_array_hof_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function family in one projection: filter,
+    exists, forall, transform + array_position, and the DECIMAL-folded
+    aggregate — the lambda surface the similarity/multimodal operators
+    build on (simops.py, llmq.py), proven here in isolation.  Every
+    expression is a per-row JVM lambda over the array column: pure map,
+    no shuffle, no Python.  The oracle recomputes exists/forall as
+    list_filter cardinalities and the component sum from an unnest
+    aggregation — independent formulations of the same semantics.
+    array_position returns 0 (not NULL) when no element matches, in
+    BOTH engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.size(F.expr("filter(embedding, x -> x > 0)")).cast("long").alias("n_pos"),
+        F.expr("exists(embedding, x -> x > 0.25)").alias("any_big"),
+        F.expr("forall(embedding, x -> abs(x) < 1.0)").alias("all_unit"),
+        F.expr(
+            "CAST(array_position(transform(embedding, x -> x > 0.25), true)"
+            " AS BIGINT)"
+        ).alias("first_big_idx"),
+        F.expr(
+            "ROUND(CAST(aggregate(embedding, CAST(0 AS DECIMAL(28,14)),"
+            " (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) AS DECIMAL(28,14))"
+            " AS DECIMAL(28,14))) AS DOUBLE), 6)"
+        ).alias("comp_sum"),
+    )

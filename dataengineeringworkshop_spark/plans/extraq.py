@@ -616,3 +616,48 @@ def a14_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_or(CAST(user_id AS BIGINT))").alias("or_all"),
         F.expr("bit_xor(CAST(user_id AS BIGINT))").alias("xor_all"),
     )
+
+
+@query(
+    "a16_freq_items_bound",
+    # freqItems' candidate LIST depends on partition layout (Karp et al.
+    # streaming counters merge per-partition), so the oracle pins the
+    # algorithm's GUARANTEE instead: every key with frequency > support
+    # must appear among the candidates — plus the exact heavy-hitter
+    # count, recomputed independently.
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM per_user)
+        SELECT COUNT(*) AS n_true_heavy, TRUE AS contains_all
+        FROM per_user CROSS JOIN tot
+        WHERE cnt * 50 > n
+    """,
+    tags=("extra", "sketch"),
+)
+def a16_freq_items_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (``df.stat.freqItems``, the
+    Karp/Shenker/Papadimitriou one-pass counters — mergeable
+    per-partition state, one scan, no shuffle of raw rows) checked
+    against its guarantee: the candidate set must CONTAIN every key
+    whose true frequency exceeds the support (2% here — cnt·50 > n in
+    integer arithmetic).  The candidate list itself is layout-dependent
+    (supersets are allowed by the algorithm), so the driver-hashed
+    output is the exact heavy-hitter count plus the containment bit,
+    both engine-independent.  The collect is the 1-row candidate list —
+    bounded at 1/support = 50 entries by construction."""
+    e = load_table(spark, sf_dir, "events")
+    [row] = e.select("user_id").stat.freqItems(["user_id"], 0.02).collect()
+    candidates = list(row["user_id_freqItems"])
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    total = per_user.agg(F.sum("cnt").cast("long").alias("n"))
+    heavy = per_user.crossJoin(F.broadcast(total)).where(
+        F.col("cnt") * 50 > F.col("n")
+    )
+    return heavy.agg(
+        F.count("*").alias("n_true_heavy"),
+        F.coalesce(
+            F.min(F.col("user_id").isin(candidates)), F.lit(True)
+        ).alias("contains_all"),
+    )

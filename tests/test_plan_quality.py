@@ -491,3 +491,12 @@ def test_spine_gapfill_generates_from_scalar_bounds(spark, registry):
     ops = _ops(_plan(registry["ts_spine_gapfill"].fn(spark, SF_SMOKE)))
     assert ops.get("Generate", 0) == 1, ops
     assert ops.get("CartesianProduct", 0) == 0, ops
+
+
+def test_array_hof_breadth_is_map_only(spark, registry):
+    """Every higher-order array function is a per-row JVM lambda: the
+    plan must be scan+project with zero exchanges and no Python eval."""
+    plan = _plan(registry["rb_array_hof_breadth"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops.get("Exchange", 0) == 0, ops
+    assert "Python" not in plan, plan[:1500]
