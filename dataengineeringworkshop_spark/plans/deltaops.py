@@ -571,3 +571,35 @@ def vt_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, "part string, k long, s string, v double"
     )
     return final.unionByName(hist).unionByName(probe_df)
+
+
+@query(
+    "vt_table_diff",
+    # the diff of (v0, current) after MERGE + DELETE must be exactly:
+    # the re-keyed inserts (added), the %10=9 deletes (removed), and
+    # the %10=3 price bumps (changed)
+    oracle="""
+        SELECT o_orderkey + 100000000 AS o_orderkey, 'added' AS change_type
+        FROM orders WHERE o_orderkey % 10 = 7
+        UNION ALL
+        SELECT o_orderkey, 'removed' FROM orders WHERE o_orderkey % 10 = 9
+        UNION ALL
+        SELECT o_orderkey, 'changed' FROM orders WHERE o_orderkey % 10 = 3
+    """,
+    tags=("D5", "D6", "ext-dedup"),
+)
+def vt_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via time travel: MERGE (update %10=3,
+    insert re-keyed %10=7) then DELETE (%10=9), and diff VERSION 0
+    against the current version with operators.diff.table_diff — the
+    audit query answering "what exactly changed since the snapshot?".
+    Both sides reduce to (key, row_hash) before the full outer join, so
+    the shuffle carries 2 slim columns and the output is change-volume
+    sized.  The oracle recomputes the expected change set relationally
+    from the immutable source table."""
+    from dataengineeringworkshop_spark.operators.diff import table_diff
+
+    vt, o = _orders_table(spark, sf_dir)
+    vt.merge(_merge_source(o), on="t.o_orderkey = s.o_orderkey")
+    vt.delete("o_orderkey % 10 = 9")
+    return table_diff(vt.read(version=0), vt.read(), key="o_orderkey")
