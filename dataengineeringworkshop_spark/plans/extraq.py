@@ -661,3 +661,114 @@ def a16_freq_items_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("user_id").isin(candidates)), F.lit(True)
         ).alias("contains_all"),
     )
+
+
+@query(
+    "a17_exact_median_twopass",
+    oracle="""
+        WITH cents AS (
+            SELECT CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               quantile_cont(c, 0.5) AS median_cents
+        FROM cents
+    """,
+    tags=("extra", "A1", "robust-stats"),
+)
+def a17_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median without a global sort — the two-pass bin-and-refine
+    algorithm that makes exact order statistics affordable at 100 TB:
+    pass 1 histograms the value range into 1024 bins (partial-agg, one
+    tiny shuffle) and the driver locates which bin(s) hold the middle
+    order statistics from the ≤1024-row histogram (bounded metadata,
+    like the k-means centroid collects); pass 2 re-scans with a
+    map-side filter selecting just those bins (~n/1024 rows) and ranks
+    only that sliver.  ``percentile()`` (what a11_exact_quantiles uses) sorts
+    every group member; this is the shape you run when a group has
+    billions of rows.  Values are integer cents, so the final
+    (a+b)/2 interpolation is dyadic-exact in both engines."""
+    from dataengineeringworkshop_spark.operators.median import exact_median_twopass
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c")
+    )
+    return exact_median_twopass(e, "c")
+
+
+# four independent portable hash rows for the count-min sketch: the
+# kbucket overflow guard with four distinct public odd multipliers
+# (Knuth's 2654435761 + the xxhash32/64 prime constants)
+_CM_MULTS = (2654435761, 2246822519, 3266489917, 668265263)
+_CM_WIDTH = 256
+
+
+def _cm_hash(expr: str, mult: int) -> str:
+    """Same overflow-guarded multiplicative bucket as registry.kbucket,
+    with a selectable multiplier (identical fragment in both engines)."""
+    return f"((({expr}) % 1000000007) * {mult}) % {_CM_WIDTH}"
+
+
+@query(
+    "a18_count_min_sketch",
+    # the sketch is RELATIONAL (portable hashes), so the oracle
+    # recomputes the whole thing exactly — estimates included
+    oracle=f"""
+        WITH rows_ AS (
+            {' UNION ALL '.join(
+                f"SELECT {r} AS r, {_cm_hash('user_id', m)} AS bucket, user_id FROM events"
+                for r, m in enumerate(_CM_MULTS)
+            )}
+        ),
+        sketch AS (
+            SELECT r, bucket, COUNT(*) AS cnt FROM rows_ GROUP BY r, bucket
+        ),
+        probes AS (
+            SELECT user_id, COUNT(*) AS true_cnt
+            FROM events GROUP BY user_id
+            ORDER BY true_cnt DESC, user_id ASC LIMIT 20
+        )
+        SELECT p.user_id, p.true_cnt,
+               MIN(s.cnt) AS cm_estimate,
+               MIN(s.cnt) >= p.true_cnt AS lower_bounded
+        FROM probes p
+        JOIN sketch s
+          ON s.bucket = CASE s.r
+              {' '.join(f"WHEN {r} THEN {_cm_hash('p.user_id', m)}" for r, m in enumerate(_CM_MULTS))}
+             END
+        GROUP BY p.user_id, p.true_cnt
+    """,
+    tags=("extra", "sketch"),
+)
+def a18_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as RELATIONAL algebra: 4 overflow-guarded
+    multiplicative hash rows × 256 buckets, built in ONE scan (the four
+    hashes ride a posexplode of one projected array — no re-reads) with
+    a 1024-cell partial aggregate; a key's frequency estimate is the MIN
+    of its 4 bucket counts.  Because the hashes are the engine's
+    portable kbucket family, the sketch is deterministic and the oracle
+    recomputes estimate AND guarantee (estimate ≥ true count, here for
+    the 20 hottest keys) exactly — unlike a_sketch_bounds/a16, nothing
+    here is approximate-by-construction on the driver-hash path.  The
+    mergeable 1024-cell state is what you'd keep per partition (or per
+    hour) at 100 TB and fold with elementwise +."""
+    e = load_table(spark, sf_dir, "events")
+    hashes = ", ".join(_cm_hash("user_id", m) for m in _CM_MULTS)
+    exploded = e.selectExpr("user_id", f"posexplode(array({hashes})) AS (r, bucket)")
+    sketch = exploded.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+    probes = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    probe_bucket = " ".join(
+        f"WHEN {r} THEN {_cm_hash('user_id', m)}" for r, m in enumerate(_CM_MULTS)
+    )
+    joined = probes.join(
+        F.broadcast(sketch),
+        F.expr(f"bucket = CASE r {probe_bucket} END"),
+    )
+    return joined.groupBy("user_id", "true_cnt").agg(
+        F.min("cnt").alias("cm_estimate"),
+        (F.min("cnt") >= F.col("true_cnt")).alias("lower_bounded"),
+    )

@@ -409,3 +409,61 @@ def st_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
+
+
+@query(
+    "st_stream_static_join",
+    # bounded availableNow run of stream⋈static == the batch join
+    oracle="""
+        WITH dim AS (
+            SELECT c_custkey AS user_id, n_name AS nation
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT d.nation,
+               e.event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_value
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY d.nation, e.event_type
+    """,
+    tags=("ext-streaming", "ST-join"),
+)
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the other join every streaming
+    pipeline runs (st_stream_stream_join covers stream⋈stream): the
+    event stream joins a static dimension (customer→nation) that Spark
+    re-reads per micro-batch and broadcasts, with NO join state kept —
+    static rows are not streamed, so no watermark is needed on either
+    side.  The grouped rollup runs in update mode; the bounded
+    availableNow run's final per-group rows equal the batch join, which
+    is exactly what the oracle asserts."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("nation", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("total_value"),
+        )
+    )
+    name = f"st_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dew_st_static_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # complete-mode memory sink: the last emitted snapshot is the result
+    return spark.table(name)

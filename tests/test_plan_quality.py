@@ -500,3 +500,23 @@ def test_array_hof_breadth_is_map_only(spark, registry):
     ops = _ops(plan)
     assert ops.get("Exchange", 0) == 0, ops
     assert "Python" not in plan, plan[:1500]
+
+
+def test_count_min_sketch_single_scan_build(spark, registry):
+    """All four hash rows ride ONE posexplode of one scan (pinned:
+    exactly one Generate); probe keys come from TakeOrderedAndProject
+    and the 1024-cell sketch joins back as a broadcast."""
+    plan = _plan(registry["a18_count_min_sketch"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops.get("Generate", 0) == 1, ops
+    assert "TakeOrderedAndProject" in plan
+    assert ops.get("SortMergeJoin", 0) == 0, ops
+
+
+def test_exact_median_pass2_is_filtered_sliver(spark, registry):
+    """The returned (pass-2) plan must be a filtered scan + one window
+    over the bin sliver — a single Exchange, never a full-table sort
+    feeding percentile."""
+    ops = _ops(_plan(registry["a17_exact_median_twopass"].fn(spark, SF_SMOKE)))
+    assert ops.get("Exchange", 0) <= 2, ops
+    assert ops.get("Window", 0) == 1, ops

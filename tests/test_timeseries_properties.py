@@ -181,3 +181,28 @@ def test_mad_is_robust_where_zscore_is_not(spark, vals, outlier):
     assert min(vals) <= med2 <= max(vals) + 1
     # while the mean breaks away from it
     assert abs(np.mean(poisoned) - np.mean(vals)) > (max(vals) - min(vals))
+
+
+_median_ints = st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=60)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=_median_ints, nbins=st.sampled_from([1, 2, 7, 1024]))
+def test_twopass_median_matches_numpy(spark, vals, nbins):
+    """exact_median_twopass == numpy median for generated integers at
+    pathological bin counts too (nbins=1 → pass 2 re-ranks everything;
+    heavy duplicates → one bin owns the median)."""
+    from dataengineeringworkshop_spark.operators.median import exact_median_twopass
+
+    df = spark.createDataFrame([(v,) for v in vals], "c LONG")
+    row = exact_median_twopass(df, "c", nbins=nbins).collect()[0]
+    assert row.n_events == len(vals)
+    assert row.median_cents == float(np.median(vals)), (vals, nbins)
+
+
+def test_twopass_median_empty_input(spark):
+    from dataengineeringworkshop_spark.operators.median import exact_median_twopass
+
+    df = spark.createDataFrame([], "c LONG")
+    row = exact_median_twopass(df, "c").collect()[0]
+    assert row.n_events == 0 and row.median_cents is None
