@@ -151,3 +151,49 @@ def test_knuth_multiplier_always_guarded_in_source():
             if not ok:
                 bad.append(f"{py.name}:{i}: {line.strip()}")
     assert not bad, "unguarded Knuth multiplier:\n" + "\n".join(bad)
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """AQE's skew-join mitigation — the runtime complement to the
+    engine's explicit salting (pp_salted_skew_agg): a sort-merge join
+    whose left side puts ~98% of rows on ONE key must come out of
+    execution with the join marked skew=true and an AQEShuffleRead that
+    split the hot partition.  Thresholds are lowered so the ~300k-row
+    hot key trips them at test scale; broadcast is disabled on both
+    planning paths so the join cannot dodge the shuffle."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20000",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10000",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(0, 300_000, 1, 8)
+            .select(F.lit(1).alias("k"), F.col("id").alias("payload"))
+            .union(
+                spark.range(0, 5_000, 1, 8).select(
+                    (F.col("id") % 50 + 2).alias("k"), F.col("id").alias("payload")
+                )
+            )
+        )
+        right = spark.range(0, 60, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 305_000  # hot key matches k=1, rest 2..51
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan, plan[:1500]  # the AQEShuffleRead split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
