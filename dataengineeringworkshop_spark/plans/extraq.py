@@ -698,14 +698,20 @@ def a17_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
 # four independent portable hash rows for the count-min sketch: the
 # kbucket overflow guard with four distinct public odd multipliers
 # (Knuth's 2654435761 + the xxhash32/64 prime constants)
-_CM_MULTS = (2654435761, 2246822519, 3266489917, 668265263)
-_CM_WIDTH = 256
+# each fragment carries the kbucket overflow guard inline (the source
+# scanner in tests/test_scale_paths.py rejects any bare multiplier)
+_CM_HASHES = (
+    "((({e}) % 1000000007) * 2654435761) % 256",
+    "((({e}) % 1000000007) * 2246822519) % 256",
+    "((({e}) % 1000000007) * 3266489917) % 256",
+    "((({e}) % 1000000007) * 668265263) % 256",
+)
 
 
-def _cm_hash(expr: str, mult: int) -> str:
-    """Same overflow-guarded multiplicative bucket as registry.kbucket,
-    with a selectable multiplier (identical fragment in both engines)."""
-    return f"((({expr}) % 1000000007) * {mult}) % {_CM_WIDTH}"
+def _cm_hash(expr: str, row: int) -> str:
+    """Overflow-guarded multiplicative bucket (registry.kbucket form)
+    for hash row ``row`` — identical fragment in both engines."""
+    return _CM_HASHES[row].format(e=expr)
 
 
 @query(
@@ -715,8 +721,8 @@ def _cm_hash(expr: str, mult: int) -> str:
     oracle=f"""
         WITH rows_ AS (
             {' UNION ALL '.join(
-                f"SELECT {r} AS r, {_cm_hash('user_id', m)} AS bucket, user_id FROM events"
-                for r, m in enumerate(_CM_MULTS)
+                f"SELECT {r} AS r, {_cm_hash('user_id', r)} AS bucket, user_id FROM events"
+                for r in range(len(_CM_HASHES))
             )}
         ),
         sketch AS (
@@ -733,7 +739,7 @@ def _cm_hash(expr: str, mult: int) -> str:
         FROM probes p
         JOIN sketch s
           ON s.bucket = CASE s.r
-              {' '.join(f"WHEN {r} THEN {_cm_hash('p.user_id', m)}" for r, m in enumerate(_CM_MULTS))}
+              {' '.join(f"WHEN {r} THEN {_cm_hash('p.user_id', r)}" for r in range(len(_CM_HASHES)))}
              END
         GROUP BY p.user_id, p.true_cnt
     """,
@@ -752,7 +758,7 @@ def a18_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable 1024-cell state is what you'd keep per partition (or per
     hour) at 100 TB and fold with elementwise +."""
     e = load_table(spark, sf_dir, "events")
-    hashes = ", ".join(_cm_hash("user_id", m) for m in _CM_MULTS)
+    hashes = ", ".join(_cm_hash("user_id", r) for r in range(len(_CM_HASHES)))
     exploded = e.selectExpr("user_id", f"posexplode(array({hashes})) AS (r, bucket)")
     sketch = exploded.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
     probes = (
@@ -762,7 +768,7 @@ def a18_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     probe_bucket = " ".join(
-        f"WHEN {r} THEN {_cm_hash('user_id', m)}" for r, m in enumerate(_CM_MULTS)
+        f"WHEN {r} THEN {_cm_hash('user_id', r)}" for r in range(len(_CM_HASHES))
     )
     joined = probes.join(
         F.broadcast(sketch),
@@ -771,4 +777,50 @@ def a18_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "true_cnt").agg(
         F.min("cnt").alias("cm_estimate"),
         (F.min("cnt") >= F.col("true_cnt")).alias("lower_bounded"),
+    )
+
+
+# decimal-tree hierarchy: every customer key's parent is key div 10, so
+# roots are the single-digit keys — a synthetic but fully deterministic
+# parent/child table both engines derive identically.
+_HIER_BODY = """
+    WITH RECURSIVE walk(c_custkey, root, depth) AS (
+        SELECT c_custkey, c_custkey AS root, 0 AS depth
+        FROM {customer} WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, w.root, w.depth + 1
+        FROM {customer} c JOIN walk w ON (c.c_custkey {div} 10) = w.c_custkey
+        WHERE c.c_custkey >= 10
+    )
+    SELECT root,
+           COUNT(*) AS n_members,
+           MAX(depth) AS max_depth,
+           MIN(c_custkey) AS min_key,
+           MAX(c_custkey) AS max_key
+    FROM walk
+    GROUP BY root
+"""
+
+
+@query(
+    "c5_recursive_cte_hierarchy",
+    oracle=_HIER_BODY.format(customer="customer", div="//"),
+    tags=("extra", "C1", "iterative"),
+)
+def c5_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE as LITERAL SQL — Spark 4's recursive CTE walking a
+    parent/child hierarchy (parent key = key div 10) from the
+    single-digit roots down, then rolling up subtree size and depth per
+    root.  The one construct SURVEY.md §2.7 could not previously
+    express as SQL text (the iterative DataFrame twin is
+    ``d_dup_clusters``' connected components); DuckDB runs the
+    IDENTICAL body, so the driver hash covers every recursion level.
+    Spark executes each recursion step as one join against the
+    previous frontier — iterations = hierarchy depth (≤ key width,
+    here 4), frontier shrinks monotonically, and each step is an
+    equi join Catalyst plans like any other.  The depth bound, not
+    corpus size, fixes the iteration count at 100 TB."""
+    return _sql(
+        spark, sf_dir, ("customer",),
+        _HIER_BODY.format(customer="dew_customer", div="div"),
     )

@@ -185,6 +185,11 @@ _PRIORITY: tuple[str, ...] = (
     "j2_three_way_inner",
     "ws_medallion_gold",
 )
+# Round-6 waves 4-6 (time-series hygiene, curation sampling, TF-IDF,
+# Morton layout, array HOFs, freq-items/count-min, two-pass median,
+# table diff, stream-static join, recursive CTE) registered AFTER the
+# prefix froze for this round's driver run: they are locally
+# oracle-green and form the round-7 rotation backlog.
 
 
 def load_all() -> dict[str, QuerySpec]:
