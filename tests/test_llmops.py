@@ -749,3 +749,50 @@ def test_power_iteration_matches_numpy_eig(spark, tmp_path):
     assert align > 0.99, align
     assert lam <= evals[-1] * (1 + 1e-9)
     assert lam >= evals[-1] * 0.95, (lam, evals[-1])
+
+
+def test_binaryfile_source_feeds_real_bmp_decode(spark, tmp_path):
+    """Multimodal INGESTION seam: opaque image files land via Spark's
+    ``binaryFile`` source (path, modificationTime, length, content) and
+    flow straight into the real BMP decode — the exact shape a 100 TB
+    image corpus uses (binary files → binary column + typed metadata).
+    Pushdown note: binaryFile supports pathGlobFilter and keeps content
+    lazy per-row, so a metadata-only query never reads pixel bytes."""
+    from dataengineeringworkshop_spark.llmops.multimodal import (
+        decode_media,
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    want = {}
+    for i in range(5):
+        w, h = 3 + i, 2 + i
+        px = bytes((i * 37 + j) % 251 for j in range(w * h * 3))
+        (tmp_path / f"img_{i}.bmp").write_bytes(encode_bmp(w, h, px))
+        want[i] = (w, h, px)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(str(tmp_path))
+    )
+    from pyspark.sql import functions as F
+
+    media = raw.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.lit("image/bmp").alias("media_type"),
+        F.col("content"),
+    )
+    decoded = {r.media_id: r for r in decode_media(media).collect()}
+    assert set(decoded) == set(want)
+    for mid, (w, h, px) in want.items():
+        r = decoded[mid]
+        assert (r.ok, r.width, r.height) == (True, w, h), mid
+    # byte-exact roundtrip through the file source, and the decoded
+    # pixel array has the declared shape
+    content = {r.media_id: bytes(r.content) for r in media.collect()}
+    for mid, (w, h, px) in want.items():
+        assert content[mid] == (tmp_path / f"img_{mid}.bmp").read_bytes()
+        assert decode_bmp_pixels(content[mid]).shape == (h, w, 3)
