@@ -22,7 +22,10 @@ def exact_median_twopass(df: DataFrame, col: str, nbins: int = 1024) -> DataFram
     """1-row DataFrame ``(n_events BIGINT, median_cents DOUBLE)`` with the
     exact interpolated median of integer column ``col``.  Two scans of
     ``df`` + one ≤nbins-row collect; never a full sort."""
-    e = df.select(F.col(col).cast("long").alias("c"))
+    # NULLs are excluded up front (quantile_cont/percentile semantics);
+    # counting them would also shift the k1/k2 order statistics that
+    # pass 2 ranks among non-null rows only
+    e = df.select(F.col(col).cast("long").alias("c")).where(F.col("c").isNotNull())
     n, mn, mx = e.agg(F.count("*"), F.min("c"), F.max("c")).first()
     if not n:
         return e.sparkSession.createDataFrame(

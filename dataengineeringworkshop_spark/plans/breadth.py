@@ -412,8 +412,18 @@ def rb_text_analysis_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's list lambdas mirror Spark's array HOFs; the only
     # float-accumulating output (l1 component sum) goes through the
     # engine-order-independent DECIMAL fold (simops.py's _DOT rule).
+    # The unnest aggregate LEFT JOINs back onto the base table so a row
+    # with an EMPTY array still appears (comp_sum 0.0, like Spark's
+    # aggregate() fold over []) instead of vanishing with its unnest.
     oracle="""
-        SELECT vec_id,
+        WITH sums AS (
+            SELECT vec_id,
+                   ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14)))
+                              AS DOUBLE), 6) AS comp_sum
+            FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) u
+            GROUP BY vec_id
+        )
+        SELECT e.vec_id,
                len(embedding) AS dim,
                len(list_filter(embedding, x -> x > 0)) AS n_pos,
                len(list_filter(embedding, x -> x > 0.25)) > 0 AS any_big,
@@ -422,13 +432,8 @@ def rb_text_analysis_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COALESCE(list_position(
                    list_transform(embedding, x -> x > 0.25), true
                ), 0) AS BIGINT) AS first_big_idx,
-               ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,14)))
-                          AS DOUBLE), 6) AS comp_sum
-        FROM (
-            SELECT vec_id, embedding, unnest(embedding) AS v
-            FROM embeddings
-        ) e
-        GROUP BY vec_id, embedding
+               COALESCE(s.comp_sum, CAST(0.0 AS DOUBLE)) AS comp_sum
+        FROM embeddings e LEFT JOIN sums s ON e.vec_id = s.vec_id
     """,
     tags=("extra", "F-hof"),
 )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataengineeringworkshop_spark.plans.registry import kbucket, query
+from dataengineeringworkshop_spark.plans.registry import kbucket, pack_id_sql, query
 from dataengineeringworkshop_spark.plans.tables import register_views
 
 @query(
@@ -387,17 +387,14 @@ def cp_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         packed AS (
             SELECT source, doc_id, n_tokens,
-                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (
-                        PARTITION BY source ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+                   {PACK_ID}
             FROM sized
         )
         SELECT source, pack_id,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
         FROM packed GROUP BY source, pack_id
-    """,
+    """.format(PACK_ID=pack_id_sql()),
     tags=("ext-corpus",),
 )
 def cp_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,17 +416,14 @@ def cp_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         packed AS (
             SELECT source, doc_id, n_tokens,
-                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (
-                        PARTITION BY source ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+                   {PACK_ID}
             FROM sized
         )
         SELECT source, pack_id,
                COUNT(*) AS n_docs,
                SUM(CAST(n_tokens AS BIGINT)) AS pack_tokens
         FROM packed GROUP BY source, pack_id
-        """
+        """.format(PACK_ID=pack_id_sql())
     )
 
 
@@ -709,10 +703,7 @@ def cp_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         packed AS (
             SELECT source, doc_id, n_tokens,
-                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (
-                        PARTITION BY source ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+                   {PACK_ID}
             FROM sized
         )
         SELECT source,
@@ -723,7 +714,7 @@ def cp_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(doc_id) AS first_doc,
                MAX(doc_id) AS last_doc
         FROM packed GROUP BY source, CAST(FLOOR(pack_id / 8) AS BIGINT)
-    """,
+    """.format(PACK_ID=pack_id_sql()),
     tags=("ext-corpus",),
 )
 def cp_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,10 +735,7 @@ def cp_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         packed AS (
             SELECT source, doc_id, n_tokens,
-                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (
-                        PARTITION BY source ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+                   {PACK_ID}
             FROM sized
         )
         SELECT source,
@@ -758,5 +746,5 @@ def cp_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(doc_id) AS first_doc,
                MAX(doc_id) AS last_doc
         FROM packed GROUP BY source, CAST(FLOOR(pack_id / 8) AS BIGINT)
-        """
+        """.format(PACK_ID=pack_id_sql())
     )

@@ -824,3 +824,40 @@ def c5_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ("customer",),
         _HIER_BODY.format(customer="dew_customer", div="div"),
     )
+
+
+# dialect-free LATERAL body (Spark 4 and DuckDB parse it identically)
+_LATERAL_BODY = """
+    SELECT r.r_name, t.n_name, t.n_cust
+    FROM {region} r,
+    LATERAL (
+        SELECT n.n_name, COUNT(c.c_custkey) AS n_cust
+        FROM {nation} n JOIN {customer} c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_cust DESC, n.n_name ASC
+        LIMIT 2
+    ) t
+"""
+
+
+@query(
+    "j8_lateral_topk_per_region",
+    oracle=_LATERAL_BODY.format(region="region", nation="nation", customer="customer"),
+    tags=("extra", "J1", "O4"),
+)
+def j8_lateral_topk_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT — "top 2
+    nations by customer count per region" written the way an analyst
+    writes it (the window-function formulation is ``w2_topk_per_group``;
+    this is the SQL-standard lateral form, same body in both engines).
+    Catalyst DECORRELATES the lateral: the aggregate runs once over the
+    joined tables, the per-region top-2 becomes a rank filter — not a
+    re-executed subquery per outer row, which is what makes the form
+    safe when the outer side has a million rows instead of five."""
+    return _sql(
+        spark, sf_dir, ("region", "nation", "customer"),
+        _LATERAL_BODY.format(
+            region="dew_region", nation="dew_nation", customer="dew_customer"
+        ),
+    )

@@ -91,6 +91,22 @@ def kbucket(expr: str, m: int) -> str:
     return f"(({expr} % 1000000007) * 2654435761) % {m}"
 
 
+def pack_id_sql(window_tokens: int = 4096) -> str:
+    """The engine's ONE sequence-packing assignment, shared by every
+    packing query (cp_sequence_packing, cp_shard_manifest,
+    t_bpe_tokenize_pack) and their oracles: a document joins the
+    window_tokens-sized pack its START offset (cumulative n_tokens
+    before it, within source, doc_id order) lands in.  Identical
+    fragment for Spark SQL and DuckDB — change pack semantics here and
+    every copy follows."""
+    return (
+        "CAST(FLOOR(CAST(SUM(n_tokens) OVER (\n"
+        "            PARTITION BY source ORDER BY doc_id\n"
+        "            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW\n"
+        f"        ) - n_tokens AS DOUBLE) / {window_tokens}) AS BIGINT) AS pack_id"
+    )
+
+
 #: width of the external driver's correctness-evidence window: it records
 #: rows/schema/hash for exactly the first DRIVER_PREFIX entries of
 #: ``queries()``.  gen_coverage.py, driver_sim.py and the registry-order

@@ -185,7 +185,7 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(CAST(h.hottest_rows AS DOUBLE) / b.total_rows, 6)
                    AS hottest_key_share
         FROM bstats b CROSS JOIN hot h
-    """.format(kb="((user_id % 1000000007) * 2654435761) % 32"),
+    """.format(kb=kbucket("user_id", 32)),
     tags=("extra", "scale-skew"),
 )
 def pp_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:

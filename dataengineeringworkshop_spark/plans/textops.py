@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.registry import pack_id_sql, query
 from dataengineeringworkshop_spark.plans.tables import register_views
 
 
@@ -731,7 +731,6 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one materialized artifact shared across the dedup family), so the
     pair space stays bounded by key selectivity, never n²; the integer
     pre-filter (inter*2 >= min_sz) keeps the division off the hot path."""
-    from pyspark.sql import functions as F  # noqa: F811 (module-level too)
 
     sh, shf = _shingle_artifacts(spark, sf_dir)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
@@ -853,17 +852,14 @@ def _bpe_pack_oracle() -> str:
         ),
         packed AS (
             SELECT source, doc_id, n_tokens,
-                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (
-                        PARTITION BY source ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+                   {PACK_ID}
             FROM per_doc
         )
         SELECT source, pack_id,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
         FROM packed GROUP BY source, pack_id
-        """
+        """.format(PACK_ID=pack_id_sql())
     )
 
 
@@ -895,10 +891,7 @@ def t_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         "n_tokens",
-        """CAST(FLOOR(CAST(SUM(n_tokens) OVER (
-               PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id""",
+        pack_id_sql(),
     ).groupBy("source", "pack_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),

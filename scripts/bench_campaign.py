@@ -37,8 +37,13 @@ def run_bench(sf_dir: str) -> dict:
         [sys.executable, "bench.py"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1800,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench.py failed for {sf_dir} (rc={out.returncode}); "
+            f"stderr tail: {out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

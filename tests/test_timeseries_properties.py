@@ -206,3 +206,16 @@ def test_twopass_median_empty_input(spark):
     df = spark.createDataFrame([], "c LONG")
     row = exact_median_twopass(df, "c").collect()[0]
     assert row.n_events == 0 and row.median_cents is None
+
+
+def test_twopass_median_ignores_nulls(spark):
+    """NULLs are excluded like percentile/quantile_cont do — they must
+    affect neither the count nor the order statistics (regression: a
+    NULL once produced a None bin key and a TypeError)."""
+    from dataengineeringworkshop_spark.operators.median import exact_median_twopass
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (3,), (None,), (2,)], "c LONG"
+    )
+    row = exact_median_twopass(df, "c").collect()[0]
+    assert row.n_events == 3 and row.median_cents == 2.0
