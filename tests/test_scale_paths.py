@@ -197,3 +197,78 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning — the join-driven complement to the
+    static pruning pp_partition_pruned_events proves: a date-partitioned
+    fact joined to a FILTERED dim must plan with a dynamicpruning
+    subquery inside the scan's PartitionFilters, so only the dim's
+    surviving dates are ever read.  At 100 TB this is the difference
+    between scanning one day and scanning the table."""
+    import contextlib
+    import io
+
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    e.write.partitionBy("event_date").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = (
+        e.select("event_date")
+        .distinct()
+        .filter(F.expr("day(event_date) = 5"))
+    )
+    j = fact.join(dim, "event_date")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "PartitionFilters" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Injected runtime bloom filter: with a selective filter on the
+    orders side of lineitem⋈orders, the optimizer must plant a
+    bloom_filter_agg on the build side and a might_contain guard on the
+    probe-side scan — rows that cannot join die before the shuffle.
+    Thresholds lowered to fire at test scale (the 10 GB default
+    application-side bar is cluster-sized)."""
+    import contextlib
+    import io
+
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            "o_orderstatus = 'F' AND o_totalprice > 100000"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
