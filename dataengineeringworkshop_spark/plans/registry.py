@@ -145,25 +145,30 @@ _PRIORITY: tuple[str, ...] = (
     "rb_window_order_breadth",
     "rb_cte_subquery_breadth",
     "rb_text_analysis_breadth",
-    # versioned-table DML + DDL live representatives
+    # versioned-table DML + DDL live representatives (history/optimize/
+    # maintenance rotated out mid-round-6: r5-green, code untouched;
+    # vt_table_diff keeps the D family live AND adds first-time
+    # time-travel-diff evidence)
     "vt_sql_dml_verbatim",
     "vt_merge_upsert",
-    "vt_history_time_travel",
-    "vt_optimize_roundtrip",
-    "vt_maintenance_sql",
+    "vt_table_diff",
     "ddl_ctas_lifecycle",
     # expectations / pipeline / source scan / streaming
     "ws_expectation_metrics",
     "pl_dlt_sql_pipeline",
     "s1_csv_roundtrip",
     "st_stateful_user_totals",
-    "st_stream_dedup",
-    # LLM-extension family anchors
+    "st_stream_static_join",
+    # LLM-extension family anchors (simhash/audio rotated out
+    # mid-round-6: r5-green, code untouched; tfidf/median/count-min
+    # keep text/agg/sketch live with first-time evidence)
     "mh_minhash_lsh_dedup",
-    "sh_simhash_dup_pairs",
+    "t_tfidf_topk",
     "ann_ivf_fullprobe_exact",
     "mm_decode_roundtrip",
-    "mm_audio_features",
+    "a17_exact_median_twopass",
+    "a18_count_min_sketch",
+    "pp_zorder_layout",
     "cp_corpus_pipeline",
     # first-time evidence: the round-5 backlog (never in a driver window)
     "t_bpe_learn_merges",
@@ -203,9 +208,16 @@ _PRIORITY: tuple[str, ...] = (
 )
 # Round-6 waves 4-6 (time-series hygiene, curation sampling, TF-IDF,
 # Morton layout, array HOFs, freq-items/count-min, two-pass median,
-# table diff, stream-static join, recursive CTE) registered AFTER the
-# prefix froze for this round's driver run: they are locally
-# oracle-green and form the round-7 rotation backlog.
+# table diff, stream-static join, recursive CTE) landed after the
+# original round-6 prefix was drawn up; SIX of them were rotated INTO
+# the prefix mid-round (vt_table_diff, st_stream_static_join,
+# t_tfidf_topk, a17_exact_median_twopass, a18_count_min_sketch,
+# pp_zorder_layout) in place of six r5-green rows whose code did not
+# change this round (those six moved to driver_sim's EXTRA spot-check
+# list).  The remaining wave-4/5/6 rows (ts_*, a15, e_mad_outliers,
+# cp_weighted_sample, cp_quality_percentile_gate, rb_array_hof_breadth,
+# a16, c5, j8, st_funnel twin) are locally oracle-green and form the
+# round-7 rotation backlog.
 
 
 def load_all() -> dict[str, QuerySpec]:

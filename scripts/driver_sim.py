@@ -25,6 +25,15 @@ TABLES = (
 # resolved from registry.DRIVER_PREFIX inside main() (importable only
 # after __spark_entry__ has put the repo on sys.path)
 EXTRA = [
+    # proven rows rotated OUT of the mid-round-6 prefix — keep them
+    # exercised in the sim so a regression is caught before the judge's
+    # spot-check
+    "vt_history_time_travel",
+    "vt_optimize_roundtrip",
+    "vt_maintenance_sql",
+    "st_stream_dedup",
+    "sh_simhash_dup_pairs",
+    "mm_audio_features",
     # r4-proven rows rotated OUT of the r5 prefix — keep them exercised
     # in the sim so a regression is caught before the judge's spot-check
     "tj_sessionize_gap30",
