@@ -861,3 +861,51 @@ def j8_lateral_topk_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             region="dew_region", nation="dew_nation", customer="dew_customer"
         ),
     )
+
+
+@query(
+    "w10_ignore_nulls_window_breadth",
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                       AS reading
+            FROM events
+        )
+        SELECT user_id, event_id,
+               first_value(reading IGNORE NULLS) OVER w AS first_good,
+               nth_value(reading, 2 IGNORE NULLS) OVER w AS second_good,
+               last_value(reading IGNORE NULLS) OVER w AS latest_good
+        FROM r
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("extra", "analytic-window"),
+)
+def w10_ignore_nulls_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IGNORE NULLS analytic-window family in one pass: first,
+    second (nth_value), and latest non-null reading per user as of each
+    event — the trio behind "first touch / second touch / current
+    state" attribution views (ts_forward_fill is the aggregate
+    consumer of the last_value form).  One window, one exchange; the
+    ROWS frame plus (ts, event_id) unique order keeps equal-timestamp
+    peers out, and the readings are 2-decimal doubles passed through
+    untouched, so no float arithmetic happens at all."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH r AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                       AS reading
+            FROM dew_events
+        )
+        SELECT user_id, event_id,
+               first_value(reading) IGNORE NULLS OVER w AS first_good,
+               nth_value(reading, 2) IGNORE NULLS OVER w AS second_good,
+               last_value(reading) IGNORE NULLS OVER w AS latest_good
+        FROM r
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )

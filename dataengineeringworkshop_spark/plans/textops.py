@@ -896,3 +896,51 @@ def t_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
     )
+
+
+@query(
+    "t_url_parse",
+    # the oracle re-parses the SAME synthesized URL with regexes —
+    # an independent formulation of parse_url's component grammar
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+            FROM documents
+        )
+        SELECT doc_id, url,
+               regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+               regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '[?](.*)$', 1) AS query
+        FROM u
+    """,
+    tags=("ext-text", "F16"),
+)
+def t_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction with Spark's ``parse_url`` — the
+    domain/path/query split every web-corpus pipeline runs for source
+    attribution and domain-level mixing (cp_source_mix consumes the
+    host).  URLs are synthesized deterministically from (source,
+    doc_id, lang) so both engines see identical inputs; Spark parses
+    with the real java.net grammar, the oracle with regexes — two
+    independent parsers agreeing on every component.  Pure map, no
+    shuffle."""
+    return _sql(
+        spark, sf_dir, ("documents",),
+        """
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/'
+                       || CAST(doc_id AS STRING) || '?lang=' || lang AS url
+            FROM dew_documents
+        )
+        SELECT doc_id, url,
+               parse_url(url, 'PROTOCOL') AS proto,
+               parse_url(url, 'HOST') AS host,
+               parse_url(url, 'PATH') AS path,
+               parse_url(url, 'QUERY') AS query
+        FROM u
+        """
+    )
