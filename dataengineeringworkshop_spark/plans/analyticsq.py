@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dataengineeringworkshop_spark.plans.registry import query
+from dataengineeringworkshop_spark.plans.registry import kbucket, query
 from dataengineeringworkshop_spark.plans.tables import register_views
 
 # Spark SQL and DuckDB share this ANSI funnel text verbatim (dialect-free):
@@ -380,4 +380,138 @@ def mv_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("psum").cast("double").alias("revenue"),
         )
         .filter(F.col("n_orders") > 0)
+    )
+
+
+@query(
+    "mv_incremental_join",
+    # oracle: FULL recompute of the join view over base ∪ delta on both
+    # sides — the delta-join algebra must be indistinguishable from it
+    oracle="""
+        SELECT c.c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
+    tags=("ext-analytics", "incremental"),
+)
+def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the bilinear delta rule):
+    for V = γ(O ⋈ C), an insert batch on BOTH sides maintains V with
+
+        ΔV = γ(ΔO ⋈ C_old) ⊎ γ(O_old ⋈ ΔC) ⊎ γ(ΔO ⋈ ΔC)
+
+    merged into the standing partials — the three delta terms are
+    exactly the cross terms of (O_old ∪ ΔO) ⋈ (C_old ∪ ΔC), and
+    count/decimal-sum partials form a commutative monoid, so the merge
+    is exact (the driver hash-checks it against a full recompute).
+    Base = orders with o_orderkey % 10 != 0 ⋈ customers with
+    c_custkey % 7 != 0; the batch is everything else.  At 100 TB the
+    two O-side delta joins probe only |ΔO| rows and the C-side delta
+    join only |ΔC| — ΔO ⋈ C_old and O_old ⋈ ΔC broadcast their delta
+    side under AQE — and the merge touches |groups| partials; the base
+    join is never re-executed."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_old, o_new = (
+        o.filter(F.col("o_orderkey") % 10 != 0),
+        o.filter(F.col("o_orderkey") % 10 == 0),
+    )
+    c_old, c_new = (
+        c.filter(F.col("c_custkey") % 7 != 0),
+        c.filter(F.col("c_custkey") % 7 == 0),
+    )
+
+    def partials(orders: DataFrame, cust: DataFrame) -> DataFrame:
+        return (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("psum"),
+            )
+        )
+
+    mv = partials(o_old, c_old)  # the standing view's stored partials
+    delta = (
+        partials(o_new, c_old)
+        .unionByName(partials(o_old, c_new))
+        .unionByName(partials(o_new, c_new))
+    )
+    return (
+        mv.unionByName(delta)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.sum("psum").cast("double").alias("revenue"),
+        )
+    )
+
+
+# Identical statistic text for both engines: per-cell chi-square term
+# with integer O/R/C/N and ONE division — (N·O − R·C)² / (N·R·C) is
+# algebraically (O−E)²/E with E = R·C/N, kept rational until a single
+# cast-to-double division (the t_tfidf rational-score rule).  The total
+# then sums the per-cell terms through ROUND+DECIMAL (the dsum rule).
+_CHI2_BODY = """
+WITH cells AS (
+    SELECT event_type, {bucket} AS user_bucket, COUNT(*) AS o
+    FROM {events} GROUP BY event_type, user_bucket
+),
+rows_t AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+           FROM cells GROUP BY event_type),
+cols_t AS (SELECT user_bucket, CAST(SUM(o) AS BIGINT) AS c
+           FROM cells GROUP BY user_bucket),
+n_t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+terms AS (
+    SELECT cells.event_type, cells.user_bucket, cells.o,
+           rows_t.r, cols_t.c, n_t.n,
+           ROUND(CAST((n_t.n * cells.o - rows_t.r * cols_t.c)
+                      * (n_t.n * cells.o - rows_t.r * cols_t.c) AS DOUBLE)
+                 / (CAST(n_t.n AS DOUBLE) * rows_t.r * cols_t.c), 6)
+               AS chi2_term
+    FROM cells
+    JOIN rows_t ON cells.event_type = rows_t.event_type
+    JOIN cols_t ON cells.user_bucket = cols_t.user_bucket
+    CROSS JOIN n_t
+)
+SELECT event_type, user_bucket, o, r, c, n, chi2_term,
+       CAST(SUM(CAST(chi2_term AS DECIMAL(18,6))) OVER () AS DOUBLE)
+           AS chi2_total
+FROM terms
+"""
+
+
+@query(
+    "e_chi_square_independence",
+    oracle=_CHI2_BODY.format(bucket=kbucket("user_id", 4), events="events"),
+    tags=("ext-analytics", "robust-stats"),
+)
+def e_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and a
+    4-way user-hash cohort — the A/B-test / drift-monitor statistic:
+    is behavior distributed identically across cohorts?  Emits the full
+    contingency table (observed, row/column/grand totals) plus each
+    cell's chi-square contribution and the grand statistic.
+
+    Determinism: E = R·C/N never materializes as a float — the cell
+    term is computed as (N·O − R·C)²/(N·R·C), integer-exact until ONE
+    double division, then ROUND(6) + DECIMAL summation makes the total
+    order-independent.  (The integer products bound: N·O fits BIGINT up
+    to ~3·10⁹ events per cell-row pair; beyond that the same text runs
+    with DECIMAL(38) operands.)  Scale shape: one grouped count over
+    the raw scan (partial-agg collapses each task to ≤|types|×4 rows);
+    everything after operates on the ≤20-row cell table — the totals
+    joins and the window are driver-trivial broadcasts."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        _CHI2_BODY.format(bucket=kbucket("user_id", 4), events="dew_events")
     )

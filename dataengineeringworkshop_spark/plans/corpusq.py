@@ -748,3 +748,77 @@ def cp_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM packed GROUP BY source, CAST(FLOOR(pack_id / 8) AS BIGINT)
         """.format(PACK_ID=pack_id_sql())
     )
+
+
+@query(
+    "cp_pack_fill_report",
+    oracle="""
+        WITH sized AS (
+            SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT source, doc_id, n_tokens,
+                   {PACK_ID}
+            FROM sized
+        ),
+        packs AS (
+            SELECT source, pack_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+            FROM packed GROUP BY source, pack_id
+        )
+        SELECT source,
+               COUNT(*) AS n_packs,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+               MIN(pack_tokens) AS min_pack_tokens,
+               MAX(pack_tokens) AS max_pack_tokens,
+               COUNT(*) FILTER (WHERE pack_tokens > 4096) AS n_overflow_packs,
+               CAST(SUM(pack_tokens) AS DOUBLE) / (COUNT(*) * 4096)
+                   AS fill_ratio
+        FROM packs GROUP BY source
+    """.format(PACK_ID=pack_id_sql()),
+    tags=("ext-corpus",),
+)
+def cp_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the engine's ONE shared pack
+    assignment (registry.pack_id_sql — cp_sequence_packing's layout):
+    per source, how many 4096-token windows the corpus packs into, the
+    token fill ratio (exact integer sums, ONE division to double), and
+    how many packs a boundary-spanning document overflows — the
+    numbers a training-data owner reads before deciding window size and
+    whether to split long documents.  Scale shape: the same
+    source-partitioned cumsum window as the packing itself, then two
+    cascaded grouped aggs (packs, then sources) — each step reduces
+    before it shuffles."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH sized AS (
+            SELECT source, doc_id, size(split(text, ' ')) AS n_tokens
+            FROM dew_documents
+        ),
+        packed AS (
+            SELECT source, doc_id, n_tokens,
+                   {PACK_ID}
+            FROM sized
+        ),
+        packs AS (
+            SELECT source, pack_id,
+                   COUNT(*) AS n_docs,
+                   SUM(CAST(n_tokens AS BIGINT)) AS pack_tokens
+            FROM packed GROUP BY source, pack_id
+        )
+        SELECT source,
+               COUNT(*) AS n_packs,
+               SUM(n_docs) AS n_docs,
+               SUM(pack_tokens) AS total_tokens,
+               MIN(pack_tokens) AS min_pack_tokens,
+               MAX(pack_tokens) AS max_pack_tokens,
+               COUNT(*) FILTER (WHERE pack_tokens > 4096) AS n_overflow_packs,
+               CAST(SUM(pack_tokens) AS DOUBLE) / (COUNT(*) * 4096)
+                   AS fill_ratio
+        FROM packs GROUP BY source
+        """.format(PACK_ID=pack_id_sql())
+    )

@@ -371,3 +371,115 @@ def tj_range_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return results[-1]
+
+
+@query(
+    "tj_interval_overlap",
+    # oracle: recompute both interval sets with the same window SQL,
+    # then a PLAIN inequality join — no banding — so the hash match
+    # proves the banded plan loses/duplicates nothing
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id,
+                   epoch_us(ts) AS t_us
+            FROM flagged
+        ),
+        sessions AS (
+            SELECT user_id, session_id,
+                   MIN(t_us) AS s_start_us, MAX(t_us) AS s_end_us
+            FROM sess GROUP BY user_id, session_id
+        ),
+        eflag AS (
+            SELECT ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                        THEN 1 ELSE 0 END AS new_inc
+            FROM events WHERE event_type = 'error'
+            WINDOW w AS (ORDER BY ts, event_id)
+        ),
+        iseq AS (
+            SELECT CAST(SUM(new_inc) OVER (ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS incident_id,
+                   epoch_us(ts) AS t_us
+            FROM eflag
+        ),
+        incidents AS (
+            SELECT incident_id,
+                   MIN(t_us) AS i_start_us, MAX(t_us) AS i_end_us
+            FROM iseq GROUP BY incident_id
+        )
+        SELECT s.user_id, s.session_id, i.incident_id,
+               least(s.s_end_us, i.i_end_us)
+                   - greatest(s.s_start_us, i.i_start_us) AS overlap_us
+        FROM sessions s JOIN incidents i
+          ON s.s_start_us <= i.i_end_us AND i.i_start_us <= s.s_end_us
+    """,
+    tags=("ext-temporal", "range-join"),
+)
+def tj_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: which user sessions were exposed to a
+    platform error incident?  Both sides are DERIVED interval sets —
+    30-min-gap user sessions and 10-min-gap incident windows built from
+    the (filtered, low-rate) error stream — overlapped on
+    ``s.start <= i.end AND i.start <= s.end``.
+
+    Scale shape: each interval replicates to the 1-hour bands it spans
+    (two intervals overlap iff they share the band of any common
+    instant, so band-equality is a complete candidate gate); the join
+    is a plain equi join on band — shuffled hash, never a nested loop —
+    and multi-band duplicates collapse in a grouped MIN/MAX that also
+    emits the overlap length.  Replication is span/1h + 1 per interval
+    (sessions are gap-bounded, incidents burst-bounded, so both are
+    short); the incident window runs over the error stream only, which
+    is orders of magnitude smaller than the raw log at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    sess = sessionize(e, key="user_id", ts="ts", gap_seconds=1800,
+                      order_tiebreak="event_id")
+    sessions = sess.groupBy("user_id", "session_id").agg(
+        F.min(t_us).alias("s_start_us"), F.max(t_us).alias("s_end_us")
+    )
+
+    errs = e.filter(F.col("event_type") == "error").withColumn("__g", F.lit(1))
+    inc = sessionize(errs, key="__g", ts="ts", gap_seconds=600,
+                     order_tiebreak="event_id")
+    incidents = inc.groupBy("session_id").agg(
+        F.min(t_us).alias("i_start_us"), F.max(t_us).alias("i_end_us")
+    ).withColumnRenamed("session_id", "incident_id")
+
+    band_us = 3600 * 1_000_000
+    s_banded = sessions.withColumn(
+        "__band",
+        F.explode(F.sequence(F.floor(F.col("s_start_us") / band_us),
+                             F.floor(F.col("s_end_us") / band_us))),
+    )
+    i_banded = incidents.withColumn(
+        "__band",
+        F.explode(F.sequence(F.floor(F.col("i_start_us") / band_us),
+                             F.floor(F.col("i_end_us") / band_us))),
+    )
+    pairs = s_banded.join(i_banded, on="__band").filter(
+        (F.col("s_start_us") <= F.col("i_end_us"))
+        & (F.col("i_start_us") <= F.col("s_end_us"))
+    )
+    # collapse multi-band duplicates; every non-key column is constant
+    # per pair, so MIN is pure dedup, and the overlap length rides along
+    return pairs.groupBy("user_id", "session_id", "incident_id").agg(
+        (
+            F.min(F.least(F.col("s_end_us"), F.col("i_end_us")))
+            - F.min(F.greatest(F.col("s_start_us"), F.col("i_start_us")))
+        ).alias("overlap_us")
+    )

@@ -944,3 +944,85 @@ def t_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM u
         """
     )
+
+
+@query(
+    "t_collocation_dice",
+    # Dice = 2·c12 / (c1 + c2): integer counts, ONE division to double —
+    # bit-identical across engines (the t_tfidf_topk rational-score rule)
+    # and overflow-free at any corpus size (no integer products).
+    oracle="""
+        WITH ex AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS i,
+                   unnest(string_split(text, ' ')) AS wd
+            FROM documents
+        ),
+        uni AS (SELECT wd, COUNT(*) AS c FROM ex GROUP BY wd),
+        big AS (
+            SELECT a.wd AS w1, b.wd AS w2, COUNT(*) AS c12
+            FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            GROUP BY a.wd, b.wd
+        ),
+        scored AS (
+            SELECT big.w1, big.w2, big.c12, u1.c AS c1, u2.c AS c2,
+                   CAST(2 * big.c12 AS DOUBLE) / (u1.c + u2.c) AS dice
+            FROM big JOIN uni u1 ON big.w1 = u1.wd
+                     JOIN uni u2 ON big.w2 = u2.wd
+            WHERE big.c12 >= 10
+        )
+        SELECT w1, w2, c12, c1, c2, dice
+        FROM scored
+        ORDER BY dice DESC, w1 ASC, w2 ASC
+        LIMIT 50
+    """,
+    tags=("ext-text", "ext-corpus"),
+)
+def t_collocation_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide collocation mining: top-50 adjacent word pairs by the
+    Dice association score 2·c(w1w2)/(c(w1)+c(w2)) with a count floor —
+    the multi-word-expression detector ("new york"-style units) every
+    tokenizer-curation pipeline runs before vocabulary decisions.  Dice
+    is chosen over PMI deliberately: it needs no logarithm (the
+    determinism contract bans transcendentals) and no integer products
+    that could overflow at corpus scale — two integer counts, one
+    division.  Scale shape: bigrams come from a lag window over the
+    positional explode — never a positional self-join of the token
+    stream — and every aggregate partial-reduces to dictionary size
+    before its shuffle; the unigram table joins back per word (AQE
+    broadcasts it) and the global top-50 compiles to
+    TakeOrderedAndProject.  The CTE re-executes per reference (pruned
+    columnar re-scans); at corpus scale the token table would be
+    materialized once, the minhash signature-table pattern.  (dice, w1,
+    w2) is a unique sort key, so the cut is engine-independent."""
+    return _sql(
+        spark, sf_dir, ("documents",),
+        """
+        WITH ex AS (
+            SELECT doc_id, pos, wd
+            FROM dew_documents
+            LATERAL VIEW posexplode(split(text, ' ')) AS pos, wd
+        ),
+        uni AS (SELECT wd, COUNT(*) AS c FROM ex GROUP BY wd),
+        big AS (
+            SELECT w1, w2, COUNT(*) AS c12
+            FROM (
+                SELECT lag(wd) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                       wd AS w2
+                FROM ex
+            ) WHERE w1 IS NOT NULL
+            GROUP BY w1, w2
+        ),
+        scored AS (
+            SELECT big.w1, big.w2, big.c12, u1.c AS c1, u2.c AS c2,
+                   CAST(2 * big.c12 AS DOUBLE) / (u1.c + u2.c) AS dice
+            FROM big JOIN uni u1 ON big.w1 = u1.wd
+                     JOIN uni u2 ON big.w2 = u2.wd
+            WHERE big.c12 >= 10
+        )
+        SELECT w1, w2, c12, c1, c2, dice
+        FROM scored
+        ORDER BY dice DESC, w1 ASC, w2 ASC
+        LIMIT 50
+        """
+    )

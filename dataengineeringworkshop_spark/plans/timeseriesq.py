@@ -295,3 +295,173 @@ def e_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.event_type, m.med_cents, m.mad_cents
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave 7: hierarchical rollups, OHLC bars, dyadic EWMA
+# ---------------------------------------------------------------------------
+
+@query(
+    "ts_rollup_cascade",
+    # oracle recomputes the DAILY grain directly from raw events — the
+    # whole claim of a rollup cascade is that re-aggregating hourly
+    # partials is indistinguishable from aggregating the raw stream
+    oracle="""
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+               MIN(CAST(round(value * 100, 0) AS BIGINT)) AS min_cents,
+               MAX(CAST(round(value * 100, 0) AS BIGINT)) AS max_cents,
+               COUNT(DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT))
+                   AS n_active_hours
+        FROM events
+        GROUP BY day_id, event_type
+    """,
+    tags=("ext-analytics", "timeseries", "incremental"),
+)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup cascade (the hypertable continuous-aggregate
+    pattern): the DAILY grain is computed FROM the hourly partials, not
+    from raw events — count, DECIMAL sum, min, max are all mergeable,
+    so re-aggregating partials is exact, and ``n_active_hours`` falls
+    out as a free COUNT(*) over the hourly rows (a distinct-count on
+    raw data, a plain count on partials).  The driver hash-checks the
+    cascade against a direct raw→daily recompute.  At 100 TB this is
+    the only affordable shape: each coarser grain reads the previous
+    grain's |groups| rows, and the raw stream is scanned exactly once.
+    The decimal partial stays DECIMAL through the cascade — the cast to
+    double happens once, at the final grain (mv_incremental_agg rule)."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH hourly AS (
+            SELECT CAST(floor(unix_timestamp(CAST(ts AS TIMESTAMP)) / 3600)
+                        AS BIGINT) AS hour_id,
+                   event_type,
+                   COUNT(*) AS pn,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS psum,
+                   MIN(CAST(round(value * 100, 0) AS BIGINT)) AS pmin,
+                   MAX(CAST(round(value * 100, 0) AS BIGINT)) AS pmax
+            FROM dew_events
+            GROUP BY hour_id, event_type
+        )
+        SELECT CAST(floor(hour_id / 24) AS BIGINT) AS day_id,
+               event_type,
+               CAST(SUM(pn) AS BIGINT) AS n_events,
+               CAST(SUM(psum) AS DOUBLE) AS total_value,
+               MIN(pmin) AS min_cents,
+               MAX(pmax) AS max_cents,
+               COUNT(*) AS n_active_hours
+        FROM hourly
+        GROUP BY day_id, event_type
+        """
+    )
+
+
+# OHLC first/last determinism: both engines pick the open/close row by a
+# row_number over (ts, event_id) — the unique event_id tiebreak makes the
+# endpoints engine-independent even under equal timestamps; the bar then
+# folds them in with conditional MAX (one grouped agg, no self-join).
+_OHLC_BODY = """
+WITH cents AS (
+    SELECT CAST(floor({epoch_sec} / 86400) AS BIGINT) AS day_id,
+           event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_cents,
+           row_number() OVER (
+               PARTITION BY CAST(floor({epoch_sec} / 86400) AS BIGINT),
+                            event_type
+               ORDER BY ts ASC, event_id ASC) AS rn_asc,
+           row_number() OVER (
+               PARTITION BY CAST(floor({epoch_sec} / 86400) AS BIGINT),
+                            event_type
+               ORDER BY ts DESC, event_id DESC) AS rn_desc
+    FROM {events}
+)
+SELECT day_id, event_type,
+       MAX(CASE WHEN rn_asc = 1 THEN v_cents END) AS open_cents,
+       MAX(v_cents) AS high_cents,
+       MIN(v_cents) AS low_cents,
+       MAX(CASE WHEN rn_desc = 1 THEN v_cents END) AS close_cents,
+       COUNT(*) AS n_ticks
+FROM cents
+GROUP BY day_id, event_type
+"""
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle=_OHLC_BODY.format(epoch_sec="epoch(ts)", events="events"),
+    tags=("ext-analytics", "timeseries"),
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars per event type — the
+    downsampling shape every metrics store renders.  Open and close are
+    selected by row_number over (ts, event_id) — first/last-value with a
+    unique tiebreak, folded into the bar with conditional MAX so the
+    whole bar is ONE grouped aggregate over the windowed scan (no
+    self-join back to the endpoints).  High/low compare integer cents
+    (exact selection).  Scale shape: the two windows share one
+    (day, type) hash partitioning with opposite sort orders, then the
+    groupBy lands on the same keys — a single exchange footprint; bar
+    count is |days| × |types| regardless of tick volume."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        _OHLC_BODY.format(
+            epoch_sec="unix_timestamp(CAST(ts AS TIMESTAMP))",
+            events="dew_events",
+        )
+    )
+
+
+def _ewma_terms(n: int) -> str:
+    """SUM of the trailing-``n`` dyadic decay terms: v_{k} · 2^{-(k+1)}
+    for lag k = 0..n-1.  Every weight is a power of two and every input
+    an integer cent count, so each term — and the sum — is EXACT in
+    double no matter the evaluation order (all terms are multiples of
+    2^{-n} cents, far inside the 53-bit mantissa).  The identical
+    fragment runs on Spark and DuckDB."""
+    return " + ".join(
+        f"COALESCE(CAST(lag(v_cents, {k}) OVER w AS DOUBLE), 0.0) / {2 ** (k + 1)}.0"
+        for k in range(n)
+    )
+
+
+_EWMA_BODY = f"""
+WITH cents AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_cents
+    FROM {{events}}
+),
+decayed AS (
+    SELECT user_id, ts, event_id, v_cents,
+           {_ewma_terms(16)} AS ewma_cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn_last
+    FROM cents
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, v_cents AS last_cents, ewma_cents,
+       (SELECT COUNT(*) FROM cents c2 WHERE c2.user_id = decayed.user_id)
+           AS n_events
+FROM decayed WHERE rn_last = 1
+"""
+
+
+@query(
+    "ts_ewma_dyadic",
+    oracle=_EWMA_BODY.format(events="events"),
+    tags=("ext-analytics", "timeseries"),
+)
+def ts_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed reading per user (EWMA, α = 1/2) over the
+    trailing 16 events, reported at each user's LAST event.  Float EWMA
+    is normally hash-hostile (a recursive product of doubles); this one
+    is bit-exact by construction — integer cents × power-of-two weights
+    means every term is a dyadic rational well inside the double
+    mantissa, so Spark and DuckDB agree to the last bit without any
+    rounding step.  One user_id window computes the decay (16 lags over
+    ONE shared sort — state is the trailing buffer, the streaming
+    shape); the per-user reduction keeps output at |users| rows."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_EWMA_BODY.format(events="dew_events"))

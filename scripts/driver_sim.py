@@ -113,6 +113,15 @@ EXTRA = [
     "ann_ivfpq_topk",
     "rb_string_funcs_breadth",
     "rb_time_funcs_breadth",
+    # round-6 wave-7 additions (next round's rotation pool)
+    "ts_rollup_cascade",
+    "ts_ohlc_bars",
+    "ts_ewma_dyadic",
+    "tj_interval_overlap",
+    "mv_incremental_join",
+    "t_collocation_dice",
+    "e_chi_square_independence",
+    "cp_pack_fill_report",
 ]
 
 

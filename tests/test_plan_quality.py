@@ -520,3 +520,50 @@ def test_exact_median_pass2_is_filtered_sliver(spark, registry):
     ops = _ops(_plan(registry["a17_exact_median_twopass"].fn(spark, SF_SMOKE)))
     assert ops.get("Exchange", 0) <= 2, ops
     assert ops.get("Window", 0) == 1, ops
+
+
+def test_interval_overlap_is_banded_equi_join(spark, registry):
+    """The interval-overlap join must gate candidates through the
+    band-equality shuffle — never a nested loop or cartesian — and the
+    session/incident windows each keep their own single partitioning."""
+    ops = _ops(_plan(registry["tj_interval_overlap"].fn(spark, SF_SMOKE)))
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 0, ops
+    assert ops.get("CartesianProduct", 0) == 0, ops
+
+
+def test_rollup_cascade_scans_raw_once(spark, registry):
+    """The daily grain must derive from hourly partials: exactly one
+    scan of the raw events file in the whole plan."""
+    ops = _ops(_plan(registry["ts_rollup_cascade"].fn(spark, SF_SMOKE)))
+    assert ops.get("Scan", 0) == 1, ops
+
+
+def test_ewma_lags_share_one_window_exchange(spark, registry):
+    """All 16 decay lags must ride ONE user_id sort/partitioning —
+    16 separate window exchanges would be a 16× shuffle regression."""
+    ops = _ops(_plan(registry["ts_ewma_dyadic"].fn(spark, SF_SMOKE)))
+    assert ops.get("Exchange", 0) <= 3, ops
+
+
+def test_collocation_bigrams_via_lag_not_self_join(spark, registry):
+    """Bigrams come from a lag window over the positional explode, not
+    a positional self-join (which would hash-shuffle the token stream
+    against itself); the unigram joins stay hash/broadcast and the
+    global cut is TakeOrderedAndProject.  The CTE re-executes per
+    reference (3 pruned columnar scans — the materialize-once upgrade
+    at corpus scale is the minhash signature-table pattern)."""
+    plan = _plan(registry["t_collocation_dice"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops.get("Generate", 0) <= 3, ops
+    assert ops.get("SortMergeJoin", 0) == 0, ops
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 0, ops
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_join_never_rescans_base_join(spark, registry):
+    """The bilinear delta plan contains the three delta joins plus the
+    stored-partials branch — but no join may be a nested loop, and the
+    per-branch aggregates must partial-reduce before their shuffle."""
+    ops = _ops(_plan(registry["mv_incremental_join"].fn(spark, SF_SMOKE)))
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 0, ops
+    assert ops.get("CartesianProduct", 0) == 0, ops
