@@ -89,3 +89,62 @@ def dedup_survivors(
         F.col("member").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    pairs: DataFrame,
+    a: str = "d1",
+    b: str = "d2",
+    iters: int = 3,
+    scale: int = 8,
+) -> DataFrame:
+    """PageRank over an undirected pair list — ``iters`` synchronous
+    power-iteration rounds with damping 0.85, returning
+    (u, outdeg, r).
+
+    Determinism (the registry's decimal-accumulate rule): each
+    neighbor contribution r/outdeg is ONE double division (exact and
+    identical in any engine), cast to DECIMAL(18, ``scale``) (same
+    nearest-value in both engines), summed exactly in decimal (order
+    independent), and cast back to double once.  The teleport and
+    damping steps are single double ops.  So the final ranks are
+    bit-identical to an unrolled SQL recomputation — which is exactly
+    how the oracle checks them.
+
+    Scale posture: one join + one grouped decimal-sum per iteration,
+    shuffled on the vertex key; degree and rank ride the same row so no
+    per-iteration re-join against a degree table; the node count enters
+    as a broadcast 1-row aggregate, never a driver scalar."""
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).union(
+        pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("outdeg"))
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    r = deg.crossJoin(nn).select(
+        "u", "outdeg", F.expr("CAST(1 AS DOUBLE) / n_nodes").alias("r")
+    )
+    for _ in range(iters):
+        s = (
+            edges.join(r, "u")
+            .groupBy(F.col("v"))
+            .agg(
+                F.expr(
+                    f"CAST(SUM(CAST(r / outdeg AS DECIMAL(18,{scale})))"
+                    " AS DOUBLE)"
+                ).alias("s")
+            )
+            .select(F.col("v").alias("su"), F.col("s"))
+        )
+        r = (
+            s.join(deg, F.col("su") == F.col("u"))
+            .crossJoin(nn)
+            .select(
+                "u",
+                "outdeg",
+                F.expr(
+                    "CAST(0.15 AS DOUBLE) / n_nodes"
+                    " + CAST(0.85 AS DOUBLE) * s"
+                ).alias("r"),
+            )
+        )
+    return r

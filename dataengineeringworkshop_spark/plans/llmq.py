@@ -792,3 +792,82 @@ def cp_dedup_stage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage INT, stage_name STRING, n_docs BIGINT, removed BIGINT, "
         "removal_pct DOUBLE",
     )
+
+
+@query(
+    "g_pagerank_dupgraph",
+    # unrolled 3-iteration recomputation — every contribution follows the
+    # decimal-accumulate rule (ONE double division, DECIMAL(18,8) cast,
+    # exact sum, one cast back), so the iterative DataFrame loop must
+    # match the oracle bit-for-bit
+    oracle=f"""
+        WITH jp AS (
+            {_JACCARD_DUCK.format(maxdf=_JACCARD_MAXDF)}
+        ),
+        edges AS (
+            SELECT d1 AS u, d2 AS v FROM jp
+            UNION ALL SELECT d2, d1 FROM jp
+        ),
+        deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u),
+        nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+        r0 AS (
+            SELECT deg.u, deg.outdeg, CAST(1 AS DOUBLE) / nn.n_nodes AS r
+            FROM deg CROSS JOIN nn
+        ),
+        s1 AS (
+            SELECT e.v AS u,
+                   CAST(SUM(CAST(r.r / r.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS s
+            FROM edges e JOIN r0 r ON e.u = r.u GROUP BY e.v
+        ),
+        r1 AS (
+            SELECT d.u, d.outdeg,
+                   CAST(0.15 AS DOUBLE) / nn.n_nodes
+                       + CAST(0.85 AS DOUBLE) * s1.s AS r
+            FROM s1 JOIN deg d ON s1.u = d.u CROSS JOIN nn
+        ),
+        s2 AS (
+            SELECT e.v AS u,
+                   CAST(SUM(CAST(r.r / r.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS s
+            FROM edges e JOIN r1 r ON e.u = r.u GROUP BY e.v
+        ),
+        r2 AS (
+            SELECT d.u, d.outdeg,
+                   CAST(0.15 AS DOUBLE) / nn.n_nodes
+                       + CAST(0.85 AS DOUBLE) * s2.s AS r
+            FROM s2 JOIN deg d ON s2.u = d.u CROSS JOIN nn
+        ),
+        s3 AS (
+            SELECT e.v AS u,
+                   CAST(SUM(CAST(r.r / r.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS s
+            FROM edges e JOIN r2 r ON e.u = r.u GROUP BY e.v
+        ),
+        r3 AS (
+            SELECT d.u, d.outdeg,
+                   CAST(0.15 AS DOUBLE) / nn.n_nodes
+                       + CAST(0.85 AS DOUBLE) * s3.s AS r
+            FROM s3 JOIN deg d ON s3.u = d.u CROSS JOIN nn
+        )
+        SELECT u AS doc_id, outdeg, r AS pagerank FROM r3
+    """,
+    tags=("ext-dedup", "iterative"),
+)
+def g_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph (3 power
+    iterations, damping 0.85): which documents sit at the CENTER of a
+    duplication cluster — the canonical-representative signal a smarter
+    dedup keeps, versus min-id survivors.  An iterative DataFrame loop
+    whose every float step is pinned deterministic (one division → 
+    DECIMAL(18,8) accumulate → one cast), hash-checked against a fully
+    unrolled 3-iteration SQL recomputation in DuckDB.  Per iteration:
+    one vertex-keyed join + one grouped decimal sum; degree rides the
+    rank row (no per-round degree re-join); the node count is a
+    broadcast 1-row aggregate.  At 100 TB the edge list comes from the
+    LSH pair stage and the iteration cost is |edges| per round,
+    independent of corpus size."""
+    from dataengineeringworkshop_spark.llmops.clusters import pagerank
+    from dataengineeringworkshop_spark.plans.textops import d_ngram_jaccard_pairs
+
+    pairs = d_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    return pagerank(pairs).select(
+        F.col("u").alias("doc_id"), "outdeg", F.col("r").alias("pagerank")
+    )

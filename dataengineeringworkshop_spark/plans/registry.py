@@ -201,10 +201,12 @@ _PRIORITY: tuple[str, ...] = (
     "st_funnel_stages",
     # changed this round (single-pass join counts) — re-prove the hash
     "j5_outer_semi_anti",
-    # evidence refresh: high-traffic families whose latest green row is
-    # r03 or older (their old evidence persists; these re-prove live)
-    "j2_three_way_inner",
-    "ws_medallion_gold",
+    # first-time evidence: round-6 wave-7 (the two strongest — the
+    # interval-overlap join and the bilinear delta-join maintenance;
+    # the J-family/medallion anchors they displaced are r1-r5 green,
+    # run in every bench, and stay spot-checked in driver_sim's EXTRA)
+    "tj_interval_overlap",
+    "mv_incremental_join",
 )
 # Round-6 waves 4-6 (time-series hygiene, curation sampling, TF-IDF,
 # Morton layout, array HOFs, freq-items/count-min, two-pass median,

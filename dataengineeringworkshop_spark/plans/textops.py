@@ -1026,3 +1026,112 @@ def t_collocation_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+_RAKE_STOPS = "('the', 'a', 'is', 'of', 'and')"
+
+# Shared RAKE skeleton (dialect bits injected): stopword-delimited runs
+# become candidate phrases via ONE cumsum window (phrase_id = running
+# stopword count), word scores are the classic degree/frequency ratio
+# (ONE division, ROUND 6), and phrase scores fold the rounded word
+# scores through DECIMAL so accumulation order can't perturb the hash.
+_RAKE_BODY = """
+WITH tok AS (
+    {tok_cte}
+),
+seg AS (
+    SELECT doc_id, pos, wd,
+           CASE WHEN wd IN {stops} THEN 1 ELSE 0 END AS is_stop,
+           SUM(CASE WHEN wd IN {stops} THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS phrase_id
+    FROM tok
+),
+pw AS (
+    SELECT doc_id, phrase_id, pos, wd FROM seg WHERE is_stop = 0
+),
+plen AS (
+    SELECT doc_id, phrase_id, COUNT(*) AS phrase_len
+    FROM pw GROUP BY doc_id, phrase_id
+),
+wstat AS (
+    SELECT pw.wd, COUNT(*) AS freq, CAST(SUM(plen.phrase_len) AS BIGINT) AS deg
+    FROM pw JOIN plen ON pw.doc_id = plen.doc_id
+                     AND pw.phrase_id = plen.phrase_id
+    GROUP BY pw.wd
+),
+wscore AS (
+    SELECT wd, freq, deg, ROUND(CAST(deg AS DOUBLE) / freq, 6) AS wscore
+    FROM wstat
+),
+pscore AS (
+    SELECT pw.doc_id, pw.phrase_id,
+           CAST(SUM(CAST(ws.wscore AS DECIMAL(18,6))) AS DOUBLE) AS score
+    FROM pw JOIN wscore ws ON pw.wd = ws.wd
+    GROUP BY pw.doc_id, pw.phrase_id
+),
+ptext AS (
+    SELECT doc_id, phrase_id, {phrase_agg} AS phrase
+    FROM pw GROUP BY doc_id, phrase_id
+),
+agg AS (
+    SELECT p.doc_id, t.phrase, MAX(p.score) AS score, COUNT(*) AS n_occur
+    FROM pscore p JOIN ptext t ON p.doc_id = t.doc_id
+                              AND p.phrase_id = t.phrase_id
+    GROUP BY p.doc_id, t.phrase
+)
+SELECT doc_id, phrase, n_occur, score
+FROM (
+    SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, phrase ASC
+           ) AS rn
+    FROM agg
+) r WHERE rn <= 5
+"""
+
+
+@query(
+    "t_rake_keywords",
+    oracle=_RAKE_BODY.format(
+        tok_cte="""SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS wd
+            FROM documents""",
+        stops=_RAKE_STOPS,
+        phrase_agg="string_agg(wd, ' ' ORDER BY pos)",
+    ),
+    tags=("ext-text", "ext-corpus"),
+)
+def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs, each word scores degree/frequency
+    (degree = total length of the phrases it appears in), and a phrase
+    scores the sum of its words — top-5 phrases per document.  The
+    multi-word upgrade over t_tfidf_topk's unigram keywords, and the
+    third member of the keyword family (tf-idf = rarity, Dice = pair
+    association, RAKE = phrase centrality).
+
+    Scale shape: run-length segmentation is ONE cumsum window per doc
+    (phrase_id = running stopword count — the sessionize idiom applied
+    to token streams); every downstream aggregate is grouped on
+    (doc, phrase) or the dictionary-sized word table (AQE broadcasts
+    it); the per-doc top-5 is a window over already-reduced phrase
+    rows.  Determinism: word score = ONE integer division ROUND(6);
+    phrase score folds through DECIMAL(18,6); (score DESC, phrase ASC)
+    is unique per doc, so the cut is engine-independent; Spark pins
+    in-phrase word order by sorting (pos, wd) structs — DuckDB's
+    ORDER BY inside string_agg is the same contract."""
+    return _sql(
+        spark, sf_dir, ("documents",),
+        _RAKE_BODY.format(
+            tok_cte="""SELECT doc_id, pos, wd
+            FROM dew_documents
+            LATERAL VIEW posexplode(split(text, ' ')) AS pos, wd""",
+            stops=_RAKE_STOPS,
+            phrase_agg=(
+                "array_join(transform(array_sort("
+                "collect_list(struct(pos, wd))), s -> s.wd), ' ')"
+            ),
+        ),
+    )

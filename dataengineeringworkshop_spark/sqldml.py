@@ -103,6 +103,11 @@ _RESTORE_RE = re.compile(
 _VACUUM_RE = re.compile(
     r"^vacuum\s+(\w+)(?:\s+retain\s+(\d+)\s+versions?)?$", re.IGNORECASE
 )
+_CLONE_RE = re.compile(
+    r"^create\s+table\s+(\w+)\s+shallow\s+clone\s+(\w+)"
+    r"(?:\s+version\s+as\s+of\s+(\d+))?$",
+    re.IGNORECASE,
+)
 
 
 def _alias_to_ts(cond: str, t_alias: str, s_alias: str) -> str:
@@ -206,6 +211,15 @@ def execute(lh: "Lakehouse", statement: str) -> DataFrame:
         lh.table(table).restore(version)
         lh.refresh_view(table)
         return _status(lh, "RESTORE", table)
+
+    m = _CLONE_RE.match(sql)
+    if m:
+        tgt, src, ver = m.group(1), m.group(2), m.group(3)
+        lh.table(src).shallow_clone(
+            lh._table_path(tgt), int(ver) if ver else None
+        )
+        lh.refresh_view(tgt)
+        return _status(lh, "SHALLOW CLONE", tgt)
 
     m = _VACUUM_RE.match(sql)
     if m:

@@ -56,6 +56,8 @@ class TableBackend(Protocol):
 
     def restore(self, version: int) -> None: ...
 
+    def shallow_clone(self, target_path: str, version: int | None = None): ...
+
     def vacuum(self, retain_last: int = 1) -> list[str]: ...
 
     def add_column(self, name: str, dtype: str) -> None: ...
@@ -145,6 +147,14 @@ class DeltaBackend:
         self.spark.sql(
             f"RESTORE TABLE delta.`{self.path}` TO VERSION AS OF {version}"
         )
+
+    def shallow_clone(self, target_path: str, version: int | None = None):
+        ver = f" VERSION AS OF {version}" if version is not None else ""
+        self.spark.sql(
+            f"CREATE TABLE delta.`{target_path}` "
+            f"SHALLOW CLONE delta.`{self.path}`{ver}"
+        )
+        return DeltaBackend(self.spark, target_path)
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         # Delta's VACUUM retention is hours-based; a version-count

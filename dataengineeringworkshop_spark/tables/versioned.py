@@ -200,6 +200,12 @@ class VersionedTable:
             raise ValueError(f"version {version} not in table history")
         return matching[0]
 
+    def _abs(self, d: str) -> str:
+        """Data dirs are table-root-relative, EXCEPT shallow-clone
+        commits, which reference the source table's directories by
+        absolute path (Delta shallow-clone semantics)."""
+        return d if os.path.isabs(d) else f"{self.path}/{d}"
+
     def scan_files(self, version: int | None = None, where: str | None = None) -> list[str]:
         """Absolute parquet paths a read of this snapshot scans.  With
         ``where`` and recorded file stats (post-OPTIMIZE), files whose
@@ -212,13 +218,14 @@ class VersionedTable:
         bounds = _parse_conjunctive_bounds(where) if where else []
         out: list[str] = []
         for d in c.data_dirs:
-            for fn in sorted(os.listdir(f"{self.path}/{d}")):
+            base = self._abs(d)
+            for fn in sorted(os.listdir(base)):
                 if not fn.endswith(".parquet"):
                     continue
                 rel = f"{d}/{fn}"
                 if bounds and rel in stats and _stats_exclude(stats[rel], bounds):
                     continue
-                out.append(f"{self.path}/{rel}")
+                out.append(f"{base}/{fn}")
         return out
 
     def read(self, version: int | None = None, where: str | None = None) -> DataFrame:
@@ -243,7 +250,7 @@ class VersionedTable:
                 # UNABLE_TO_INFER_SCHEMA crash from a zero-path scan
                 return self.spark.createDataFrame([], committed)
         else:
-            paths = [f"{self.path}/{d}" for d in c.data_dirs]
+            paths = [self._abs(d) for d in c.data_dirs]
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         # evolve to the committed schema (ADD COLUMN fills nulls)
         for field in committed.fields:
@@ -392,6 +399,35 @@ class VersionedTable:
             {"restored_version": version},
             file_stats=target.file_stats or {},
         )
+
+    def shallow_clone(self, target_path: str, version: int | None = None) -> "VersionedTable":
+        """CREATE TABLE … SHALLOW CLONE src [VERSION AS OF n] (Delta
+        parity): a zero-copy fork — the clone's first commit references
+        the source snapshot's data directories by ABSOLUTE path, so no
+        data moves; subsequent DML on the clone copy-on-writes into the
+        clone's own directories and never mutates the source (and
+        source DML after the clone point is invisible to the clone —
+        snapshot isolation across tables).  Caveat shared with real
+        Delta: VACUUM on the SOURCE can remove files a shallow clone
+        still references."""
+        target = VersionedTable(self.spark, target_path)
+        if target.exists():
+            raise ValueError(f"clone target already exists: {target_path}")
+        src = self._resolve_commit(version)
+        abs_dirs = [self._abs(d) for d in src.data_dirs]
+        stats = {
+            f"{self._abs(rel.rsplit('/', 1)[0])}/{rel.rsplit('/', 1)[1]}": st
+            for rel, st in (src.file_stats or {}).items()
+        }
+        target._commit(
+            "CLONE",
+            abs_dirs,
+            src.schema_ddl,
+            {"source": self.path, "source_version": src.version,
+             "clone_type": "SHALLOW"},
+            file_stats=stats,
+        )
+        return target
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """VACUUM (Delta parity, version-count retention instead of

@@ -113,15 +113,19 @@ EXTRA = [
     "ann_ivfpq_topk",
     "rb_string_funcs_breadth",
     "rb_time_funcs_breadth",
-    # round-6 wave-7 additions (next round's rotation pool)
+    # round-6 wave-7/8 additions (next round's rotation pool; the two
+    # strongest wave-7 rows moved into the prefix itself)
     "ts_rollup_cascade",
     "ts_ohlc_bars",
     "ts_ewma_dyadic",
-    "tj_interval_overlap",
-    "mv_incremental_join",
     "t_collocation_dice",
     "e_chi_square_independence",
     "cp_pack_fill_report",
+    "g_pagerank_dupgraph",
+    # J-family / medallion anchors displaced by the wave-7 prefix rows
+    # (r1-r5 green, also timed in every bench run)
+    "j2_three_way_inner",
+    "ws_medallion_gold",
 ]
 
 

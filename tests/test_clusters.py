@@ -61,3 +61,40 @@ def test_components_match_union_find_on_lsh_pairs(spark):
     kept = {r.doc_id for r in surv.collect()}
     for v, c in want.items():
         assert (v in kept) == (v == c)
+
+
+def test_pagerank_ground_truth_and_invariants(spark):
+    """3-iteration PageRank on a known graph vs a pure-python
+    recomputation with the SAME decimal quantization, plus the mass
+    invariant: per round, sum(r) = 0.15 + 0.85·sum(prev) when every
+    node has out-edges, so after any round the total stays within
+    quantization error of 1."""
+    from decimal import Decimal
+
+    from dataengineeringworkshop_spark.llmops.clusters import pagerank
+
+    raw = [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11)]
+    pairs = spark.createDataFrame(raw, ["d1", "d2"])
+
+    # python twin with the identical DECIMAL(18,8) accumulate
+    edges = [(u, v) for u, v in raw] + [(v, u) for u, v in raw]
+    deg: dict[int, int] = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    n = len(deg)
+    r = {u: 1.0 / n for u in deg}
+    q = Decimal("0.00000001")
+    for _ in range(3):
+        s: dict[int, Decimal] = {}
+        for u, v in edges:
+            contrib = Decimal(repr(r[u] / deg[u])).quantize(q)
+            s[v] = s.get(v, Decimal(0)) + contrib
+        r = {v: 0.15 / n + 0.85 * float(sv) for v, sv in s.items()}
+
+    got = {row.u: row.r for row in pagerank(pairs).collect()}
+    assert set(got) == set(r)
+    for u in r:
+        assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # centrality signal: node 3 (degree 3) outranks leaf node 4
+    assert got[3] > got[4]
