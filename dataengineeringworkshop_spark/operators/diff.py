@@ -8,9 +8,12 @@ key + row hash BEFORE the join, so the shuffle carries two slim
 columns, not the full row width) + a map-side classifier.  At 100 TB
 the join shuffles both sides on the key once; with bucketed or
 Z-ordered layouts (sources/bucketing.py, pp_zorder_layout) the
-exchange disappears or prunes.  The hash is the engine's one row-hash
-definition (operators/rowhash.py — `2 Medaillon architecture.py:353`),
-so a diff of identical tables is verifiably empty.
+exchange disappears or prunes.  The hash is the engine's unambiguous
+struct hash (operators/rowhash.py ``with_struct_hash`` — to_json keeps
+NULL-shifted and separator-straddling rows distinct, unlike the
+reference's concat_ws hash at `2 Medaillon architecture.py:353`), so a
+diff of identical tables is verifiably empty and no real change can
+hash-collide into "unchanged".
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataengineeringworkshop_spark.operators.rowhash import with_row_hash
+from dataengineeringworkshop_spark.operators.rowhash import with_struct_hash
 
 
 def table_diff(
@@ -42,10 +45,14 @@ def table_diff(
         if compare_cols is not None
         else [c for c in old.columns if c not in keys]
     )
-    o = with_row_hash(old.select(*keys, *cmp_cols), cmp_cols, "old_hash").select(
+    # with_struct_hash, NOT with_row_hash: the hash CLASSIFIES rows here,
+    # and concat_ws's NULL-dropping / unescaped separator would classify
+    # NULL-shifted or separator-straddling changes as "unchanged" and
+    # silently drop them from the audit report
+    o = with_struct_hash(old.select(*keys, *cmp_cols), cmp_cols, "old_hash").select(
         *keys, "old_hash"
     )
-    n = with_row_hash(new.select(*keys, *cmp_cols), cmp_cols, "new_hash").select(
+    n = with_struct_hash(new.select(*keys, *cmp_cols), cmp_cols, "new_hash").select(
         *keys, "new_hash"
     )
     j = o.join(n, on=keys, how="full_outer")

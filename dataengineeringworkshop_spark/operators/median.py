@@ -31,8 +31,24 @@ def exact_median_twopass(df: DataFrame, col: str, nbins: int = 1024) -> DataFram
         return e.sparkSession.createDataFrame(
             [(0, None)], "n_events LONG, median_cents DOUBLE"
         )
-    width = max(mx - mn + 1, 1)
-    bin_expr = ((F.col("c") - F.lit(mn)) * nbins / F.lit(width)).cast("long")
+    width = max(mx - mn + 1, 1)  # exact Python int — no 64-bit wrap here
+    if width > (1 << 63) - 1:
+        # (c - mn) itself would wrap in 64-bit Spark arithmetic — no
+        # binning expression can be monotone past that, so fail loudly
+        # instead of walking a scrambled histogram
+        raise ValueError(
+            f"exact_median_twopass: value range {width} exceeds int64 — "
+            "rescale the column (e.g. to coarser units) first"
+        )
+    # bin = (c - mn) / step with step sized so the quotient, not the
+    # product, is bounded: the old (c - mn) * nbins form silently wrapped
+    # (non-ANSI) once width > 2^63/nbins, breaking bin-order monotonicity
+    # and returning a WRONG median.  Double division by a positive
+    # constant + trunc-cast is monotone non-decreasing (IEEE division is
+    # correctly rounded), and pass 2 reuses the identical expression, so
+    # edge rounding cannot desynchronize the two passes.
+    step = max((width + nbins - 1) // nbins, 1)
+    bin_expr = ((F.col("c") - F.lit(mn)) / F.lit(step)).cast("long")
     hist = {
         r.bin: r.cnt
         for r in e.groupBy(bin_expr.alias("bin")).agg(F.count("*").alias("cnt")).collect()

@@ -547,6 +547,10 @@ def mm_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Probabilities are exact count/total double divisions (bit-identical
     # in both engines); entropy is rounded to 6 decimals on both sides
     # because log2-sum bit patterns depend on summation order.
+    # Round-6 lesson (CORRECTNESS_r06): the external driver's pandas
+    # canonicalizer cannot hash array<double> cells — this query emits the
+    # histogram UNNESTED to 64 scalar rows per payload (media_id, bkt, p);
+    # the array-valued operator itself stays as-is and is pytest-covered.
     oracle="""
         WITH src AS (
             -- empty/null text maps to a single NUL byte, mirroring the
@@ -573,11 +577,12 @@ def mm_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
             LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bkt = c.bkt
             JOIN totals t ON g.doc_id = t.doc_id
         )
-        SELECT f.doc_id AS media_id, f.features, e.byte_entropy
-        FROM (SELECT doc_id, list(p ORDER BY bkt) AS features FROM p GROUP BY doc_id) f
+        SELECT p.doc_id AS media_id, CAST(p.bkt AS INT) AS bkt, p.p AS p,
+               e.byte_entropy
+        FROM p
         JOIN (SELECT doc_id, ROUND(-SUM(p * log2(p)), 6) AS byte_entropy
               FROM p WHERE p > 0 GROUP BY doc_id) e
-        ON f.doc_id = e.doc_id
+        ON p.doc_id = e.doc_id
     """,
     tags=("ext-mm",),
 )
@@ -586,7 +591,11 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy per payload (numpy inside mapInPandas, Arrow-batched),
     hash-checked against a DuckDB oracle recomputing the histogram from
     code points (valid because the testdata text is pure ASCII — the
-    Spark side operates on true UTF-8 bytes).  Pytest additionally
+    Spark side operates on true UTF-8 bytes).  Emitted unnested —
+    (media_id, bkt, p, byte_entropy), 64 rows per payload — because the
+    driver's evidence hasher cannot canonicalize array<double> columns
+    (the round-6 finding); the array-valued operator output is
+    pytest-covered in tests/test_multimodal.py.  Pytest additionally
     asserts normalization + determinism."""
     from dataengineeringworkshop_spark.llmops.multimodal import (
         byte_histogram_features,
@@ -594,7 +603,12 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    return byte_histogram_features(documents_as_media(d), dim=64)
+    feat = byte_histogram_features(documents_as_media(d), dim=64)
+    return feat.select(
+        "media_id",
+        F.posexplode("features").alias("bkt", "p"),
+        "byte_entropy",
+    )
 
 
 @query(

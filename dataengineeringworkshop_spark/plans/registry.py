@@ -13,6 +13,12 @@ Determinism contract (so the driver's order-insensitive value hash matches):
 - **Ranking/limits**: always order with a unique tiebreaker column before
   row_number()/LIMIT.
 - **Column names**: alias every computed column identically on both sides.
+- **No raw array/map/struct columns in driver-prefix outputs** (round-6
+  finding: the external driver's pandas canonicalizer crashes on
+  list-valued cells — ``sort_values`` → ``factorize`` → ``unhashable
+  type``).  Unnest to scalar rows (posexplode) or serialize with
+  ``concat_ws`` before returning; keep array-valued operator outputs to
+  pytest-covered local twins.
 """
 
 from __future__ import annotations
@@ -124,19 +130,16 @@ DRIVER_PREFIX = 50
 # singleton family that was green in r1–r3 keeps its cumulative evidence;
 # tests/test_registry_order.py enforces prefix ∪ past-green coverage).
 # All 50 rows are oracle-paired — no rows-only slots in the window.
-# Round-6 composition: flagship + 22 live family anchors (all past-green,
-# kept so a repo regression in a core family is caught the same round) +
-# the 8 never-driver-evidenced oracle-paired queries from the round-5
-# backlog (incl. mm_byte_features, the FIRST array<double> driver row —
-# the local-harness norm() support landed in r5) + the 16 new round-6
-# queries (behavioral analytics incl. funnel/retention/paths, incremental
-# MV maintenance, winnowing, containment dedup, BPE token ids +
-# tokenize→pack chain, SQL-text range join, k-NN classify, mixture
-# weights, shard manifest, streaming funnel) + j5_outer_semi_anti, whose
-# implementation changed this round (single-pass counts) and must
-# re-prove its hash + 2 evidence refreshes (stale-evidence families;
-# their old green rows persist, so the other r03-or-older families keep
-# cumulative credit and are spot-checked in driver_sim's EXTRA list).
+# Round-7 composition (the verdict's "rotate hard" order): flagship +
+# 21 live family anchors (all past-green, kept so a repo regression in a
+# core family is caught the same round) + ALL 28 queries that had never
+# appeared in any driver window after r06 — the complete never-evidenced
+# backlog drains in one round, taking cumulative driver evidence to
+# 215/215 oracle-paired if the window comes back green.  mm_byte_features
+# re-enters in its FIXED form: unnested scalar rows instead of the
+# array<double> column the driver's canonicalizer cannot hash (the r06
+# red row).  No new registry surface was added ahead of this rotation —
+# evidence catches up with implementation first.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
     # §2 breadth composites (family anchors)
@@ -145,13 +148,9 @@ _PRIORITY: tuple[str, ...] = (
     "rb_window_order_breadth",
     "rb_cte_subquery_breadth",
     "rb_text_analysis_breadth",
-    # versioned-table DML + DDL live representatives (history/optimize/
-    # maintenance rotated out mid-round-6: r5-green, code untouched;
-    # vt_table_diff keeps the D family live AND adds first-time
-    # time-travel-diff evidence)
+    # versioned-table DML + DDL live representatives
     "vt_sql_dml_verbatim",
     "vt_merge_upsert",
-    "vt_table_diff",
     "ddl_ctas_lifecycle",
     # expectations / pipeline / source scan / streaming
     "ws_expectation_metrics",
@@ -159,67 +158,69 @@ _PRIORITY: tuple[str, ...] = (
     "s1_csv_roundtrip",
     "st_stateful_user_totals",
     "st_stream_static_join",
-    # LLM-extension family anchors (simhash/audio rotated out
-    # mid-round-6: r5-green, code untouched; tfidf/median/count-min
-    # keep text/agg/sketch live with first-time evidence)
+    # LLM-extension family anchors (one live representative per
+    # capability family; everything else in those families is r1–r6
+    # green and spot-checked in driver_sim's EXTRA list)
     "mh_minhash_lsh_dedup",
-    "t_tfidf_topk",
     "ann_ivf_fullprobe_exact",
     "mm_decode_roundtrip",
-    "a17_exact_median_twopass",
-    "a18_count_min_sketch",
-    "pp_zorder_layout",
     "cp_corpus_pipeline",
-    # first-time evidence: the round-5 backlog (never in a driver window)
-    "t_bpe_learn_merges",
-    "t_bpe_vocab_stats",
-    "mm_frame_sample",
-    "mm_byte_features",
     "tj_asof_sql_script",
-    "pp_bucketed_join_agg",
-    "pp_salted_skew_agg",
-    "s_orc_roundtrip",
-    # first-time evidence: new round-6 queries
-    "e_funnel_conversion",
-    "e_retention_cohorts",
-    "e_user_path_bigrams",
-    "w6_time_range_window",
-    "a13_filtered_agg",
-    "mv_incremental_agg",
-    "t_winnowing_fingerprint",
-    "d_containment_pairs",
-    "t_bpe_token_ids",
     "t_bpe_tokenize_pack",
-    # first-time evidence: round-6 wave-2/3 (SQL-text range join, k-NN
-    # classify, mixture weights, shard manifest, session paths, and the
-    # streaming funnel tracker's bounded-run oracle row)
-    "tj_range_sql_script",
-    "sim_knn_classify",
-    "cp_mix_temperature",
-    "cp_shard_manifest",
-    "e_session_topk_paths",
-    "st_funnel_stages",
-    # changed this round (single-pass join counts) — re-prove the hash
-    "j5_outer_semi_anti",
-    # first-time evidence: round-6 wave-7 (the two strongest — the
-    # interval-overlap join and the bilinear delta-join maintenance;
-    # the J-family/medallion anchors they displaced are r1-r5 green,
-    # run in every bench, and stay spot-checked in driver_sim's EXTRA)
-    "tj_interval_overlap",
+    "e_funnel_conversion",
     "mv_incremental_join",
+    # ---- the 28-query never-evidenced backlog (everything below is a
+    # first-time driver row; grouped by family) ----
+    # multimodal: the r06 red row, re-emitted driver-hashable (unnested)
+    "mm_byte_features",
+    # time-series hygiene (round-6 wave 4)
+    "ts_forward_fill",
+    "ts_spine_gapfill",
+    "ts_rollup_cascade",
+    "ts_ohlc_bars",
+    "ts_ewma_dyadic",
+    # aggregation breadth
+    "a14_bitwise_aggs",
+    "a15_value_histogram",
+    "a16_freq_items_bound",
+    # analytics / stats
+    "e_mad_outliers",
+    "e_chi_square_independence",
+    # curation sampling + reports
+    "cp_weighted_sample",
+    "cp_quality_percentile_gate",
+    "cp_dedup_stage_report",
+    "cp_pack_fill_report",
+    # relational breadth tail
+    "rb_array_hof_breadth",
+    "c5_recursive_cte_hierarchy",
+    "j7_null_safe_join",
+    "j8_lateral_topk_per_region",
+    # windows
+    "w9_sliding_event_windows",
+    "w10_ignore_nulls_window_breadth",
+    # text analysis tail
+    "t_url_parse",
+    "t_collocation_dice",
+    "t_rake_keywords",
+    # linear algebra / graph
+    "sim_power_iteration_pc1",
+    "g_pagerank_dupgraph",
+    # partitioning report + MV maintenance tail
+    "pp_partition_skew_report",
+    "mv_incremental_delete",
 )
-# Round-6 waves 4-6 (time-series hygiene, curation sampling, TF-IDF,
-# Morton layout, array HOFs, freq-items/count-min, two-pass median,
-# table diff, stream-static join, recursive CTE) landed after the
-# original round-6 prefix was drawn up; SIX of them were rotated INTO
-# the prefix mid-round (vt_table_diff, st_stream_static_join,
-# t_tfidf_topk, a17_exact_median_twopass, a18_count_min_sketch,
-# pp_zorder_layout) in place of six r5-green rows whose code did not
-# change this round (those six moved to driver_sim's EXTRA spot-check
-# list).  The remaining wave-4/5/6 rows (ts_*, a15, e_mad_outliers,
-# cp_weighted_sample, cp_quality_percentile_gate, rb_array_hof_breadth,
-# a16, c5, j8, st_funnel twin) are locally oracle-green and form the
-# round-7 rotation backlog.
+# Rotated out for round 7 (all past-green; their old driver rows persist
+# and they stay exercised in driver_sim's EXTRA spot-check list):
+# vt_table_diff, t_tfidf_topk, a17_exact_median_twopass,
+# a18_count_min_sketch, pp_zorder_layout, t_bpe_learn_merges,
+# t_bpe_vocab_stats, mm_frame_sample, pp_bucketed_join_agg,
+# pp_salted_skew_agg, s_orc_roundtrip, e_retention_cohorts,
+# e_user_path_bigrams, w6_time_range_window, a13_filtered_agg,
+# mv_incremental_agg, t_winnowing_fingerprint, d_containment_pairs,
+# t_bpe_token_ids, tj_range_sql_script, sim_knn_classify,
+# cp_mix_temperature, cp_shard_manifest, e_session_topk_paths,
+# st_funnel_stages, j5_outer_semi_anti, tj_interval_overlap.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -381,9 +381,16 @@ def st_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator sorts each batch by (ts, event_id), so the greedy fold
     provably equals the batch MIN-chain funnel — which is exactly what
     the DuckDB oracle computes (earliest view, earliest strictly-later
-    click, earliest strictly-later purchase).  Pytest separately proves
-    stage persistence across checkpointed restarts and the
-    strictly-after / wrong-order rules on multi-batch streams."""
+    click, earliest strictly-later purchase).  The format("memory") sink
+    below is EVIDENCE-HARNESS plumbing only — bounded sf0.01 run, driver
+    collects the table anyway; the operator itself
+    (streaming/funnel.py) is sink-agnostic and writes update-mode rows
+    to any update-capable Structured Streaming sink — for append-only
+    file sinks the foreachBatch-parquet pattern applies, which
+    tests/test_streaming_ext.py::test_funnel_tracker_parquet_sink runs
+    end-to-end with a disk read-back.  Pytest
+    separately proves stage persistence across checkpointed restarts and
+    the strictly-after / wrong-order rules on multi-batch streams."""
     from dataengineeringworkshop_spark.streaming.funnel import funnel_stage_tracker
 
     stream = _events_stream(spark, sf_dir)
@@ -435,9 +442,12 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stream joins a static dimension (customer→nation) that Spark
     re-reads per micro-batch and broadcasts, with NO join state kept —
     static rows are not streamed, so no watermark is needed on either
-    side.  The grouped rollup runs in update mode; the bounded
-    availableNow run's final per-group rows equal the batch join, which
-    is exactly what the oracle asserts."""
+    side.  The grouped rollup runs in COMPLETE mode (the sink below is
+    outputMode("complete"): each trigger re-emits the full per-group
+    snapshot, so the last snapshot IS the result — no per-key
+    re-aggregation of the memory table needed); the bounded availableNow
+    run's final snapshot equals the batch join, which is exactly what
+    the oracle asserts."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     dim = (

@@ -11,7 +11,9 @@ Implementation is one pass of DataFrame ops + a single table rewrite
 
 1. join current rows to the update batch on the business key;
 2. changed rows (``row_hash`` differs — the reference's change-detection
-   idiom, N2:353/537) are closed out at ``batch_ts``;
+   idiom, N2:353/537, hardened to the unambiguous struct hash so
+   NULL-shifted updates can't be misread as unchanged) are closed out
+   at ``batch_ts``;
 3. changed + brand-new keys produce new open rows;
 4. untouched rows (incl. all already-closed history) pass through.
 
@@ -26,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataengineeringworkshop_spark.operators.rowhash import with_row_hash
+from dataengineeringworkshop_spark.operators.rowhash import with_struct_hash
 from dataengineeringworkshop_spark.tables.versioned import VersionedTable
 
 OPEN_TS = "2100-01-01 00:00:00"  # within pandas ns-timestamp range (sentinel "open")
@@ -35,7 +37,7 @@ OPEN_TS = "2100-01-01 00:00:00"  # within pandas ns-timestamp range (sentinel "o
 def scd2_init(vt: VersionedTable, df: DataFrame, key: str, batch_ts: str) -> None:
     """Create the dimension with SCD2 bookkeeping columns."""
     vt.write(
-        with_row_hash(df).withColumns(
+        with_struct_hash(df).withColumns(
             {
                 "valid_from": F.lit(batch_ts).cast("timestamp"),
                 "valid_to": F.lit(OPEN_TS).cast("timestamp"),
@@ -56,7 +58,7 @@ def scd2_apply(
         c for c in cur.columns
         if c not in ("row_hash", "valid_from", "valid_to", "is_current")
     ]
-    src = with_row_hash(updates.select(*bare_cols)).withColumnRenamed(
+    src = with_struct_hash(updates.select(*bare_cols)).withColumnRenamed(
         "row_hash", "src_hash"
     )
     src_keyed = src.select(

@@ -183,3 +183,26 @@ def test_sql_script_multi_statement(spark, tmp_path):
         lh.sql("select count(*) AS n from script_t where tag = 'hot;item'")
         .first().n == 3
     )
+
+
+def test_sql_shallow_clone_statement(spark, tmp_path):
+    """CREATE TABLE … SHALLOW CLONE … [VERSION AS OF n] parses and
+    dispatches to VersionedTable.shallow_clone; the clone is queryable
+    as a view and isolated from subsequent source DML."""
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(str(tmp_path / "lake"), spark=spark, table_backend="versioned")
+    lh.create_table("src", spark.range(40).withColumnRenamed("id", "v"))
+    lh.sql("delete from src where v >= 20")  # src v1: 20 rows
+
+    st = lh.sql("CREATE TABLE c1 SHALLOW CLONE src")
+    assert st.first().operation == "SHALLOW CLONE"
+    assert lh.sql("select count(*) AS n from c1").first().n == 20
+
+    st = lh.sql("CREATE TABLE c0 SHALLOW CLONE src VERSION AS OF 0")
+    assert lh.sql("select count(*) AS n from c0").first().n == 40
+
+    lh.sql("delete from src where v >= 10")
+    assert lh.sql("select count(*) AS n from src").first().n == 10
+    assert lh.sql("select count(*) AS n from c1").first().n == 20
+    assert lh.sql("select count(*) AS n from c0").first().n == 40

@@ -319,6 +319,43 @@ def test_funnel_tracker_progresses_across_restarts(spark, tmp_path):
     assert got2 == {1: (3, "purchase"), 2: (1, "view")}
 
 
+def test_funnel_tracker_parquet_sink(spark, tmp_path):
+    """The tracker is sink-agnostic: the registry query's
+    format("memory") sink is evidence-harness plumbing only.  Run the
+    same operator into a real on-disk sink — update-mode stateful output
+    can't feed an append-only file sink directly (Spark rejects it), so
+    the production pattern is foreachBatch appending each micro-batch's
+    emitted rows as parquet — and read the result back from disk."""
+    from dataengineeringworkshop_spark.streaming.funnel import funnel_stage_tracker
+
+    src, chk, out = tmp_path / "src", tmp_path / "chk", str(tmp_path / "out")
+    _write_jsonl(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "view"},
+            {"event_id": 2, "ts": "2024-01-01 00:02:00", "user_id": 1, "event_type": "click"},
+            {"event_id": 3, "ts": "2024-01-01 00:01:00", "user_id": 2, "event_type": "view"},
+        ],
+    )
+    stream = spark.readStream.schema(FUNNEL_SCHEMA).json(str(src))
+
+    def to_parquet(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        funnel_stage_tracker(stream)
+        .writeStream.foreachBatch(to_parquet)
+        .outputMode("update")
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    got = {r.user_id: (r.stage, r.stage_name) for r in back.collect()}
+    assert got == {1: (2, "click"), 2: (1, "view")}
+
+
 def test_funnel_tracker_matches_batch_min_chain(spark, tmp_path):
     """Single ordered batch: the greedy stateful fold must equal the
     batch MIN-chain funnel (the e_funnel_conversion semantics) on a

@@ -41,3 +41,26 @@ def test_table_diff_null_value_transitions_are_changes(spark):
 def test_table_diff_identity_is_empty(spark):
     df = _df(spark, [(1, "x", 10, "p"), (2, "y", 20, "q")])
     assert table_diff(df, df, key=["k1", "k2"]).count() == 0
+
+
+def _sdf(spark, rows):
+    return spark.createDataFrame(rows, "k INT, a STRING, b STRING")
+
+
+def test_table_diff_null_shift_is_a_change(spark):
+    """concat_ws drops NULLs, so ('p', NULL) and (NULL, 'p') concat
+    identically — the struct hash must classify the shift as changed
+    (the round-6 advice's silent-drop failure mode)."""
+    old = _sdf(spark, [(1, "p", None)])
+    new = _sdf(spark, [(1, None, "p")])
+    got = table_diff(old, new, key="k").collect()
+    assert [(r.k, r.change_type) for r in got] == [(1, "changed")]
+
+
+def test_table_diff_separator_straddle_is_a_change(spark):
+    """('a||b', 'c') vs ('a', 'b||c') concat_ws-collide; struct hash
+    must not."""
+    old = _sdf(spark, [(1, "a||b", "c")])
+    new = _sdf(spark, [(1, "a", "b||c")])
+    got = table_diff(old, new, key="k").collect()
+    assert [(r.k, r.change_type) for r in got] == [(1, "changed")]

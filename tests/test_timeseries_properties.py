@@ -208,6 +208,24 @@ def test_twopass_median_empty_input(spark):
     assert row.n_events == 0 and row.median_cents is None
 
 
+def test_twopass_median_wide_range_no_overflow(spark):
+    """Values spanning nearly the full int64 domain: the old
+    (c - mn) * nbins binning wrapped at width > 2^63/nbins and walked a
+    scrambled histogram (wrong median, no error).  The step-division
+    form must return the exact median."""
+    from dataengineeringworkshop_spark.operators.median import exact_median_twopass
+
+    vals = [-(1 << 61), -(1 << 40), 0, 7, (1 << 41), (1 << 61), (1 << 61) + 5]
+    df = spark.createDataFrame([(v,) for v in vals], "c LONG")
+    row = exact_median_twopass(df, "c").collect()[0]
+    assert row.n_events == 7 and row.median_cents == 7.0
+
+    # even median: interpolates between two huge order statistics
+    df2 = spark.createDataFrame([(v,) for v in vals[:6]], "c LONG")
+    row2 = exact_median_twopass(df2, "c").collect()[0]
+    assert row2.median_cents == (0 + 7) / 2
+
+
 def test_twopass_median_ignores_nulls(spark):
     """NULLs are excluded like percentile/quantile_cont do — they must
     affect neither the count nor the order statistics (regression: a

@@ -212,3 +212,97 @@ def test_vacuum_removes_unreferenced_dirs_only(spark, tmp_path):
     # removed dirs are physically gone
     for d in removed:
         assert not os.path.isdir(os.path.join(path, d))
+
+
+def test_shallow_clone_read_parity_and_version_as_of(spark, tmp_path):
+    """A shallow clone reads byte-identical to its source snapshot —
+    both at HEAD and at an explicit VERSION AS OF — without copying any
+    data directory (the clone's commit references the source dirs by
+    absolute path)."""
+    import os
+
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    t.write(spark.range(100).withColumnRenamed("id", "v"))        # v0
+    t.update({"v": "v + 1000"}, condition="v < 10")               # v1
+
+    head = t.shallow_clone(str(tmp_path / "clone_head"))
+    v0 = t.shallow_clone(str(tmp_path / "clone_v0"), version=0)
+
+    assert head.read().exceptAll(t.read()).count() == 0
+    assert t.read().exceptAll(head.read()).count() == 0
+    assert sorted(r.v for r in v0.read().collect()) == list(range(100))
+    # zero-copy: no data dirs materialized under either clone path
+    for p in ("clone_head", "clone_v0"):
+        entries = [
+            e for e in os.listdir(tmp_path / p)
+            if os.path.isdir(os.path.join(tmp_path, p, e)) and e != "_dew_log"
+        ]
+        assert entries == [], f"clone {p} copied data: {entries}"
+    hist = head.history().collect()
+    assert [r.operation for r in hist] == ["CLONE"]
+
+
+def test_shallow_clone_dml_isolation_both_directions(spark, tmp_path):
+    """DML on the clone copy-on-writes into the CLONE's directories
+    (source unchanged); DML on the source after the clone point is
+    invisible to the clone (snapshot isolation across tables)."""
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    t.write(spark.range(50).withColumnRenamed("id", "v"))
+    c = t.shallow_clone(str(tmp_path / "clone"))
+
+    c.delete("v >= 25")                          # clone-side DML
+    assert c.read().count() == 25
+    assert t.read().count() == 50, "clone DML leaked into the source"
+
+    t.update({"v": "v + 900"}, condition="v < 5")  # source-side DML
+    assert c.read().filter("v >= 900").count() == 0, (
+        "post-clone source DML became visible to the clone"
+    )
+
+
+def test_shallow_clone_stats_pruning_and_vacuum_safety(spark, tmp_path):
+    """File-stats keys are rewritten to absolute paths at clone time, so
+    stats-based pruning works ON the clone; VACUUM on the clone must
+    only consider the clone's own directories and never delete source
+    data it references."""
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    t.write(spark.range(1000).withColumnRenamed("id", "v"))
+    t.optimize(zorder_by=["v"], target_files=4)   # records per-file stats
+
+    c = t.shallow_clone(str(tmp_path / "clone"))
+    all_files = c.scan_files()
+    point = c.scan_files(where="v = 999")
+    assert len(all_files) >= 3
+    assert len(point) == 1, "clone did not prune on inherited stats"
+    got = c.read(where="v = 999").collect()
+    assert [r.v for r in got] == [999]
+
+    # clone-side vacuum: nothing local to remove, source stays intact
+    removed = c.vacuum(retain_last=1)
+    assert removed == []
+    assert t.read().count() == 1000
+    assert c.read().count() == 1000
+
+    # after clone-side DML + vacuum, the clone's OWN old dir is removable
+    c.delete("v >= 500")
+    removed2 = c.vacuum(retain_last=1)
+    assert c.read().count() == 500
+    assert t.read().count() == 1000, "clone vacuum touched source data"
+
+
+def test_shallow_clone_target_exists_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    t.write(spark.range(5).withColumnRenamed("id", "v"))
+    t.shallow_clone(str(tmp_path / "c1"))
+    with _pytest.raises(ValueError, match="already exists"):
+        t.shallow_clone(str(tmp_path / "c1"))
