@@ -125,6 +125,75 @@ def sessionize(
     ).drop("__new")
 
 
+def global_session_intervals(
+    df: DataFrame,
+    ts: str = "ts",
+    gap_seconds: int = 600,
+    order_tiebreak: str | None = None,
+    band_seconds: int | None = None,
+) -> DataFrame:
+    """Gap-sessionize a GLOBAL (un-keyed) timeline into interval
+    summaries ``(session_id, start_us, end_us)`` — two-level, so no
+    per-event single-partition window ever runs:
+
+    1. **Per-band local sessionize** — events band by
+       ``floor(t / band_seconds)`` and sessionize inside each band
+       (window partitioned by band → parallel across the cluster).
+    2. **Boundary merge over summaries** — local sessions collapse to
+       (start_us, end_us) rows; one ordered pass re-merges consecutive
+       summaries with gap <= gap_seconds.  Exactness: within a band,
+       consecutive local sessions are separated by gap > gap_seconds
+       by construction (never wrongly merged); across a band edge the
+       split was purely artificial and the merge rule is the same
+       gap rule, so the result is row-identical to a single-pass
+       sessionize, including the 1-based start-order session numbering.
+
+    The merge pass IS a single-partition window — but over summaries,
+    whose count is bounded by the TIME RANGE, not the data: distinct
+    local sessions in one band are separated by > gap_seconds, so a
+    band holds <= band_seconds/gap_seconds + 1 of them (7 at the 1h/10min
+    defaults) — a year of timeline is <= ~61k summary rows whether the
+    events are 60k or 60 billion.  Requires band_seconds > gap_seconds
+    (defaults to max(6*gap, 3600))."""
+    if band_seconds is None:
+        band_seconds = max(gap_seconds * 6, 3600)
+    if band_seconds <= gap_seconds:
+        raise ValueError("band_seconds must exceed gap_seconds")
+    gap_us = F.lit(gap_seconds * 1_000_000).cast("long")
+    band_us = band_seconds * 1_000_000
+
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    banded = df.withColumn(
+        "__tus", F.unix_micros(F.col(ts).cast("timestamp"))
+    ).withColumn("__band", F.floor(F.col("__tus") / F.lit(band_us)))
+
+    w_lag = Window.partitionBy("__band").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("__tus").over(w_lag)
+    new_local = F.when(prev.isNull() | ((F.col("__tus") - prev) > gap_us), 1).otherwise(0)
+    local = (
+        banded.withColumn("__new", new_local)
+        .withColumn("__lsid", F.sum("__new").over(w_run))
+        .groupBy("__band", "__lsid")
+        .agg(F.min("__tus").alias("start_us"), F.max("__tus").alias("end_us"))
+    )
+
+    # session intervals are pairwise disjoint, so start_us is a strict
+    # total order (end_us tiebreak is belt-and-braces only)
+    w2 = Window.orderBy("start_us", "end_us")
+    w2_run = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_end = F.lag("end_us").over(w2)
+    new_glob = F.when(
+        prev_end.isNull() | ((F.col("start_us") - prev_end) > gap_us), 1
+    ).otherwise(0)
+    return (
+        local.withColumn("__new", new_glob)
+        .withColumn("session_id", F.sum("__new").over(w2_run))
+        .groupBy("session_id")
+        .agg(F.min("start_us").alias("start_us"), F.max("end_us").alias("end_us"))
+    )
+
+
 def banded_range_join(
     left: DataFrame,
     right: DataFrame,

@@ -65,6 +65,7 @@ SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
 @query(
     "e_funnel_conversion",
     oracle=_FUNNEL_BODY.format(events="events"),
+    bench=True,
     tags=("ext-analytics",),
 )
 def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,6 +315,7 @@ LIMIT 20
 @query(
     "e_session_topk_paths",
     oracle=_SESSION_PATHS_DUCK,
+    bench=True,
     tags=("ext-analytics", "session"),
 )
 def e_session_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,6 +397,7 @@ def mv_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey
     """,
+    bench=True,
     tags=("ext-analytics", "incremental"),
 )
 def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:

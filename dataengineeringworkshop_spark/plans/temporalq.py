@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from dataengineeringworkshop_spark.operators.temporal import (
     asof_join,
     banded_range_join,
+    global_session_intervals,
     sessionize,
 )
 from dataengineeringworkshop_spark.plans.registry import query
@@ -426,6 +427,7 @@ def tj_range_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sessions s JOIN incidents i
           ON s.s_start_us <= i.i_end_us AND i.i_start_us <= s.s_end_us
     """,
+    bench=True,
     tags=("ext-temporal", "range-join"),
 )
 def tj_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,8 +444,14 @@ def tj_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and multi-band duplicates collapse in a grouped MIN/MAX that also
     emits the overlap length.  Replication is span/1h + 1 per interval
     (sessions are gap-bounded, incidents burst-bounded, so both are
-    short); the incident window runs over the error stream only, which
-    is orders of magnitude smaller than the raw log at any scale."""
+    short).  The incident timeline is global (no key), so it is derived
+    with the TWO-LEVEL sessionize (operators/temporal.py
+    global_session_intervals): per-band local windows run parallel over
+    the raw error events, and only the band-bounded summary rows —
+    <= band/gap + 1 per band, i.e. bounded by the time range, not the
+    data — pass through the final ordered merge.  No per-event
+    single-partition window anywhere in the plan
+    (tests/test_plan_quality.py pins this)."""
     e = load_table(spark, sf_dir, "events")
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
 
@@ -453,12 +461,14 @@ def tj_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(t_us).alias("s_start_us"), F.max(t_us).alias("s_end_us")
     )
 
-    errs = e.filter(F.col("event_type") == "error").withColumn("__g", F.lit(1))
-    inc = sessionize(errs, key="__g", ts="ts", gap_seconds=600,
-                     order_tiebreak="event_id")
-    incidents = inc.groupBy("session_id").agg(
-        F.min(t_us).alias("i_start_us"), F.max(t_us).alias("i_end_us")
-    ).withColumnRenamed("session_id", "incident_id")
+    errs = e.filter(F.col("event_type") == "error")
+    incidents = global_session_intervals(
+        errs, ts="ts", gap_seconds=600, order_tiebreak="event_id"
+    ).select(
+        F.col("session_id").alias("incident_id"),
+        F.col("start_us").alias("i_start_us"),
+        F.col("end_us").alias("i_end_us"),
+    )
 
     band_us = 3600 * 1_000_000
     s_banded = sessions.withColumn(

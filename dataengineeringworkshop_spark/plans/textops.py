@@ -866,6 +866,7 @@ def _bpe_pack_oracle() -> str:
 @query(
     "t_bpe_tokenize_pack",
     oracle=_bpe_pack_oracle(),
+    bench=True,
     tags=("ext-text", "bpe", "ext-corpus"),
 )
 def t_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -318,6 +318,7 @@ def e_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY day_id, event_type
     """,
+    bench=True,
     tags=("ext-analytics", "timeseries", "incremental"),
 )
 def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:

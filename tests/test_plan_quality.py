@@ -531,6 +531,87 @@ def test_interval_overlap_is_banded_equi_join(spark, registry):
     assert ops.get("CartesianProduct", 0) == 0, ops
 
 
+def test_interval_overlap_incident_windows_are_banded(spark, registry):
+    """No PER-EVENT window may run on a single partition: the incident
+    derivation must local-sessionize per time band (partitioned window
+    over the raw error events) and only the band-bounded summary rows —
+    <= band/gap + 1 per band, bounded by the time range — may pass the
+    final ordered merge.  Pin: every SinglePartition exchange feeds a
+    Window whose input already went through the banded partial
+    aggregation, i.e. the raw events Scan is separated from any
+    SinglePartition exchange by a HashAggregate."""
+    plan = _plan(registry["tj_interval_overlap"].fn(spark, SF_SMOKE))
+    # the banded local-sessionize must be present: per-event rows shuffle
+    # by hashpartitioning(__band), i.e. the raw error events never feed a
+    # single-partition window
+    assert re.search(r"hashpartitioning\(__band", plan), plan
+    # every SinglePartition exchange block may carry ONLY summary
+    # attributes (start_us/end_us) — a raw per-event column (event_id,
+    # user_id, or the raw ts) in its Input list means a per-event global
+    # window is back
+    blocks = re.split(r"\n\n", plan)
+    single = [
+        b for b in blocks
+        if "Exchange" in b and "SinglePartition" in b and "Input" in b
+    ]
+    assert single, "expected the bounded summary merge exchange:\n" + plan
+    for b in single:
+        inp = next(ln for ln in b.split("\n") if ln.startswith("Input"))
+        assert "event_id" not in inp and "user_id" not in inp, (
+            "per-event attributes crossing a SinglePartition exchange:\n" + b
+        )
+
+
+def test_global_session_intervals_matches_single_pass(spark):
+    """Ground truth: the two-level banded sessionize must be
+    row-identical (ids included) to the naive single-partition
+    sessionize, across band-edge merges, multi-band chains, skipped
+    bands, and exact-gap boundaries."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.operators.temporal import (
+        global_session_intervals,
+        sessionize,
+    )
+
+    rows = []
+    eid = 0
+    # incident A: chain crossing 3 one-hour bands via <=gap steps
+    for s in range(0, 3 * 3600, 500):
+        rows.append((eid, s)); eid += 1
+    # incident B: starts 601 s after A ends (gap 600 is the merge limit,
+    # 601 splits)
+    b0 = rows[-1][1] + 601
+    for s in range(b0, b0 + 1200, 600):  # exact-gap internal steps merge
+        rows.append((eid, s)); eid += 1
+    # incident C: after a fully EMPTY band (tests band-skip logic)
+    c0 = rows[-1][1] + 2 * 3600
+    rows.append((eid, c0)); eid += 1
+    df = spark.createDataFrame(
+        [(e, s) for e, s in rows], "event_id long, secs long"
+    ).withColumn("ts", F.timestamp_seconds("secs"))
+
+    got = global_session_intervals(
+        df, ts="ts", gap_seconds=600, order_tiebreak="event_id",
+        band_seconds=3600,
+    )
+    naive = (
+        sessionize(
+            df.withColumn("__g", F.lit(1)), key="__g", ts="ts",
+            gap_seconds=600, order_tiebreak="event_id",
+        )
+        .groupBy("session_id")
+        .agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("start_us"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("end_us"),
+        )
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, naive.collect()))
+    assert a == b, (a, b)
+    assert len(a) == 3  # A, B, C
+
+
 def test_rollup_cascade_scans_raw_once(spark, registry):
     """The daily grain must derive from hourly partials: exactly one
     scan of the raw events file in the whole plan."""
