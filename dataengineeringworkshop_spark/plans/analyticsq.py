@@ -518,3 +518,69 @@ def e_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _CHI2_BODY.format(bucket=kbucket("user_id", 4), events="dew_events")
     )
+
+
+# two-proportion z-test body — IDENTICAL arithmetic text in both engines:
+# integer counts in, one float expression chain out, rounded to 6 (every
+# intermediate is an IEEE op on identical doubles in identical order, so
+# the rounding is belt-and-braces, per the derived-float-chain contract)
+_ZTEST_BODY = """
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS converted
+        FROM {events}
+        GROUP BY user_id
+    ),
+    a AS (
+        SELECT CAST({arm} AS INT) AS arm, converted FROM u
+    ),
+    s AS (
+        SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+        FROM a GROUP BY arm
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n2,
+               MAX(CASE WHEN arm = 0 THEN conv END) AS c1,
+               MAX(CASE WHEN arm = 1 THEN conv END) AS c2
+        FROM s
+    )
+    SELECT n1, n2, c1, c2,
+           ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+           ROUND(CAST(c2 AS DOUBLE) / n2, 6) AS p2,
+           ROUND(
+               (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+               / NULLIF(sqrt(
+                   (CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                   * (CAST(1 AS DOUBLE) - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                   * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)
+               ), CAST(0 AS DOUBLE)), 6) AS z_score
+    FROM w
+"""
+
+
+@query(
+    "e_two_proportion_ztest",
+    oracle=_ZTEST_BODY.format(
+        events="events", arm="((user_id % 1000000007) * 2654435761) % 2"
+    ),
+    tags=("ext-analytics", "stats"),
+)
+def e_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into two arms by the
+    engine's ONE deterministic hash (kbucket), conversion = "heavy
+    purchaser" (>= 14 purchase events — a median-straddling cut at every
+    test SF, so neither arm degenerates; "ever purchased" is true for
+    100% of synthetic users and collapses the pooled variance to 0),
+    and the pooled two-proportion z statistic — the other
+    half of the significance toolbox next to e_chi_square_independence
+    (z² equals the 2×2 chi-square on the same table; this form is what
+    experimentation platforms report, with sign and direction).  One
+    per-user aggregate, one 2-row arm aggregate, one scalar row out —
+    the whole test is two partial-agg shuffles regardless of event
+    volume.  sqrt/divisions are IEEE-identical on identical inputs in
+    both engines; output rounded to 6 per the contract."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_ZTEST_BODY.format(events="dew_events", arm=kbucket("user_id", 2)))

@@ -465,3 +465,79 @@ def rb_array_hof_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(28,14))) AS DOUBLE), 6)"
         ).alias("comp_sum"),
     )
+
+
+@query(
+    "rb_map_funcs_breadth",
+    # the oracle recomputes every final scalar RELATIONALLY (DuckDB maps
+    # have different semantics, so nothing map-typed crosses the wire):
+    # per-user type-count profile, its size, filtered size, argmax entry,
+    # and a canonical 'k:v' serialization
+    oracle="""
+        WITH tc AS (
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   MAX(COUNT(*)) OVER (PARTITION BY user_id) AS mx
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               COUNT(*) AS n_types,
+               CAST(SUM(n) AS BIGINT) AS total_events,
+               COUNT(*) FILTER (WHERE n >= 5) AS n_frequent_types,
+               MAX(n) AS top_type_n,
+               MIN(CASE WHEN n = mx THEN event_type END) AS top_type,
+               string_agg(event_type || ':' || CAST(n AS VARCHAR), ';'
+                          ORDER BY event_type) AS profile
+        FROM tc
+        GROUP BY user_id
+    """,
+    tags=("breadth", "F-map"),
+)
+def rb_map_funcs_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP-function family in one pass: each user's event-type
+    profile is materialized as a real MapType column
+    (map_from_entries over a sorted entry array, so iteration order is
+    canonical), then interrogated with size/map_entries/map_filter/
+    map_values/element_at — and every probe is reduced to a scalar or
+    string the driver can hash, checked against a purely relational
+    DuckDB recomputation (two independent formulations of the same
+    facts).  Map construction is one per-user aggregate; all map ops
+    are JVM expressions on the grouped row — no shuffle after the
+    groupBy, no Python."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH src AS (
+            -- REPARTITION(user_id) on the INPUT: hashpartitioning(user_id)
+            -- satisfies the clustered distribution of BOTH aggregates
+            -- (grouping by (user_id, event_type) only needs same-user
+            -- co-location), so the whole query runs on ONE exchange
+            SELECT /*+ REPARTITION(user_id) */ user_id, event_type
+            FROM dew_events
+        ),
+        tc AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM src GROUP BY user_id, event_type
+        ),
+        m AS (
+            SELECT user_id,
+                   map_from_entries(
+                       array_sort(collect_list(struct(event_type, n)))
+                   ) AS profile_map
+            FROM tc GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(size(profile_map) AS BIGINT) AS n_types,
+               CAST(aggregate(map_values(profile_map), 0L, (a, x) -> a + x)
+                    AS BIGINT) AS total_events,
+               CAST(size(map_filter(profile_map, (k, v) -> v >= 5))
+                    AS BIGINT) AS n_frequent_types,
+               array_max(map_values(profile_map)) AS top_type_n,
+               array_min(map_keys(map_filter(profile_map,
+                   (k, v) -> v = array_max(map_values(profile_map)))))
+                   AS top_type,
+               array_join(transform(map_entries(profile_map),
+                   e -> concat(e.key, ':', CAST(e.value AS STRING))), ';')
+                   AS profile
+        FROM m
+        """
+    )

@@ -909,3 +909,91 @@ def w10_ignore_nulls_window_breadth(spark: SparkSession, sf_dir: str) -> DataFra
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """
     )
+
+
+# shared running-distinct body: first-occurrence flag (row_number over
+# (user, type)) feeding a running sum over the SAME unique (ts, event_id)
+# order — dialect-free, integers only
+_CUMDIST_BODY = """
+    WITH f AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id
+                    ) = 1 THEN 1 ELSE 0 END AS is_first
+        FROM {events}
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM f
+"""
+
+
+@query(
+    "w11_cumulative_distinct",
+    oracle=_CUMDIST_BODY.format(events="events"),
+    tags=("extra", "analytic-window"),
+)
+def w11_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — the construct SQL
+    forbids directly (DISTINCT is not frame-able) — via the standard
+    two-window decomposition: flag each row that is the FIRST
+    occurrence of its (user, event_type), then running-sum the flags
+    in event order.  "How many distinct event types has this user
+    touched so far?" — the breadth-of-engagement curve.  Two window
+    passes over the same rows; the second reuses the first's
+    (user_id) hash partitioning, so Catalyst plans one exchange plus
+    an extra sort, never a per-row distinct scan.  Integers only —
+    no float contract needed."""
+    return _sql(
+        spark, sf_dir, ("events",), _CUMDIST_BODY.format(events="dew_events")
+    )
+
+
+@query(
+    "j9_bloom_prefilter_semi",
+    # the oracle is the PLAIN semi join: the hash match proves the
+    # bucket prefilter admits every true match (false positives are
+    # removed by the exact join; false negatives are impossible — both
+    # sides hash the key with the same function)
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderpriority
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity = 50
+        )
+    """,
+    tags=("extra", "J1", "scale"),
+)
+def j9_bloom_prefilter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join behind a hand-built Bloom-style prefilter: the build
+    side (orders containing a quantity-50 lineitem) reduces to its
+    DISTINCT kbucket set (<= m = 8192 rows REGARDLESS of build-side
+    cardinality), the probe side keeps only rows whose bucket is in
+    the set via a BROADCAST semi join — a one-hash Bloom filter with
+    m-bit occupancy, expressed as relational ops — and the surviving
+    sliver goes through the exact semi join.  The pattern Spark's
+    runtime bloom injection (tests/test_scale_paths.py pins the
+    automatic variant) applies, built manually so it works on engines
+    or plans where injection declines.  At 100 TB: the broadcast is
+    bounded by m, non-candidate probe rows die before the shuffle,
+    and the exact join sees only bucket-colliding rows."""
+    from dataengineeringworkshop_spark.plans.registry import kbucket
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = li.filter(F.col("l_quantity") == 50).select("l_orderkey")
+    m = 8192
+    buckets = hot.select(
+        F.expr(kbucket("l_orderkey", m)).alias("__bkt")
+    ).distinct()
+    pre = o.withColumn("__bkt", F.expr(kbucket("o_orderkey", m))).join(
+        F.broadcast(buckets), "__bkt", "left_semi"
+    )
+    return pre.join(
+        hot, pre.o_orderkey == hot.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderpriority")

@@ -595,7 +595,8 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (media_id, bkt, p, byte_entropy), 64 rows per payload — because the
     driver's evidence hasher cannot canonicalize array<double> columns
     (the round-6 finding); the array-valued operator output is
-    pytest-covered in tests/test_multimodal.py.  Pytest additionally
+    pytest-covered in tests/test_llmops.py
+    (test_byte_histogram_features_normalized_deterministic), which also
     asserts normalization + determinism."""
     from dataengineeringworkshop_spark.llmops.multimodal import (
         byte_histogram_features,
@@ -884,4 +885,111 @@ def g_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
     return pagerank(pairs).select(
         F.col("u").alias("doc_id"), "outdeg", F.col("r").alias("pagerank")
+    )
+
+
+@query(
+    "g_triangle_count",
+    # same ordered-enumeration algebra over the SAME df-capped pair list
+    # (a<b<c exactly once per triangle); counts are integers
+    oracle=f"""
+        WITH jp AS (
+            {_JACCARD_DUCK.format(maxdf=_JACCARD_MAXDF)}
+        ),
+        e AS (SELECT d1 AS a, d2 AS b FROM jp),
+        tri AS (
+            SELECT e1.a AS a, e1.b AS b, e2.b AS c
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY doc_id
+    """,
+    tags=("ext-dedup", "graph"),
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation over the near-duplicate
+    graph — the local clustering signal that separates a tight
+    mutual-duplicate CLIQUE (template spam: every pair similar) from a
+    hub-and-spoke STAR (one popular doc others quote), which
+    component id (d_dup_clusters) and centrality (g_pagerank_dupgraph)
+    cannot distinguish.  Ordered enumeration: every edge is stored
+    once as (a < b), a triangle is counted exactly once as a < b < c
+    via two equi joins (wedge build on the shared middle vertex +
+    closing-edge check) — never a cartesian, no double counting, no
+    division-by-6 cleanup.  At 100 TB the edge list is already
+    df-capped by the pair stage; wedge counts are bounded by the
+    per-node degree cap the same stage enforces."""
+    from dataengineeringworkshop_spark.plans.textops import d_ngram_jaccard_pairs
+
+    e = d_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("d1").alias("a"), F.col("d2").alias("b")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    verts = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return verts.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
+@query(
+    "mm_payload_dedup",
+    # DuckDB hashes the same bytes: testdata text is pure ASCII, so
+    # VARCHAR substr/sha256 see byte-identical input to Spark's binary
+    # substring/sha2 (same convention mm_byte_features relies on)
+    oracle="""
+        SELECT sha256(substr(text, 1, 32)) AS prefix_sha,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS survivor_id,
+               CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_full,
+               CAST(SUM(length(text)) AS BIGINT) AS total_bytes
+        FROM documents
+        WHERE text IS NOT NULL
+        GROUP BY 1
+    """,
+    tags=("ext-mm", "ext-dedup"),
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup over OPAQUE binary payloads — the first
+    stage of any multimodal corpus build (identical images/audio ship
+    thousands of times under different names): group by the sha256 of
+    a fixed 32-byte payload prefix (the cheap block key), keep the
+    min-id survivor, and report how many distinct FULL payload hashes
+    share each block key (prefix collisions = near-variants worth a
+    byte-level diff).  All JVM built-ins over the binary column —
+    substring and sha2 work on raw bytes, no decode, no Python; one
+    partial-agg shuffle on the 32-byte digest.  At 100 TB this is the
+    map-side-combine dedup: payload bytes never shuffle, only digests
+    do."""
+    from dataengineeringworkshop_spark.llmops.multimodal import documents_as_media
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    m = documents_as_media(d)
+    return (
+        m.select(
+            F.col("media_id"),
+            F.sha2(F.expr("substring(content, 1, 32)"), 256).alias("prefix_sha"),
+            F.sha2(F.col("content"), 256).alias("full_sha"),
+            F.length("content").alias("nbytes"),
+        )
+        .groupBy("prefix_sha")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("media_id").alias("survivor_id"),
+            F.countDistinct("full_sha").alias("n_distinct_full"),
+            F.sum("nbytes").cast("bigint").alias("total_bytes"),
+        )
     )

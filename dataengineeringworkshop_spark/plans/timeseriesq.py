@@ -466,3 +466,58 @@ def ts_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape); the per-user reduction keeps output at |users| rows."""
     register_views(spark, sf_dir, "events")
     return spark.sql(_EWMA_BODY.format(events="dew_events"))
+
+
+# seasonal-naive backtest body: hourly counts per type; forecast(h) =
+# count(h - 24); evaluate only hours where both sides exist (gap-robust
+# join on hour_id - 24, not a row lag).  Integer counts -> exact abs
+# errors; the MAE is one exact-decimal division rounded at the end.
+_SEASONAL_BODY = """
+    WITH hourly AS (
+        SELECT CAST(floor({epoch_sec} / 3600) AS BIGINT) AS hour_id,
+               event_type,
+               COUNT(*) AS n
+        FROM {events}
+        GROUP BY 1, 2
+    ),
+    eval AS (
+        SELECT a.event_type,
+               ABS(a.n - f.n) AS abs_err
+        FROM hourly a
+        JOIN hourly f
+          ON f.event_type = a.event_type AND f.hour_id = a.hour_id - 24
+    )
+    SELECT event_type,
+           COUNT(*) AS n_eval_hours,
+           CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
+           ROUND(CAST(CAST(SUM(abs_err) AS DECIMAL(18,4)) AS DOUBLE)
+                 / COUNT(*), 6) AS mae
+    FROM eval
+    GROUP BY event_type
+"""
+
+
+@query(
+    "ts_seasonal_naive_forecast",
+    oracle=_SEASONAL_BODY.format(epoch_sec="epoch(ts)", events="events"),
+    tags=("ext-analytics", "timeseries"),
+)
+def ts_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's per-type
+    event count with the count 24 hours earlier and score MAE per type
+    — the baseline every capacity-planning / anomaly model must beat,
+    and the cheapest possible one (zero parameters).  Gap-robust: the
+    forecast joins on hour_id - 24 rather than lagging rows, so missing
+    hours drop out of the eval set instead of silently pairing
+    misaligned hours.  One grouped count (partial-agg), one self
+    equi-join on (type, hour) — both shuffle on the same key family —
+    and a per-type reduce; hour ids are integer epoch division, counts
+    are integers, so the only float op is the final exact-decimal MAE
+    division, rounded to 6 per the contract."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        _SEASONAL_BODY.format(
+            epoch_sec="unix_timestamp(CAST(ts AS TIMESTAMP))",
+            events="dew_events",
+        )
+    )

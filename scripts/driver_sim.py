@@ -139,6 +139,15 @@ EXTRA = [
     "st_funnel_stages",
     "j5_outer_semi_anti",
     "tj_interval_overlap",
+    # round-7 additions outside the prefix (next round's rotation pool;
+    # the r7 prefix was frozen to drain the 28-query backlog first)
+    "w11_cumulative_distinct",
+    "j9_bloom_prefilter_semi",
+    "ts_seasonal_naive_forecast",
+    "e_two_proportion_ztest",
+    "rb_map_funcs_breadth",
+    "g_triangle_count",
+    "mm_payload_dedup",
 ]
 
 

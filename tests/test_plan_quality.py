@@ -648,3 +648,60 @@ def test_incremental_join_never_rescans_base_join(spark, registry):
     ops = _ops(_plan(registry["mv_incremental_join"].fn(spark, SF_SMOKE)))
     assert ops.get("BroadcastNestedLoopJoin", 0) == 0, ops
     assert ops.get("CartesianProduct", 0) == 0, ops
+
+
+def test_bloom_prefilter_semi_broadcasts_bucket_set(spark, registry):
+    """The j9 prefilter must be a BROADCAST semi join on the bounded
+    bucket set (never a shuffled join for the prefilter step), and the
+    probe side must not cartesian against anything."""
+    plan = _plan(registry["j9_bloom_prefilter_semi"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert ops.get("CartesianProduct", 0) == 0, ops
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 0, ops
+
+
+def test_map_funcs_breadth_single_aggregation_exchange(spark, registry):
+    """All map interrogations are row-local expressions on the grouped
+    profile: one user_id exchange for the two aggregates, no join, no
+    extra shuffle after the map is built."""
+    ops = _ops(_plan(registry["rb_map_funcs_breadth"].fn(spark, SF_SMOKE)))
+    # the REPARTITION(user_id) hint is the only exchange: both
+    # aggregations' clustered distributions are satisfied by it
+    assert ops.get("Exchange", 0) <= 1, ops
+    assert ops.get("SortMergeJoin", 0) == 0, ops
+
+
+def test_triangle_count_is_equi_join_only(spark, registry):
+    """Ordered triangle enumeration must plan as equi joins (wedge +
+    closing edge) — any nested-loop/cartesian means the ordering
+    predicate fell out of the join keys."""
+    ops = _ops(_plan(registry["g_triangle_count"].fn(spark, SF_SMOKE)))
+    assert ops.get("CartesianProduct", 0) == 0, ops
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 0, ops
+
+
+def test_seasonal_naive_two_shuffles(spark, registry):
+    """Hourly partial-agg, the lag-24 self equi-join, and the per-type
+    reduce — nothing else: no window over raw events, no sort."""
+    ops = _ops(_plan(registry["ts_seasonal_naive_forecast"].fn(spark, SF_SMOKE)))
+    assert ops.get("Window", 0) == 0, ops
+    assert ops.get("CartesianProduct", 0) == 0, ops
+    assert ops.get("Exchange", 0) <= 4, ops
+
+
+def test_payload_dedup_shuffles_digests_not_payloads(spark, registry):
+    """The dedup aggregate must partial-reduce before its exchange
+    (map-side combine: payload bytes never cross the wire, digests do)
+    — formatted plans show this as two HashAggregates around one
+    Exchange whose input carries the sha columns only."""
+    plan = _plan(registry["mm_payload_dedup"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    # exactly the two-phase exact-count-distinct shape: partial distinct
+    # on (prefix_sha, full_sha) + final per-prefix reduce = 2 exchanges
+    assert ops.get("Exchange", 0) <= 2, ops
+    assert ops.get("HashAggregate", 0) >= 2, ops
+    blocks = [b for b in plan.split("\n\n") if b.startswith("(") and "Exchange" in b.split("\n")[0]]
+    for b in blocks:
+        inp = next((ln for ln in b.split("\n") if ln.startswith("Input")), "")
+        assert "content" not in inp, "raw payload bytes crossing the shuffle:\n" + b
