@@ -584,3 +584,168 @@ def e_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; output rounded to 6 per the contract."""
     register_views(spark, sf_dir, "events")
     return spark.sql(_ZTEST_BODY.format(events="dew_events", arm=kbucket("user_id", 2)))
+
+
+@query(
+    "mv_incremental_minmax",
+    # oracle: full recompute over the rows that remain — the targeted
+    # group repair must be indistinguishable from it
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders WHERE o_orderkey % 10 != 0
+        GROUP BY o_orderpriority
+    """,
+    tags=("ext-analytics", "incremental"),
+)
+def mv_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance for NON-invertible aggregates: MIN and
+    MAX form a monoid but not a group — a deleted row cannot be
+    "subtracted" the way mv_incremental_delete retracts counts/sums.
+    The repair rule: aggregate the delete batch per group, and a group
+    needs recomputation ONLY if a deleted value EQUALS the stored
+    extreme (a tie elsewhere in the group makes the recompute return
+    the same value — still correct, never wrong); counts stay
+    group-retractable.  Repaired groups rescan the surviving rows for
+    JUST those groups (broadcast semi join on the bounded repair list);
+    untouched groups keep their stored partials.  At 100 TB: delete
+    batch aggregate reads only retracted rows, repair cost is
+    proportional to groups-with-deleted-extremes, not table size."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.plans.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dels = o.filter(F.col("o_orderkey") % 10 == 0)
+    # the standing MV (built once, stored; rebuilt here for the harness)
+    mv = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    dagg = dels.groupBy("o_orderpriority").agg(
+        F.count("*").alias("dn"),
+        F.min("o_totalprice").alias("dmn"),
+        F.max("o_totalprice").alias("dmx"),
+    )
+    j = mv.join(dagg, "o_orderpriority", "left")
+    # groups whose stored extreme was (possibly) deleted
+    needs_repair = j.filter(
+        (F.col("dmn") == F.col("mn")) | (F.col("dmx") == F.col("mx"))
+    ).select("o_orderpriority")
+    survivors = o.filter(F.col("o_orderkey") % 10 != 0)
+    repaired = (
+        survivors.join(F.broadcast(needs_repair), "o_orderpriority", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    untouched = (
+        j.join(F.broadcast(needs_repair), "o_orderpriority", "left_anti")
+        .select(
+            "o_orderpriority",
+            (F.col("n") - F.coalesce(F.col("dn"), F.lit(0))).cast("long")
+            .alias("n_orders"),
+            F.col("mn").alias("min_price"),
+            F.col("mx").alias("max_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return repaired.unionByName(untouched)
+
+
+# rolling z-score body — IDENTICAL text in both engines.  The trailing
+# frame EXCLUDES the current row (1 PRECEDING), readings are 2-decimal
+# doubles so sum/sumsq accumulate EXACTLY in DECIMAL (order-free); the
+# variance/sqrt/z chain is IEEE-identical on identical inputs and the
+# output is rounded to 6 per the contract.
+_ROLLZ_BODY = """
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               COUNT(value) OVER f AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+                   AS ss
+        FROM {events}
+        WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           ROUND((value - s / n)
+                 / sqrt((ss - s * s / n) / (n - 1)), 6) AS z_score
+    FROM w
+    WHERE n >= 8
+      AND (ss - s * s / n) / (n - 1) > 0.0001
+      AND ABS((value - s / n)
+              / sqrt((ss - s * s / n) / (n - 1))) > 2.5
+"""
+
+
+@query(
+    "e_rolling_zscore_anomaly",
+    oracle=_ROLLZ_BODY.format(events="events"),
+    tags=("ext-analytics", "stats"),
+)
+def e_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each reading scored against
+    the mean/std of the user's PREVIOUS <= 20 readings (the current row
+    is excluded from its own baseline — the classic leak the 1
+    PRECEDING bound closes), flagging |z| > 2.5 with >= 8 samples and a
+    variance floor (a flat baseline makes z meaningless, not
+    infinite).  One window partitioning carries count/sum/sumsq
+    together; readings are 2-decimal doubles so both running moments
+    accumulate exactly in DECIMAL and the only float arithmetic is the
+    final variance/sqrt/z chain, identical text in both engines,
+    rounded to 6.  The shape that also runs under
+    applyInPandasWithState with a 20-deep ring buffer per user."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_ROLLZ_BODY.format(events="dew_events"))
+
+
+# deterministic per-group MODE body (count desc, value asc tiebreak) —
+# identical text both engines, integers/strings only
+_MODE_BODY = """
+    WITH vc AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM {orders}
+        GROUP BY o_orderpriority, o_orderstatus
+    ),
+    r AS (
+        SELECT o_orderpriority, o_orderstatus, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY n DESC, o_orderstatus ASC
+               ) AS rn
+        FROM vc
+    )
+    SELECT o_orderpriority,
+           o_orderstatus AS mode_status,
+           CAST(n AS BIGINT) AS mode_n
+    FROM r WHERE rn = 1
+"""
+
+
+@query(
+    "a19_exact_mode",
+    oracle=_MODE_BODY.format(orders="orders"),
+    tags=("ext-analytics", "A1"),
+)
+def a19_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE (most frequent value) with a deterministic
+    tiebreak — the aggregate SQL's MODE()/any_value make
+    engine-dependent: count per (group, value) + one rank window over
+    the value-count table, ordered (count DESC, value ASC) so ties
+    resolve identically everywhere.  The window runs over |groups| ×
+    |distinct values| rows (here 5×3), NOT the raw table — at 100 TB
+    the partial-agg shuffles once and the rank is near-free.  The
+    approximate/mergeable sibling is a18_count_min_sketch."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_MODE_BODY.format(orders="dew_orders"))

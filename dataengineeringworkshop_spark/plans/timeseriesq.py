@@ -521,3 +521,67 @@ def ts_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             events="dew_events",
         )
     )
+
+
+# M4 downsampling body (Jugel et al., "M4: A Visualization-Oriented Time
+# Series Data Aggregation", VLDB 2014 — the public result that first/last/
+# min/max per pixel-bucket reproduces a line rendering exactly): four
+# rank windows sharing one (series, bucket) partitioning; value is a
+# passthrough double (no arithmetic), tiebreaks unique via event_id.
+_M4_BODY = """
+    WITH pts AS (
+        -- integer MICROSECONDS on both sides: DuckDB's epoch() returns
+        -- FRACTIONAL seconds (a BIGINT cast would round, Spark's
+        -- unix_timestamp truncates — off-by-one at .5+) and the
+        -- first/last orderings must compare identical instants
+        SELECT event_type,
+               CAST(floor(CAST({epoch_us} AS DOUBLE) / 3600000000) AS BIGINT)
+                   AS bkt,
+               {epoch_us} AS t_us, event_id, value
+        FROM {events}
+    ),
+    r AS (
+        SELECT event_type, bkt, t_us, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                                  ORDER BY t_us, event_id) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                                  ORDER BY t_us DESC, event_id DESC) AS rn_last,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                                  ORDER BY value ASC, t_us, event_id) AS rn_min,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                                  ORDER BY value DESC, t_us, event_id) AS rn_max
+        FROM pts
+    )
+    SELECT event_type, bkt, CAST(t_us AS BIGINT) AS t_us, event_id, value,
+           rn_first = 1 AS is_first,
+           rn_last = 1 AS is_last,
+           rn_min = 1 AS is_min,
+           rn_max = 1 AS is_max
+    FROM r
+    WHERE rn_first = 1 OR rn_last = 1 OR rn_min = 1 OR rn_max = 1
+"""
+
+
+@query(
+    "ts_m4_downsample",
+    oracle=_M4_BODY.format(epoch_us="epoch_us(ts)", events="events"),
+    tags=("ext-analytics", "timeseries"),
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): keep at
+    most the first, last, min, and max point of every (series,
+    hour-bucket) — the published minimal point set that renders the
+    SAME line as the raw data at one bucket per pixel column.  A
+    billion-point series downsamples to <= 4 × buckets rows in one
+    pass: all four rank windows share a single (event_type, bkt) hash
+    partitioning (one exchange, four in-partition sorts), values pass
+    through untouched (no float arithmetic anywhere), and the
+    (t, event_id) tiebreaks make every selected point — and therefore
+    the driver hash — deterministic."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        _M4_BODY.format(
+            epoch_us="unix_micros(CAST(ts AS TIMESTAMP))",
+            events="dew_events",
+        )
+    )

@@ -148,6 +148,10 @@ EXTRA = [
     "rb_map_funcs_breadth",
     "g_triangle_count",
     "mm_payload_dedup",
+    "mv_incremental_minmax",
+    "e_rolling_zscore_anomaly",
+    "a19_exact_mode",
+    "ts_m4_downsample",
 ]
 
 

@@ -705,3 +705,29 @@ def test_payload_dedup_shuffles_digests_not_payloads(spark, registry):
     for b in blocks:
         inp = next((ln for ln in b.split("\n") if ln.startswith("Input")), "")
         assert "content" not in inp, "raw payload bytes crossing the shuffle:\n" + b
+
+
+def test_m4_downsample_one_exchange_four_sorts(spark, registry):
+    """All four M4 rank windows must share one (event_type, bkt) hash
+    partitioning — one exchange, in-partition re-sorts only."""
+    ops = _ops(_plan(registry["ts_m4_downsample"].fn(spark, SF_SMOKE)))
+    assert ops.get("Exchange", 0) == 1, ops
+    assert ops.get("CartesianProduct", 0) == 0, ops
+
+
+def test_minmax_repair_joins_broadcast(spark, registry):
+    """The repair-group list and the untouched-group anti join are both
+    broadcast-driven (bounded by |groups|); the survivors rescan must
+    not sort-merge against anything."""
+    ops = _ops(_plan(registry["mv_incremental_minmax"].fn(spark, SF_SMOKE)))
+    assert ops.get("SortMergeJoin", 0) == 0, ops
+    assert ops.get("CartesianProduct", 0) == 0, ops
+    assert ops.get("BroadcastHashJoin", 0) >= 2, ops
+
+
+def test_rolling_zscore_single_window_exchange(spark, registry):
+    """count/sum/sumsq ride ONE trailing frame over one (user_id)
+    partitioning — three moments must not plan three exchanges."""
+    ops = _ops(_plan(registry["e_rolling_zscore_anomaly"].fn(spark, SF_SMOKE)))
+    assert ops.get("Window", 0) == 1, ops
+    assert ops.get("Exchange", 0) <= 1, ops
