@@ -148,3 +148,35 @@ def pagerank(
             )
         )
     return r
+
+
+def triangle_counts(pairs: DataFrame, a: str = "d1", b: str = "d2") -> DataFrame:
+    """Per-vertex triangle participation ``(doc_id, n_triangles)`` over
+    an ordered undirected edge list (``a < b`` per row).
+
+    Ordered enumeration — wedge equi-join on the shared middle vertex +
+    a closing-edge equi-join — counts every triangle exactly once as
+    a < b < c (no /6 cleanup, never a cartesian), then attributes it to
+    all three corners.  The edge list is materialized once: it feeds
+    three join aliases, and without the artifact Spark would recompute
+    the (potentially expensive) pair-mining subtree per alias.  Wedge
+    fan-out is bounded by whatever degree cap the pair stage enforces."""
+    e = materialize(
+        pairs.select(F.col(a).alias("a"), F.col(b).alias("b")), "tri_edges"
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    verts = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return verts.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))

@@ -6,7 +6,7 @@ driver or loops row-at-a-time.
 """
 
 from dataengineeringworkshop_spark.operators.dedup import dedup_exact, dedup_latest
-from dataengineeringworkshop_spark.operators.rowhash import with_row_hash
+from dataengineeringworkshop_spark.operators.rowhash import with_row_hash, with_struct_hash
 from dataengineeringworkshop_spark.operators.shred import shred_json_array
 from dataengineeringworkshop_spark.operators.topk import top_k_per_group
 from dataengineeringworkshop_spark.operators.expectations import Expectation, apply_expectations
@@ -15,6 +15,7 @@ __all__ = [
     "dedup_latest",
     "dedup_exact",
     "with_row_hash",
+    "with_struct_hash",
     "shred_json_array",
     "top_k_per_group",
     "Expectation",

@@ -162,19 +162,16 @@ def global_session_intervals(
     gap_us = F.lit(gap_seconds * 1_000_000).cast("long")
     band_us = band_seconds * 1_000_000
 
-    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
     banded = df.withColumn(
         "__tus", F.unix_micros(F.col(ts).cast("timestamp"))
     ).withColumn("__band", F.floor(F.col("__tus") / F.lit(band_us)))
 
-    w_lag = Window.partitionBy("__band").orderBy(*order)
-    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag("__tus").over(w_lag)
-    new_local = F.when(prev.isNull() | ((F.col("__tus") - prev) > gap_us), 1).otherwise(0)
+    # level 1 IS the keyed sessionize, keyed by the band — one gap-fold
+    # definition in the engine, two callers
     local = (
-        banded.withColumn("__new", new_local)
-        .withColumn("__lsid", F.sum("__new").over(w_run))
-        .groupBy("__band", "__lsid")
+        sessionize(banded, key="__band", ts=ts, gap_seconds=gap_seconds,
+                   order_tiebreak=order_tiebreak)
+        .groupBy("__band", "session_id")
         .agg(F.min("__tus").alias("start_us"), F.max("__tus").alias("end_us"))
     )
 

@@ -615,50 +615,25 @@ def mv_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to groups-with-deleted-extremes, not table size."""
     from pyspark.sql import functions as F
 
+    from dataengineeringworkshop_spark.operators.incremental import (
+        minmax_delete_repair,
+    )
     from dataengineeringworkshop_spark.plans.tables import load_table
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     dels = o.filter(F.col("o_orderkey") % 10 == 0)
-    # the standing MV (built once, stored; rebuilt here for the harness)
-    mv = o.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n"),
-        F.min("o_totalprice").alias("mn"),
-        F.max("o_totalprice").alias("mx"),
+    out = minmax_delete_repair(
+        o, dels, group_cols="o_orderpriority", val_col="o_totalprice",
+        key_col="o_orderkey",
     )
-    dagg = dels.groupBy("o_orderpriority").agg(
-        F.count("*").alias("dn"),
-        F.min("o_totalprice").alias("dmn"),
-        F.max("o_totalprice").alias("dmx"),
+    return out.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.col("mn").alias("min_price"),
+        F.col("mx").alias("max_price"),
     )
-    j = mv.join(dagg, "o_orderpriority", "left")
-    # groups whose stored extreme was (possibly) deleted
-    needs_repair = j.filter(
-        (F.col("dmn") == F.col("mn")) | (F.col("dmx") == F.col("mx"))
-    ).select("o_orderpriority")
-    survivors = o.filter(F.col("o_orderkey") % 10 != 0)
-    repaired = (
-        survivors.join(F.broadcast(needs_repair), "o_orderpriority", "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").cast("long").alias("n_orders"),
-            F.min("o_totalprice").alias("min_price"),
-            F.max("o_totalprice").alias("max_price"),
-        )
-    )
-    untouched = (
-        j.join(F.broadcast(needs_repair), "o_orderpriority", "left_anti")
-        .select(
-            "o_orderpriority",
-            (F.col("n") - F.coalesce(F.col("dn"), F.lit(0))).cast("long")
-            .alias("n_orders"),
-            F.col("mn").alias("min_price"),
-            F.col("mx").alias("max_price"),
-        )
-        .filter(F.col("n_orders") > 0)
-    )
-    return repaired.unionByName(untouched)
 
 
 # rolling z-score body — IDENTICAL text in both engines.  The trailing

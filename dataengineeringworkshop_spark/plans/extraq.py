@@ -982,18 +982,11 @@ def j9_bloom_prefilter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     or plans where injection declines.  At 100 TB: the broadcast is
     bounded by m, non-candidate probe rows die before the shuffle,
     and the exact join sees only bucket-colliding rows."""
-    from dataengineeringworkshop_spark.plans.registry import kbucket
+    from dataengineeringworkshop_spark.operators.joins import bloom_prefilter_semi
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     hot = li.filter(F.col("l_quantity") == 50).select("l_orderkey")
-    m = 8192
-    buckets = hot.select(
-        F.expr(kbucket("l_orderkey", m)).alias("__bkt")
-    ).distinct()
-    pre = o.withColumn("__bkt", F.expr(kbucket("o_orderkey", m))).join(
-        F.broadcast(buckets), "__bkt", "left_semi"
-    )
-    return pre.join(
-        hot, pre.o_orderkey == hot.l_orderkey, "left_semi"
+    return bloom_prefilter_semi(
+        o, hot, probe_key="o_orderkey", build_key="l_orderkey", m=8192
     ).select("o_orderkey", "o_orderpriority")

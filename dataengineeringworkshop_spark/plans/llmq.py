@@ -923,26 +923,17 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     once as (a < b), a triangle is counted exactly once as a < b < c
     via two equi joins (wedge build on the shared middle vertex +
     closing-edge check) — never a cartesian, no double counting, no
-    division-by-6 cleanup.  At 100 TB the edge list is already
-    df-capped by the pair stage; wedge counts are bounded by the
-    per-node degree cap the same stage enforces."""
+    division-by-6 cleanup.  The edge list is materialized once inside
+    the operator (llmops/clusters.py triangle_counts) — it feeds three
+    join aliases, and an uncached alias would re-run the whole
+    pair-mining subtree (shingle self-join + sort + limit) per alias.
+    At 100 TB the edge list is already df-capped by the pair stage;
+    wedge counts are bounded by the per-node degree cap the same stage
+    enforces."""
+    from dataengineeringworkshop_spark.llmops.clusters import triangle_counts
     from dataengineeringworkshop_spark.plans.textops import d_ngram_jaccard_pairs
 
-    e = d_ngram_jaccard_pairs(spark, sf_dir).select(
-        F.col("d1").alias("a"), F.col("d2").alias("b")
-    )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
-        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
-    )
-    verts = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
-    )
-    return verts.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+    return triangle_counts(d_ngram_jaccard_pairs(spark, sf_dir))
 
 
 @query(

@@ -539,6 +539,11 @@ _M4_BODY = """
                    AS bkt,
                {epoch_us} AS t_us, event_id, value
         FROM {events}
+        -- NULL readings are not renderable points; filtering them also
+        -- closes a latent cross-engine divergence (Spark orders ASC
+        -- NULLS FIRST, DuckDB NULLS LAST, so an unguarded rn_min would
+        -- pick different rows)
+        WHERE value IS NOT NULL
     ),
     r AS (
         SELECT event_type, bkt, t_us, event_id, value,

@@ -58,6 +58,15 @@ def scd2_apply(
         c for c in cur.columns
         if c not in ("row_hash", "valid_from", "valid_to", "is_current")
     ]
+    # change detection recomputes the target-side hash FRESH from the
+    # stored bare columns instead of trusting the persisted row_hash —
+    # a dimension written under an older hash definition (the original
+    # concat_ws form) would otherwise mismatch on every unchanged row
+    # and spuriously close+reopen the whole table on the first apply
+    # after an upgrade.  The hash is derived data; recomputing it is one
+    # projection over rows the full-outer join reads anyway.
+    cur = cur.drop("row_hash")
+    cur = with_struct_hash(cur, bare_cols)
     src = with_struct_hash(updates.select(*bare_cols)).withColumnRenamed(
         "row_hash", "src_hash"
     )

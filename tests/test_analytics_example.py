@@ -35,6 +35,10 @@ def test_minmax_repair_handles_tied_extremes(spark):
     #            must keep min 1.0 from the survivor
     # group 'b': unique min deleted -> repaired min is the next value
     # group 'c': no extreme deleted -> stored partials pass through
+    from dataengineeringworkshop_spark.operators.incremental import (
+        minmax_delete_repair,
+    )
+
     rows = [
         (10, "a", 1.0), (11, "a", 1.0), (12, "a", 5.0),
         (20, "b", 2.0), (21, "b", 7.0), (22, "b", 9.0),
@@ -43,25 +47,9 @@ def test_minmax_repair_handles_tied_extremes(spark):
     deleted = {11, 20, 31}  # 31 deletes a MIDDLE value of c (no repair)
     df = spark.createDataFrame(rows, "k long, g string, v double")
     dels = df.filter(F.col("k").isin(*deleted))
-    mv = df.groupBy("g").agg(
-        F.count("*").alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx")
-    )
-    dagg = dels.groupBy("g").agg(
-        F.count("*").alias("dn"), F.min("v").alias("dmn"), F.max("v").alias("dmx")
-    )
-    j = mv.join(dagg, "g", "left")
-    needs = j.filter((F.col("dmn") == F.col("mn")) | (F.col("dmx") == F.col("mx"))).select("g")
+    out = minmax_delete_repair(df, dels, group_cols="g", val_col="v", key_col="k")
+    got = {r.g: (r.n, r.mn, r.mx) for r in out.collect()}
     surv = df.filter(~F.col("k").isin(*deleted))
-    repaired = surv.join(F.broadcast(needs), "g", "left_semi").groupBy("g").agg(
-        F.count("*").cast("long").alias("n"),
-        F.min("v").alias("mn"), F.max("v").alias("mx"),
-    )
-    untouched = j.join(F.broadcast(needs), "g", "left_anti").select(
-        "g",
-        (F.col("n") - F.coalesce(F.col("dn"), F.lit(0))).cast("long").alias("n"),
-        "mn", "mx",
-    ).filter(F.col("n") > 0)
-    got = {r.g: (r.n, r.mn, r.mx) for r in repaired.unionByName(untouched).collect()}
     want = {r.g: (r.n, r.mn, r.mx) for r in surv.groupBy("g").agg(
         F.count("*").cast("long").alias("n"),
         F.min("v").alias("mn"), F.max("v").alias("mx"),
@@ -70,6 +58,3 @@ def test_minmax_repair_handles_tied_extremes(spark):
     assert got["a"] == (2, 1.0, 5.0)   # surviving tie kept
     assert got["b"] == (2, 7.0, 9.0)   # unique min repaired away
     assert got["c"] == (2, 3.0, 8.0)   # untouched partials correct
-    # and 'c' really took the partial path (no extreme deleted)
-    assert [r.g for r in needs.collect()] == ["a", "b"] or \
-        sorted(r.g for r in needs.collect()) == ["a", "b"]

@@ -105,53 +105,36 @@ def test_triangle_count_ground_truth(spark):
     triangles), a pendant edge 4-5 (no triangle), and a separate
     triangle {10,11,12} (1 each).  Enumeration must count each
     triangle once and attribute it to all three corners."""
-    from pyspark.sql import functions as F
+    from dataengineeringworkshop_spark.llmops.clusters import triangle_counts
 
     clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
     edges = clique + [(4, 5), (10, 11), (10, 12), (11, 12)]
-    e = spark.createDataFrame(edges, "a long, b long")
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
-        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
-    )
-    verts = (
-        tri.select(F.col("a").alias("v"))
-        .unionAll(tri.select("b"))
-        .unionAll(tri.select("c"))
-    )
-    got = {r.v: r.n for r in verts.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    e = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r.doc_id: r.n_triangles for r in triangle_counts(e).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
-    assert tri.count() == 5  # 4 in the clique + 1 separate
+    assert sum(got.values()) == 15  # 5 triangles x 3 corners
 
 
 def test_bloom_prefilter_semi_equals_plain_semi(spark):
     """The bucket prefilter + exact join must equal the plain semi join
     on adversarial keys (bucket collisions between hot and cold keys,
     keys larger than 2^32, empty build side)."""
-    from pyspark.sql import functions as F
-
-    from dataengineeringworkshop_spark.plans.registry import kbucket
+    from dataengineeringworkshop_spark.operators.joins import bloom_prefilter_semi
 
     m = 64  # tiny bucket space -> guaranteed collisions
     probe = spark.createDataFrame(
         [(k,) for k in list(range(1000)) + [2**40 + 7, 2**40 + 71]], "k long"
     )
     build = spark.createDataFrame(
-        [(k,) for k in (3, 67, 131, 2**40 + 7)], "k long"  # 67=3+64 collides
+        [(b,) for b in (3, 67, 131, 2**40 + 7)], "bk long"  # 67=3+64 collides
     )
-    buckets = build.select(F.expr(kbucket("k", m)).alias("__bkt")).distinct()
-    pre = probe.withColumn("__bkt", F.expr(kbucket("k", m))).join(
-        F.broadcast(buckets), "__bkt", "left_semi"
+    got = sorted(
+        r.k for r in bloom_prefilter_semi(probe, build, "k", "bk", m=m).collect()
     )
-    got = sorted(r.k for r in pre.join(build, "k", "left_semi").collect())
-    want = sorted(r.k for r in probe.join(build, "k", "left_semi").collect())
+    want = sorted(
+        r.k for r in probe.join(build, probe.k == build.bk, "left_semi").collect()
+    )
     assert got == want == [3, 67, 131, 2**40 + 7]
 
-    empty = build.filter("k < 0")
-    b2 = empty.select(F.expr(kbucket("k", m)).alias("__bkt")).distinct()
-    pre2 = probe.withColumn("__bkt", F.expr(kbucket("k", m))).join(
-        F.broadcast(b2), "__bkt", "left_semi"
-    )
-    assert pre2.join(empty, "k", "left_semi").count() == 0
+    empty = build.filter("bk < 0")
+    assert bloom_prefilter_semi(probe, empty, "k", "bk", m=m).count() == 0

@@ -54,3 +54,37 @@ def test_scd2_reapply_is_noop(spark):
     scd2_apply(vt, batch, key="id", batch_ts="2024-03-01 00:00:00")
     assert vt.read().count() == n_after_first == 3
     assert vt.read().filter("is_current").count() == 2
+
+
+def test_scd2_apply_ignores_legacy_stored_hash(spark):
+    """A dimension persisted under an OLDER hash definition (the
+    original concat_ws row hash) must not churn on the first apply
+    after an upgrade: change detection recomputes the target hash
+    fresh from the stored bare columns, so an identical update batch
+    is still a no-op."""
+    from dataengineeringworkshop_spark.operators.rowhash import with_row_hash
+
+    vt = _vt(spark)
+    base = spark.createDataFrame(
+        [(1, "alice", 100.0), (2, "bob", 200.0)], "id INT, name STRING, bal DOUBLE"
+    )
+    # simulate a pre-upgrade table: LEGACY concat_ws hash in row_hash
+    vt.write(
+        with_row_hash(base).withColumns(
+            {
+                "valid_from": F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                "valid_to": F.lit("2100-01-01 00:00:00").cast("timestamp"),
+                "is_current": F.lit(True),
+            }
+        )
+    )
+    scd2_apply(vt, base, key="id", batch_ts="2024-02-01 00:00:00")
+    got = vt.read()
+    assert got.count() == 2, "legacy-hash rows were spuriously closed+reopened"
+    assert got.filter(~F.col("is_current")).count() == 0
+
+    # and a REAL change is still detected
+    upd = spark.createDataFrame([(2, "bob", 999.0)], "id INT, name STRING, bal DOUBLE")
+    scd2_apply(vt, upd, key="id", batch_ts="2024-03-01 00:00:00")
+    cur = vt.read().filter("is_current")
+    assert {(r.id, r.bal) for r in cur.collect()} == {(1, 100.0), (2, 999.0)}
