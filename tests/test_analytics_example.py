@@ -58,3 +58,44 @@ def test_minmax_repair_handles_tied_extremes(spark):
     assert got["a"] == (2, 1.0, 5.0)   # surviving tie kept
     assert got["b"] == (2, 7.0, 9.0)   # unique min repaired away
     assert got["c"] == (2, 3.0, 8.0)   # untouched partials correct
+
+
+def test_minmax_repair_matches_recompute_random(spark):
+    """Property (seeded sweep): for random tables and random delete
+    sets — including full-group deletions and all-tied groups — the
+    repair rule equals the full recompute over survivors."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.operators.incremental import (
+        minmax_delete_repair,
+    )
+
+    rng = random.Random(7)
+    for trial in range(6):
+        rows = [
+            (k, rng.choice("abcd"), float(rng.choice([1, 1, 2, 5, 9])))
+            for k in range(40)
+        ]
+        deleted = set(rng.sample(range(40), rng.randrange(0, 40)))
+        df = spark.createDataFrame(rows, "k long, g string, v double")
+        dels = df.filter(F.col("k").isin(*deleted)) if deleted else df.filter("k < 0")
+        got = {
+            r.g: (r.n, r.mn, r.mx)
+            for r in minmax_delete_repair(
+                df, dels, group_cols="g", val_col="v", key_col="k"
+            ).collect()
+        }
+        surv = df.filter(~F.col("k").isin(*deleted)) if deleted else df
+        want = {
+            r.g: (r.n, r.mn, r.mx)
+            for r in surv.groupBy("g")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want, (trial, deleted, got, want)

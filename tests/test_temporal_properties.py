@@ -119,3 +119,48 @@ def test_sessionize_matches_linear_scan(spark, rows, gap):
             want[rid] = sid
             prev = s
     assert got == want
+
+
+_gsi_times = st.lists(
+    st.integers(0, 5 * 3600), min_size=1, max_size=80, unique=True
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(secs=_gsi_times, gap=st.sampled_from([1, 30, 600, 3599]))
+def test_global_session_intervals_matches_naive_fold(spark, secs, gap):
+    """Property: the two-level banded sessionize is row-identical
+    (session ids included) to a driver-side linear fold over the sorted
+    timeline, for random event sets straddling band edges at every
+    tested gap."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.operators.temporal import (
+        global_session_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sorted(secs))], "event_id long, secs long"
+    ).withColumn("ts", F.timestamp_seconds("secs"))
+    got = sorted(
+        map(
+            tuple,
+            global_session_intervals(
+                df, ts="ts", gap_seconds=gap, order_tiebreak="event_id",
+                band_seconds=3600,
+            ).collect(),
+        )
+    )
+    # naive linear fold
+    want, sid = [], 0
+    start = end = None
+    for s in sorted(secs):
+        t = s * 1_000_000
+        if end is None or t - end > gap * 1_000_000:
+            if end is not None:
+                want.append((sid, start, end))
+            sid += 1
+            start = t
+        end = t
+    want.append((sid, start, end))
+    assert got == sorted(want), (got, want, gap)
