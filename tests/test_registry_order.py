@@ -92,3 +92,27 @@ def test_oracle_density_in_prefix():
     prefix = list(reg)[:DRIVER_PREFIX]
     rows_only = [n for n in prefix if reg[n].oracle is None]
     assert not rows_only, f"rows-only rows in prefix: {rows_only}"
+
+
+def test_prefix_outputs_are_driver_hashable(spark):
+    """Round-6 lesson, made permanent: the external driver's pandas
+    canonicalizer crashes on array/map/struct cells (sort_values →
+    factorize → unhashable type), so NO query in the evidence prefix
+    may return a complex-typed column.  Schemas only — nothing
+    executes."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from tests.conftest import SF_SMOKE
+
+    reg = load_all()
+    bad = {}
+    for name in list(reg)[:DRIVER_PREFIX]:
+        df = reg[name].fn(spark, SF_SMOKE)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"driver-unhashable columns in prefix outputs: {bad}"
