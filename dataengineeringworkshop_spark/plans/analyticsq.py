@@ -679,8 +679,9 @@ def e_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     together; readings are 2-decimal doubles so both running moments
     accumulate exactly in DECIMAL and the only float arithmetic is the
     final variance/sqrt/z chain, identical text in both engines,
-    rounded to 6.  The shape that also runs under
-    applyInPandasWithState with a 20-deep ring buffer per user."""
+    rounded to 6.  The STREAMING twin is streaming/rollingz.py
+    (applyInPandasWithState, fixed 20-slot ring buffer per user; pytest
+    proves batch-window equality and checkpoint-restart survival)."""
     register_views(spark, sf_dir, "events")
     return spark.sql(_ROLLZ_BODY.format(events="dew_events"))
 

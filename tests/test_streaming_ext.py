@@ -381,3 +381,161 @@ def test_funnel_tracker_matches_batch_min_chain(spark, tmp_path):
     sink = _run_funnel_stream(spark, src, chk, [])
     got = {r.user_id: r.stage for r in sink}
     assert got == _batch_funnel_stage(events)
+
+
+ROLLZ_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _rollz_events(n_users=6, per_user=60, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    events, eid = [], 0
+    for u in range(n_users):
+        base = rng.uniform(20, 80)
+        for i in range(per_user):
+            if rng.random() < 0.07:
+                v = None  # null reading occupies a frame slot
+            elif rng.random() < 0.06:
+                v = round(base + rng.uniform(40, 90), 2)  # planted spike
+            else:
+                v = round(base + rng.uniform(-3, 3), 2)
+            events.append(
+                {
+                    "event_id": eid,
+                    "ts": f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00",
+                    "user_id": u,
+                    "value": v,
+                }
+            )
+            eid += 1
+    return events
+
+
+def _batch_rollz(spark, df):
+    df.createOrReplaceTempView("rollz_batch")
+    return {
+        (r.user_id, r.event_id): r.z
+        for r in spark.sql(
+            """
+            WITH w AS (
+                SELECT user_id, event_id, value,
+                       COUNT(value) OVER f AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE) AS s,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))
+                                * CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE) AS ss
+                FROM rollz_batch
+                WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, event_id,
+                   (value - s / n) / sqrt((ss - s * s / n) / (n - 1)) AS z
+            FROM w
+            WHERE n >= 8
+              AND (ss - s * s / n) / (n - 1) > 0.0001
+              AND ABS((value - s / n) / sqrt((ss - s * s / n) / (n - 1))) > 2.5
+            """
+        ).collect()
+    }
+
+
+def test_rolling_zscore_stream_matches_batch_window(spark, tmp_path):
+    """Single ordered batch: the stateful ring-buffer fold must flag the
+    SAME readings as the batch trailing-window SQL (the
+    e_rolling_zscore_anomaly semantics), z agreeing to float tolerance,
+    null readings occupying frame slots on both sides."""
+    from dataengineeringworkshop_spark.streaming.rollingz import (
+        rolling_zscore_detector,
+    )
+
+    events = _rollz_events()
+    src, chk = tmp_path / "src", tmp_path / "chk"
+    _write_jsonl(src / "b1.json", events)
+    stream = spark.readStream.schema(ROLLZ_SCHEMA).json(str(src))
+    sink = []
+
+    def collect_batch(batch_df, batch_id):
+        sink.extend(batch_df.collect())
+
+    q = (
+        rolling_zscore_detector(stream)
+        .writeStream.foreachBatch(collect_batch)
+        .outputMode("update")
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.event_id): r.z_score for r in sink}
+
+    bdf = spark.createDataFrame(
+        [(e["event_id"], e["ts"], e["user_id"], e["value"]) for e in events],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = _batch_rollz(spark, bdf)
+    assert set(got) == set(want), (
+        set(got) ^ set(want), len(got), len(want)
+    )
+    assert len(got) > 0, "test data planted no anomalies"
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_rolling_zscore_state_survives_restart(spark, tmp_path):
+    """The ring buffer persists across checkpointed restarts: a spike in
+    batch 2 is judged against baseline readings ingested in batch 1."""
+    from dataengineeringworkshop_spark.streaming.rollingz import (
+        rolling_zscore_detector,
+    )
+
+    src, chk = tmp_path / "src", tmp_path / "chk"
+    b1 = [
+        {"event_id": i, "ts": f"2024-01-01 00:{i:02d}:00", "user_id": 1,
+         "value": 50.0 + (i % 3)}
+        for i in range(10)
+    ]
+    _write_jsonl(src / "b1.json", b1)
+    stream = spark.readStream.schema(ROLLZ_SCHEMA).json(str(src))
+    sink1 = []
+
+    def mk(sink):
+        def collect_batch(batch_df, batch_id):
+            sink.extend(batch_df.collect())
+        return collect_batch
+
+    q = (
+        rolling_zscore_detector(stream)
+        .writeStream.foreachBatch(mk(sink1))
+        .outputMode("update")
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sink1 == []  # baseline only, nothing anomalous
+
+    b2 = [{"event_id": 99, "ts": "2024-01-01 00:30:00", "user_id": 1,
+           "value": 500.0}]
+    _write_jsonl(src / "b2.json", b2)
+    stream2 = spark.readStream.schema(ROLLZ_SCHEMA).json(str(src))
+    sink2 = []
+    q2 = (
+        rolling_zscore_detector(stream2)
+        .writeStream.foreachBatch(mk(sink2))
+        .outputMode("update")
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert [(r.user_id, r.event_id) for r in sink2] == [(1, 99)], (
+        "spike not judged against restart-restored baseline"
+    )
+    assert sink2[0].z_score > 100
