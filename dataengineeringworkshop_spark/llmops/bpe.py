@@ -62,44 +62,97 @@ def _adjacent_pairs(seqs: DataFrame) -> DataFrame:
     )
 
 
+def _learn_local(
+    seqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge loop over a COLLECTED (marker-string, weight)
+    word-frequency table — semantically identical to the distributed
+    rounds: overlapping pair counts weighted by word frequency, argmax
+    tiebreak (count DESC, left ASC, right ASC), non-overlapping greedy
+    left-to-right replace.  Python string comparison is code-point
+    order == UTF-8 binary order, matching Spark's string sort."""
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, w in seqs:
+            toks = s[1:-1].split("><")
+            for i in range(len(toks) - 1):
+                k = (toks[i], toks[i + 1])
+                counts[k] = counts.get(k, 0) + w
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, cnt))
+        pat, rep = f"<{l}><{r}>", f"<{l}{r}>"
+        seqs = [(s.replace(pat, rep), w) for s, w in seqs]
+    return merges
+
+
+# Above this many distinct words the word-frequency table stays on the
+# executors and learning runs as distributed rounds; below it, the table
+# is collected and the merge loop runs driver-side (the architecture HF
+# tokenizers / SentencePiece use: the corpus scan is the distributed
+# part, the merge loop runs over the bounded word-count model input).
+LOCAL_VOCAB_CAP = 1_000_000
+
+
 def learn_bpe_merges(
-    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    local_vocab_cap: int = LOCAL_VOCAB_CAP,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over the corpus.
 
     Returns (merge_rank, left, right, pair_count) — the merge table a
     tokenizer ships.  Deterministic: argmax tiebreak is (count DESC,
     left ASC, right ASC) over binary string order.
+
+    Scale shape: ONE distributed corpus scan builds the distinct-word
+    frequency table (the only corpus-sized work — at 100 TB this is the
+    part that must be a map-side-combined groupBy, and it is).  The
+    merge loop itself only ever touches that table: when it fits under
+    ``local_vocab_cap`` rows it is collected and the loop runs
+    driver-side (zero extra jobs — word counts ARE the model input, as
+    in HF tokenizers / SentencePiece); above the cap the loop runs as
+    per-round distributed pair-count jobs over the cached table, never
+    re-reading the corpus.  Both paths produce identical merges (pinned
+    by tests/test_bpe.py::test_local_and_distributed_learning_agree).
     """
     spark = docs.sparkSession
-    # persist the initial vocabulary: every round's pair count replays
-    # the lineage from here, so without the cache each of the n_merges
-    # rounds would re-scan the corpus and redo the word aggregation —
-    # with it, the corpus is scanned ONCE and later rounds replay only
-    # the (cheap, vocab-sized) chained replaces
     seqs0 = _word_vocab(docs, text_col).select(
         F.regexp_replace("w", "(.)", "<$1>").alias("s"), "weight"
     ).persist()
-    seqs = seqs0
     merges: list[tuple[int, str, str, int]] = []
     try:
-        for rank in range(1, n_merges + 1):
-            best = (
-                _adjacent_pairs(seqs)
-                .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
-                .limit(1)
-                .collect()
+        head = seqs0.limit(local_vocab_cap + 1).collect()
+        if len(head) <= local_vocab_cap:
+            merges = _learn_local(
+                [(r.s, int(r.weight)) for r in head], n_merges
             )
-            if not best or best[0].cnt is None:
-                break
-            l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
-            merges.append((rank, l, r, cnt))
-            seqs = seqs.select(
-                F.replace(
-                    F.col("s"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
-                ).alias("s"),
-                "weight",
-            )
+        else:
+            seqs = seqs0
+            for rank in range(1, n_merges + 1):
+                best = (
+                    _adjacent_pairs(seqs)
+                    .orderBy(
+                        F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+                    )
+                    .limit(1)
+                    .collect()
+                )
+                if not best or best[0].cnt is None:
+                    break
+                l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+                merges.append((rank, l, r, cnt))
+                seqs = seqs.select(
+                    F.replace(
+                        F.col("s"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
+                    ).alias("s"),
+                    "weight",
+                )
     finally:
         seqs0.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)

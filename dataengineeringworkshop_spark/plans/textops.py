@@ -759,19 +759,31 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(200)
 
 
+_BPE_MERGE_MEMO: dict[str, list[tuple[str, str]]] = {}
+
+
 def _bpe_merge_list(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     """Learn the standard 8-merge table over documents (bounded collect:
-    8 rows of scalars — the merge table IS the model artifact)."""
+    8 rows of scalars — the merge table IS the model artifact).
+    Memoized per sf_dir: the merges are a deterministic function of the
+    corpus, and the driver runs several BPE-family queries against the
+    same directory in one process — train once, apply everywhere (which
+    is also how a real pipeline ships a tokenizer)."""
+    got = _BPE_MERGE_MEMO.get(sf_dir)
+    if got is not None:
+        return got
     from dataengineeringworkshop_spark.llmops.bpe import learn_bpe_merges
     from dataengineeringworkshop_spark.plans.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    return [
+    merges = [
         (r.left, r.right)
         for r in learn_bpe_merges(d, "text", n_merges=8)
         .orderBy("merge_rank")
         .collect()
     ]
+    _BPE_MERGE_MEMO[sf_dir] = merges
+    return merges
 
 
 def _bpe_token_ids_oracle() -> str:

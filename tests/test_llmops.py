@@ -541,6 +541,34 @@ def test_bpe_learn_matches_python_reference(spark):
     assert got == _py_bpe(weights, 6)
 
 
+def test_local_and_distributed_learning_agree(spark):
+    """The driver-side merge loop (vocab under LOCAL_VOCAB_CAP) and the
+    distributed per-round loop (forced via local_vocab_cap=0) must emit
+    IDENTICAL merge tables — same pairs, same ranks, same counts —
+    including under argmax ties (the repeated 'abab' corpus makes
+    (a,b) and (b,a) tie on count so the (l ASC, r ASC) tiebreak is
+    exercised on both paths)."""
+    from dataengineeringworkshop_spark.llmops.bpe import learn_bpe_merges
+
+    corpus = (
+        ["abab"] * 4 + ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+        + ["widest"] * 3 + ["x"] * 7
+    )
+    docs = spark.createDataFrame([(" ".join(corpus),)], "text STRING")
+
+    def table(cap):
+        return [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in learn_bpe_merges(
+                docs, "text", n_merges=6, local_vocab_cap=cap
+            ).orderBy("merge_rank").collect()
+        ]
+
+    local, dist = table(10_000), table(0)
+    assert local == dist
+    assert len(local) == 6
+
+
 def test_bpe_apply_uses_learned_merges(spark):
     from dataengineeringworkshop_spark.llmops.bpe import (
         apply_bpe,
