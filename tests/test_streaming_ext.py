@@ -539,3 +539,149 @@ def test_rolling_zscore_state_survives_restart(spark, tmp_path):
         "spike not judged against restart-restored baseline"
     )
     assert sink2[0].z_score > 100
+
+
+def _write_jsonl_ordered(src, named_batches):
+    """Write files with strictly increasing mtimes — the file source
+    orders batches by modification time, and the session tests need
+    delivery order to match event-time order (the operator's contract);
+    same-mtime files land in nondeterministic order."""
+    import os
+    import time
+
+    base = time.time()
+    for i, (name, rows) in enumerate(named_batches):
+        p = src / name
+        _write_jsonl(p, rows)
+        os.utime(p, (base + 10 * i, base + 10 * i))
+
+
+def _run_sessions(spark, src, chk, sink, gap_seconds=600, delay="10 minutes"):
+    """Bounded session-tracker run, one micro-batch PER FILE
+    (maxFilesPerTrigger=1) so the event-time watermark advances between
+    files and EventTimeTimeout eviction actually fires mid-run."""
+    from dataengineeringworkshop_spark.streaming.sessions import session_tracker
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+    def collect_batch(batch_df, batch_id):
+        sink.extend(batch_df.collect())
+
+    q = (
+        session_tracker(stream, gap_seconds=gap_seconds, watermark_delay=delay)
+        .writeStream.foreachBatch(collect_batch)
+        .outputMode("append")
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+def _batch_sessions(spark, events, gap_seconds=600):
+    """Oracle: the BATCH gap-sessionizer's (user, session) intervals."""
+    from dataengineeringworkshop_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(e["event_id"], e["ts"], e["user_id"]) for e in events],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in sessionize(df, "user_id", "ts", gap_seconds, "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+
+
+def test_session_tracker_matches_batch_sessionize(spark, tmp_path):
+    """Closed-session rows == the batch sessionizer's sessions, once the
+    watermark has passed them.  Three users, multiple sessions each,
+    split across three files; a far-future flush event drives the final
+    watermark past every real session so they ALL close (the flush
+    event's own session stays open in state, by design)."""
+    import random
+
+    rng = random.Random(7)
+    events, eid = [], 0
+    for u in range(3):
+        t = 1_000 + u * 37  # seconds into 2024-01-01
+        for _ in range(rng.randint(3, 5)):  # sessions
+            for _ in range(rng.randint(1, 6)):  # events in session
+                events.append(
+                    {"event_id": eid, "user_id": u, "value": 1.0,
+                     "ts": __import__("datetime").datetime.utcfromtimestamp(
+                         1704067200 + t).strftime("%Y-%m-%d %H:%M:%S")}
+                )
+                eid += 1
+                t += rng.randint(1, 400)  # intra-session (< gap=600)
+            t += rng.randint(700, 3000)  # inter-session (> gap)
+    flush = {"event_id": 10_000, "user_id": 99, "value": 0.0,
+             "ts": "2024-01-02 12:00:00"}
+
+    # deliver in EVENT-TIME order (the operator's cross-batch ordering
+    # contract): the 10-min watermark delay then covers every
+    # intra-session gap (<400 s), so no straddling session is evicted
+    # before its continuation arrives
+    events.sort(key=lambda e: (e["ts"], e["event_id"]))
+    src, chk = tmp_path / "src", tmp_path / "chk"
+    third = len(events) // 3
+    _write_jsonl_ordered(src, [
+        ("b1.json", events[:third]),
+        ("b2.json", events[third: 2 * third]),
+        ("b3.json", events[2 * third:] + [flush]),
+    ])
+
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in _run_sessions(spark, src, chk, [])
+    }
+    want = _batch_sessions(spark, events)  # flush session excluded
+    assert got == want, (got ^ want, len(got), len(want))
+    assert len(want) >= 9
+
+
+def test_session_tracker_timeout_eviction_across_restart(spark, tmp_path):
+    """A session left OPEN at shutdown closes via EventTimeTimeout when
+    a later run's watermark passes it — and the emitted row carries the
+    checkpoint-restored (start, end, n_events), proving state survived
+    the restart and was then EVICTED (no re-emission on a third run)."""
+    src, chk = tmp_path / "src", tmp_path / "chk"
+    b1 = [
+        {"event_id": i, "user_id": 1, "value": 1.0,
+         "ts": f"2024-01-01 00:0{i}:00"}
+        for i in range(3)
+    ]
+    _write_jsonl(src / "b1.json", b1)
+    out1 = _run_sessions(spark, src, chk, [])
+    assert out1 == []  # watermark never passed start+gap: stays open
+
+    # a much-later event from ANOTHER user advances the global watermark
+    _write_jsonl(src / "b2.json", [
+        {"event_id": 50, "user_id": 2, "value": 1.0,
+         "ts": "2024-01-01 06:00:00"},
+    ])
+    out2 = _run_sessions(spark, src, chk, [])
+    assert [(r.user_id, r.start_us // 1_000_000, r.end_us // 1_000_000,
+             r.n_events) for r in out2] == [
+        (1, 1704067200, 1704067320, 3)
+    ], out2
+
+    # third run: the watermark passing user 2's 06:00 session closes IT,
+    # but user 1's EVICTED state must not re-emit
+    _write_jsonl(src / "b3.json", [
+        {"event_id": 51, "user_id": 2, "value": 1.0,
+         "ts": "2024-01-01 07:00:00"},
+    ])
+    out3 = _run_sessions(spark, src, chk, [])
+    assert [(r.user_id, r.n_events) for r in out3] == [(2, 1)], out3
