@@ -477,3 +477,81 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # complete-mode memory sink: the last emitted snapshot is the result
     return spark.table(name)
+
+
+@query(
+    "st_session_eviction",
+    # the batch gap-sessionizer, minus sessions still OPEN at the final
+    # watermark (max event time - delay): closed-by-gap sessions are
+    # every sid below the user's max; the last session closes only if
+    # the watermark passed end + gap (the timeout-eviction rule)
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS t
+            FROM events WHERE ts IS NOT NULL
+        ),
+        m AS (SELECT MAX(t) AS mx FROM e),
+        f AS (
+            SELECT user_id, event_id, t,
+                   CASE WHEN LAG(t) OVER w IS NULL
+                             OR t - LAG(t) OVER w > 21600000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        ),
+        s AS (
+            SELECT user_id, t,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f
+        ),
+        sess AS (
+            SELECT user_id, sid, MIN(t) AS start_us, MAX(t) AS end_us,
+                   COUNT(*) AS n
+            FROM s GROUP BY user_id, sid
+        ),
+        last AS (SELECT user_id, MAX(sid) AS max_sid FROM sess GROUP BY user_id)
+        SELECT se.user_id,
+               CAST(se.start_us AS BIGINT) AS start_us,
+               CAST(se.end_us AS BIGINT) AS end_us,
+               CAST(se.n AS BIGINT) AS n_events
+        FROM sess se JOIN last l ON se.user_id = l.user_id, m
+        WHERE se.sid < l.max_sid
+           OR se.end_us + 21600000000 <= m.mx - 86400000000
+    """,
+    tags=("ext-streaming", "ST-state"),
+)
+def st_session_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EventTimeTimeout sessionizer (streaming/sessions.py) over the
+    bounded event stream: every session CLOSED by the run — by an
+    over-gap arrival inside the data batch, or by the watermark passing
+    ``end + gap`` in the trailing no-data micro-batch, which fires the
+    timeout callback and EVICTS the state (sf0.01: 5580 of 5725
+    sessions close; the ~1-per-user tail within the 24 h watermark
+    horizon stays open in state, exactly what the oracle's last-session
+    rule excludes).  Gap 6 h, watermark delay 24 h.  On the single-file
+    source the data batch folds each user in (ts, event_id) order, so
+    emitted intervals provably equal the batch gap-sessionizer's
+    (operators/temporal.py:sessionize — the oracle replays it as a LAG
+    window + cumulative-sum fold).  The format("memory") sink is
+    evidence-harness plumbing; the operator is sink-agnostic
+    (append-mode rows) and its multi-batch / restart / eviction
+    behavior is pinned in tests/test_streaming_ext.py."""
+    from dataengineeringworkshop_spark.streaming.sessions import session_tracker
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts")
+    )
+    out = session_tracker(stream, gap_seconds=21600, watermark_delay="24 hours")
+    name = f"st_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dew_st_sess_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
