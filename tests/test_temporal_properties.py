@@ -164,3 +164,162 @@ def test_global_session_intervals_matches_naive_fold(spark, secs, gap):
         end = t
     want.append((sid, start, end))
     assert got == sorted(want), (got, want, gap)
+
+
+# ---------------------------------------------------------------------------
+# streaming session fold (streaming/sessions.py) vs linear-scan sessionizer
+
+
+class _FakeGroupState:
+    """The GroupState subset make_session_fn uses, driven by the test
+    harness's watermark schedule.  Timeout firing uses the same
+    inclusive rule (armed <= watermark) as the fold's own
+    close-beyond-watermark branch — the harness tests the FOLD's
+    session algebra; engine-exact boundary semantics are covered by the
+    real Structured Streaming tests in test_streaming_ext.py."""
+
+    def __init__(self):
+        self._val = None
+        self.timeout_ms = None
+        self.wm_ms = 0
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def update(self, v):
+        self._val = tuple(v)
+
+    def remove(self):
+        self._val = None
+        self.timeout_ms = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _naive_sessions(per_user, gap_s):
+    """Linear-scan gap sessionizer over {user: sorted second offsets}."""
+    out = []
+    for u, ts in per_user.items():
+        cur = []
+        for t in ts:
+            if cur and t - cur[-1] > gap_s:
+                out.append((u, cur[0], cur[-1], len(cur)))
+                cur = []
+            cur.append(t)
+        if cur:
+            out.append((u, cur[0], cur[-1], len(cur)))
+    return out
+
+
+_sess_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=_sess_events,
+    gap_s=st.sampled_from([30, 100]),
+    delay_s=st.sampled_from([0, 50]),
+    n_batches=st.integers(1, 4),
+)
+def test_session_fold_matches_naive_sessionizer(events, gap_s, delay_s, n_batches):
+    """Fold hypothesis event streams through make_session_fn under
+    event-time-ordered multi-batch delivery with a lagging watermark:
+    closed sessions + still-open state must equal the linear-scan
+    sessionizer exactly, and closed must be precisely the sessions the
+    final watermark has passed (or that a later same-user event
+    gap-closed)."""
+    from dataengineeringworkshop_spark.streaming.sessions import make_session_fn
+
+    fn = make_session_fn(gap_seconds=gap_s)
+    # (ts, event_id) globally ordered, cut into n_batches contiguous runs
+    rows = sorted(
+        [(t, i, u) for i, (u, t) in enumerate(events)]
+    )
+    cuts = [len(rows) * k // n_batches for k in range(n_batches + 1)]
+    batches = [rows[cuts[k]: cuts[k + 1]] for k in range(n_batches)]
+
+    states: dict[int, _FakeGroupState] = {}
+    closed = []
+    wm_ms = 0
+
+    def run(u, pdfs, timed_out):
+        stt = states.setdefault(u, _FakeGroupState())
+        stt.wm_ms = wm_ms
+        stt.hasTimedOut = timed_out
+        for out in fn((u,), pdfs, stt):
+            closed.extend(
+                (int(r.user_id), int(r.start_us), int(r.end_us), int(r.n_events))
+                for r in out.itertuples()
+            )
+
+    for batch in batches:
+        by_user: dict[int, list] = {}
+        for t, eid, u in batch:
+            by_user.setdefault(u, []).append((t, eid))
+        # engine rule: keys WITHOUT data whose armed timeout the
+        # watermark passed get the timeout callback this batch
+        for u, stt in list(states.items()):
+            if (
+                u not in by_user
+                and stt.exists
+                and stt.timeout_ms is not None
+                and stt.timeout_ms <= wm_ms
+            ):
+                run(u, iter([]), True)
+        for u, evs in by_user.items():
+            pdf = pd.DataFrame(
+                {
+                    "ts": [pd.Timestamp(BASE + dt.timedelta(seconds=t)) for t, _ in evs],
+                    "event_id": [eid for _, eid in evs],
+                }
+            )
+            run(u, iter([pdf]), False)
+        if batch:
+            wm_ms = max(
+                wm_ms,
+                (int(pd.Timestamp(BASE).value // 1_000_000)
+                 + (max(t for t, _, _ in batch) - delay_s) * 1000),
+            )
+    # trailing no-data batch: availableNow's final watermark advance
+    for u, stt in list(states.items()):
+        if stt.exists and stt.timeout_ms is not None and stt.timeout_ms <= wm_ms:
+            run(u, iter([]), True)
+
+    base_us = int(pd.Timestamp(BASE).value // 1000)
+    to_off = lambda us: (us - base_us) // 1_000_000
+    got_closed = sorted((u, to_off(s), to_off(e), n) for u, s, e, n in closed)
+    got_open = sorted(
+        (u, to_off(stt.get[0]), to_off(stt.get[1]), stt.get[2])
+        for u, stt in states.items()
+        if stt.exists
+    )
+
+    per_user: dict[int, list] = {}
+    for t, _eid, u in rows:
+        per_user.setdefault(u, []).append(t)
+    want_all = sorted(_naive_sessions(per_user, gap_s))
+    assert sorted(got_closed + got_open) == want_all
+    # closure rule: exactly the sessions the final watermark passed,
+    # or that a later same-user event gap-closed
+    wm_off = (wm_ms * 1000 - base_us) / 1e6
+    last_per_user = {u: max(s for s in want_all if s[0] == u) for u in per_user}
+    want_closed = sorted(
+        s
+        for s in want_all
+        if s != last_per_user[s[0]] or s[2] + gap_s <= wm_off
+    )
+    assert got_closed == want_closed
