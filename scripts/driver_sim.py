@@ -25,6 +25,9 @@ TABLES = (
 # resolved from registry.DRIVER_PREFIX inside main() (importable only
 # after __spark_entry__ has put the repo on sys.path)
 EXTRA = [
+    # round-7 additions not yet in the evidence prefix (r8 backlog) —
+    # exercised here so they arrive at their rotation already proven
+    "st_session_eviction",
     # proven rows rotated OUT of the mid-round-6 prefix — keep them
     # exercised in the sim so a regression is caught before the judge's
     # spot-check
