@@ -28,6 +28,17 @@ EXTRA = [
     # round-7 additions not yet in the evidence prefix (r8 backlog) —
     # exercised here so they arrive at their rotation already proven
     "st_session_eviction",
+    "w11_cumulative_distinct",
+    "j9_bloom_prefilter_semi",
+    "ts_seasonal_naive_forecast",
+    "e_two_proportion_ztest",
+    "rb_map_funcs_breadth",
+    "g_triangle_count",
+    "mm_payload_dedup",
+    "mv_incremental_minmax",
+    "e_rolling_zscore_anomaly",
+    "a19_exact_mode",
+    "ts_m4_downsample",
     # proven rows rotated OUT of the mid-round-6 prefix — keep them
     # exercised in the sim so a regression is caught before the judge's
     # spot-check
