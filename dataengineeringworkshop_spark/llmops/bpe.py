@@ -119,7 +119,7 @@ def learn_bpe_merges(
     in HF tokenizers / SentencePiece); above the cap the loop runs as
     per-round distributed pair-count jobs over the cached table, never
     re-reading the corpus.  Both paths produce identical merges (pinned
-    by tests/test_bpe.py::test_local_and_distributed_learning_agree).
+    by tests/test_llmops.py::test_local_and_distributed_learning_agree).
     """
     spark = docs.sparkSession
     seqs0 = _word_vocab(docs, text_col).select(

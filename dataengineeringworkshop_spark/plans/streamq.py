@@ -484,7 +484,11 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the batch gap-sessionizer, minus sessions still OPEN at the final
     # watermark (max event time - delay): closed-by-gap sessions are
     # every sid below the user's max; the last session closes only if
-    # the watermark passed end + gap (the timeout-eviction rule)
+    # the watermark STRICTLY passed end + gap at MILLISECOND precision —
+    # Spark arms event-time timeouts in ms (floor) and fires them only
+    # when timeout_ms < watermark_ms, so the oracle floors to ms and
+    # compares strictly (an inclusive µs rule would count boundary
+    # sessions the stream keeps open)
     oracle="""
         WITH e AS (
             SELECT user_id, event_id, epoch_us(ts) AS t
@@ -516,7 +520,7 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(se.n AS BIGINT) AS n_events
         FROM sess se JOIN last l ON se.user_id = l.user_id, m
         WHERE se.sid < l.max_sid
-           OR se.end_us + 21600000000 <= m.mx - 86400000000
+           OR (se.end_us + 21600000000) // 1000 < (m.mx // 1000) - 86400000
     """,
     tags=("ext-streaming", "ST-state"),
 )

@@ -759,17 +759,42 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(200)
 
 
-_BPE_MERGE_MEMO: dict[str, list[tuple[str, str]]] = {}
+_BPE_MERGE_MEMO: dict[tuple, list[tuple[str, str]]] = {}
+
+
+def _corpus_key(sf_dir: str) -> tuple:
+    """Memo key = (path, filesystem fingerprint of documents.parquet):
+    name/size/mtime of the file (or of every top-level entry when it is
+    a directory).  A regenerated corpus under a REUSED path therefore
+    misses the memo instead of silently serving merges learned from
+    data that no longer exists."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            parts = tuple(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in sorted(os.scandir(p), key=lambda e: e.name)
+            )
+        else:
+            st = os.stat(p)
+            parts = ((os.path.basename(p), st.st_size, st.st_mtime_ns),)
+    except OSError:
+        parts = ()
+    return (sf_dir, parts)
 
 
 def _bpe_merge_list(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     """Learn the standard 8-merge table over documents (bounded collect:
     8 rows of scalars — the merge table IS the model artifact).
-    Memoized per sf_dir: the merges are a deterministic function of the
+    Memoized per corpus FINGERPRINT (path + file stats, see
+    ``_corpus_key``): the merges are a deterministic function of the
     corpus, and the driver runs several BPE-family queries against the
     same directory in one process — train once, apply everywhere (which
     is also how a real pipeline ships a tokenizer)."""
-    got = _BPE_MERGE_MEMO.get(sf_dir)
+    key = _corpus_key(sf_dir)
+    got = _BPE_MERGE_MEMO.get(key)
     if got is not None:
         return got
     from dataengineeringworkshop_spark.llmops.bpe import learn_bpe_merges
@@ -782,7 +807,7 @@ def _bpe_merge_list(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
         .orderBy("merge_rank")
         .collect()
     ]
-    _BPE_MERGE_MEMO[sf_dir] = merges
+    _BPE_MERGE_MEMO[key] = merges
     return merges
 
 

@@ -57,8 +57,13 @@ def _update_funnel(
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
     stage, stage_ts = state.get if state.exists else (0, -1)
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # one sort over ALL Arrow chunks: a key's micro-batch rows arrive as
+    # multiple pandas chunks (shuffle order) past arrow.maxRecordsPerBatch,
+    # and the stage fold is order-sensitive — per-chunk sorting would
+    # advance stages out of event-time order for >10k-event users
+    chunks = [c for c in batches if len(c)]  # drop empties (concat dtype warnings)
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
         for ts, etype in zip(pdf["ts"], pdf["event_type"]):
             if stage >= len(FUNNEL_STAGES):
                 break

@@ -67,8 +67,14 @@ def make_rolling_z_fn(
         buf: list[float | None] = list(state.get[0]) if state.exists else []
         out_ids: list[int] = []
         out_z: list[float] = []
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # one sort over ALL Arrow chunks: a key's micro-batch rows arrive
+        # as multiple pandas chunks (shuffle order) past
+        # arrow.maxRecordsPerBatch — per-chunk sorting would interleave
+        # chunks out of event-time order and score readings against a
+        # baseline containing FUTURE readings
+        chunks = [c for c in batches if len(c)]  # drop empties (concat dtype warnings)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for event_id, value in zip(pdf["event_id"], pdf["value"]):
                 is_null = value is None or pd.isna(value)
                 if not is_null:

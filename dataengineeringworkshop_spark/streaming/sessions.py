@@ -20,18 +20,23 @@ This operator is the streaming twin of the batch gap-sessionize
   users), not O(users ever seen).
 
 Correctness contract: closed-session rows are exactly the batch
-sessionizer's sessions whose ``end + gap`` precedes the final
-watermark; sessions still open (or not yet past the watermark) remain
-in state and emit on a later batch/timeout.  Pinned against
+sessionizer's sessions whose ``(end + gap) // 1ms`` is STRICTLY below
+the final watermark (Spark arms and fires event-time timeouts at
+millisecond precision, and firing is strict: ``timeout < watermark``);
+sessions still open (or at/after the watermark) remain in state and
+emit on a later batch/timeout.  Pinned against
 ``operators/temporal.py:sessionize`` in
 tests/test_streaming_ext.py::test_session_tracker_matches_batch_sessionize.
 
 Ordering contract (same as funnel.py/rollingz.py): events fold in
-(ts, event_id) order within a micro-batch; across batches the fold
-assumes event-time-ordered delivery per user.  A late event inside the
-watermark that REOPENS a still-open session merges correctly; a late
-event older than an already-evicted session starts a fresh session
-(the standard watermark trade-off — the watermark delay is the knob).
+(ts, event_id) order within a micro-batch — ALL Arrow chunks of a key's
+micro-batch data are concatenated before the one sort, so the order
+holds even when a key's rows span multiple record batches; across
+batches the fold assumes event-time-ordered delivery per user.  A late
+event inside the watermark that lands in a still-open session merges
+correctly (min/max interval extension); a late event older than an
+already-evicted session starts a fresh session (the standard watermark
+trade-off — the watermark delay is the knob).
 """
 
 from __future__ import annotations
@@ -78,8 +83,14 @@ def make_session_fn(gap_seconds: int = 1800):
             state.remove()
         else:
             start, last, n = state.get if state.exists else (None, None, 0)
-            for pdf in batches:
-                pdf = pdf.sort_values(["ts", "event_id"])
+            # one sort over ALL Arrow chunks: applyInPandasWithState
+            # delivers a key's micro-batch rows as MULTIPLE pandas
+            # chunks (shuffle order) once they exceed
+            # arrow.maxRecordsPerBatch — sorting each chunk alone would
+            # fold out of event-time order for >10k-event users
+            chunks = [c for c in batches if len(c)]  # drop empties (concat dtype warnings)
+            if chunks:
+                pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
                 for ts in pdf["ts"]:
                     t_us = int(pd.Timestamp(ts).value // 1000)
                     if start is None:
@@ -88,19 +99,26 @@ def make_session_fn(gap_seconds: int = 1800):
                         closed.append((start, last, n))
                         start, last, n = t_us, t_us, 1
                     else:
+                        # late in-watermark arrival can precede the open
+                        # session's start — min-merge so the emitted
+                        # interval covers it (the batch sessionizer's MIN)
+                        start = min(start, t_us)
                         last = max(last, t_us)
                         n += 1
             if start is not None:
-                wm_us = state.getCurrentWatermarkMs() * 1000
-                if last + gap_us <= wm_us:
-                    # already beyond the watermark — close instead of
-                    # arming a timeout in the past (Spark rejects
-                    # timeout timestamps <= the current watermark)
+                # Spark's timeout semantics are MILLISECOND-strict:
+                # setTimeoutTimestamp rejects t_ms < watermark_ms and the
+                # timeout fires only once t_ms < a LATER watermark.  Close
+                # inline under exactly the would-already-fire condition so
+                # arming never raises and the boundary rule is one rule.
+                wm_ms = state.getCurrentWatermarkMs()
+                t_ms = (last + gap_us) // 1000
+                if t_ms < wm_ms:
                     closed.append((start, last, n))
                     state.remove()
                 else:
                     state.update((start, last, n))
-                    state.setTimeoutTimestamp((last + gap_us) // 1000)
+                    state.setTimeoutTimestamp(t_ms)
 
         yield pd.DataFrame(
             {

@@ -98,8 +98,11 @@ def test_prefix_outputs_are_driver_hashable(spark):
     """Round-6 lesson, made permanent: the external driver's pandas
     canonicalizer crashes on array/map/struct cells (sort_values →
     factorize → unhashable type), so NO query in the evidence prefix
-    may return a complex-typed column.  Schemas only — nothing
-    executes."""
+    may return a complex-typed column.  Only the schema is ASSERTED,
+    but building it EXECUTES each prefix fn (several are eager:
+    streaming memory-sink runs, BPE training, CTAS lifecycles) — this
+    is effectively a mini driver run at SF_SMOKE; keep it out of fast
+    suites."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     from tests.conftest import SF_SMOKE

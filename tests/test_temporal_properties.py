@@ -172,11 +172,11 @@ def test_global_session_intervals_matches_naive_fold(spark, secs, gap):
 
 class _FakeGroupState:
     """The GroupState subset make_session_fn uses, driven by the test
-    harness's watermark schedule.  Timeout firing uses the same
-    inclusive rule (armed <= watermark) as the fold's own
-    close-beyond-watermark branch — the harness tests the FOLD's
-    session algebra; engine-exact boundary semantics are covered by the
-    real Structured Streaming tests in test_streaming_ext.py."""
+    harness's watermark schedule.  Timeout firing uses the engine's
+    STRICT rule (armed < watermark) — the same rule the fold's own
+    close-beyond-watermark branch now mirrors — so the harness models
+    Spark's ms-strict boundary exactly; real Structured Streaming runs
+    are covered in test_streaming_ext.py."""
 
     def __init__(self):
         self._val = None
@@ -277,7 +277,7 @@ def test_session_fold_matches_naive_sessionizer(events, gap_s, delay_s, n_batche
                 u not in by_user
                 and stt.exists
                 and stt.timeout_ms is not None
-                and stt.timeout_ms <= wm_ms
+                and stt.timeout_ms < wm_ms  # engine fires STRICTLY below
             ):
                 run(u, iter([]), True)
         for u, evs in by_user.items():
@@ -296,7 +296,7 @@ def test_session_fold_matches_naive_sessionizer(events, gap_s, delay_s, n_batche
             )
     # trailing no-data batch: availableNow's final watermark advance
     for u, stt in list(states.items()):
-        if stt.exists and stt.timeout_ms is not None and stt.timeout_ms <= wm_ms:
+        if stt.exists and stt.timeout_ms is not None and stt.timeout_ms < wm_ms:
             run(u, iter([]), True)
 
     base_us = int(pd.Timestamp(BASE).value // 1000)
@@ -313,13 +313,165 @@ def test_session_fold_matches_naive_sessionizer(events, gap_s, delay_s, n_batche
         per_user.setdefault(u, []).append(t)
     want_all = sorted(_naive_sessions(per_user, gap_s))
     assert sorted(got_closed + got_open) == want_all
-    # closure rule: exactly the sessions the final watermark passed,
+    # closure rule: exactly the sessions the final watermark STRICTLY
+    # passed (ms precision — whole-second offsets make sec == ms here),
     # or that a later same-user event gap-closed
     wm_off = (wm_ms * 1000 - base_us) / 1e6
     last_per_user = {u: max(s for s in want_all if s[0] == u) for u in per_user}
     want_closed = sorted(
         s
         for s in want_all
-        if s != last_per_user[s[0]] or s[2] + gap_s <= wm_off
+        if s != last_per_user[s[0]] or s[2] + gap_s < wm_off
     )
     assert got_closed == want_closed
+
+
+# ---------------------------------------------------------------------------
+# Arrow-chunk order invariance: applyInPandasWithState hands a key's
+# micro-batch rows to the fold as MULTIPLE pandas chunks in SHUFFLE
+# order once they exceed arrow.maxRecordsPerBatch.  Every
+# order-sensitive fold must therefore concat-then-sort, not sort each
+# chunk alone — these properties deliver the same rows as (a) one
+# sorted chunk and (b) several arbitrarily-permuted chunks and require
+# identical output + identical state.
+
+
+def _chunked(rows, cols, perm, n_chunks):
+    """Rows (list of tuples) → n_chunks pandas chunks in `perm` order."""
+    shuffled = [rows[i] for i in perm]
+    cuts = [len(shuffled) * k // n_chunks for k in range(n_chunks + 1)]
+    return [
+        pd.DataFrame(dict(zip(cols, zip(*shuffled[cuts[k]:cuts[k + 1]]))))
+        if shuffled[cuts[k]:cuts[k + 1]]
+        else pd.DataFrame({c: [] for c in cols})
+        for k in range(n_chunks)
+    ]
+
+
+_chunk_events = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[1],
+)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=_chunk_events, n_chunks=st.integers(2, 4), data=st.data())
+def test_session_fold_chunk_order_invariance(events, n_chunks, data):
+    from dataengineeringworkshop_spark.streaming.sessions import make_session_fn
+
+    rows = [
+        (pd.Timestamp(BASE + dt.timedelta(seconds=t)), eid) for t, eid in events
+    ]
+    perm = data.draw(st.permutations(range(len(rows))))
+    cols = ["ts", "event_id"]
+
+    def run(pdfs):
+        fn = make_session_fn(gap_seconds=60)
+        stt = _FakeGroupState()
+        out = []
+        for o in fn((1,), iter(pdfs), stt):
+            out.extend(map(tuple, o.itertuples(index=False)))
+        return out, stt._val
+
+    sorted_one = [pd.DataFrame(dict(zip(cols, zip(*sorted(rows)))))]
+    want = run(sorted_one)
+    got = run(_chunked(rows, cols, perm, n_chunks))
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=_chunk_events, n_chunks=st.integers(2, 4), data=st.data())
+def test_rolling_z_fold_chunk_order_invariance(events, n_chunks, data):
+    from dataengineeringworkshop_spark.streaming.rollingz import make_rolling_z_fn
+
+    rows = [
+        (
+            pd.Timestamp(BASE + dt.timedelta(seconds=t)),
+            eid,
+            float((eid * 37) % 19) if eid % 5 else None,  # nulls in the mix
+        )
+        for t, eid in events
+    ]
+    perm = data.draw(st.permutations(range(len(rows))))
+    cols = ["ts", "event_id", "value"]
+
+    def run(pdfs):
+        fn = make_rolling_z_fn(window=5, min_samples=3, threshold=0.5)
+        stt = _FakeGroupState()
+        out = []
+        for o in fn((1,), iter(pdfs), stt):
+            out.extend(map(tuple, o.itertuples(index=False)))
+        return out, tuple(stt._val[0])
+
+    sorted_one = [pd.DataFrame(dict(zip(cols, zip(*sorted(rows, key=lambda r: (r[0], r[1]))))))]
+    want = run(sorted_one)
+    got = run(_chunked(rows, cols, perm, n_chunks))
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=_chunk_events, n_chunks=st.integers(2, 4), data=st.data())
+def test_funnel_fold_chunk_order_invariance(events, n_chunks, data):
+    from dataengineeringworkshop_spark.streaming.funnel import (
+        FUNNEL_STAGES,
+        _update_funnel,
+    )
+
+    stages = list(FUNNEL_STAGES) + ["noise"]
+    rows = [
+        (
+            pd.Timestamp(BASE + dt.timedelta(seconds=t)),
+            eid,
+            stages[eid % len(stages)],
+        )
+        for t, eid in events
+    ]
+    perm = data.draw(st.permutations(range(len(rows))))
+    cols = ["ts", "event_id", "event_type"]
+
+    def run(pdfs):
+        stt = _FakeGroupState()
+        out = []
+        for o in _update_funnel((1,), iter(pdfs), stt):
+            out.extend(map(tuple, o.itertuples(index=False)))
+        return out, stt._val
+
+    sorted_one = [pd.DataFrame(dict(zip(cols, zip(*sorted(rows, key=lambda r: (r[0], r[1]))))))]
+    want = run(sorted_one)
+    got = run(_chunked(rows, cols, perm, n_chunks))
+    assert got == want
+
+
+def test_session_fold_min_merges_late_in_watermark_start():
+    """A late in-watermark event EARLIER than the open session's start
+    (within the gap of its last event) extends the interval backwards:
+    the closed row's start_us must cover it, matching the batch
+    sessionizer's MIN(t)."""
+    from dataengineeringworkshop_spark.streaming.sessions import make_session_fn
+
+    fn = make_session_fn(gap_seconds=60)
+    stt = _FakeGroupState()
+
+    def feed(offsets_and_ids):
+        pdf = pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(BASE + dt.timedelta(seconds=t)) for t, _ in offsets_and_ids],
+                "event_id": [eid for _, eid in offsets_and_ids],
+            }
+        )
+        return [
+            tuple(r)
+            for o in fn((1,), iter([pdf]), stt)
+            for r in o.itertuples(index=False)
+        ]
+
+    assert feed([(100, 1), (140, 2)]) == []  # open session [100, 140]
+    # batch 2: late event at 90s — within gap of last=140 — must MIN-merge
+    assert feed([(90, 3)]) == []
+    start_us, last_us, n = stt._val
+    base_us = int(pd.Timestamp(BASE).value // 1000)
+    assert (start_us - base_us) // 1_000_000 == 90
+    assert (last_us - base_us) // 1_000_000 == 140
+    assert n == 3
