@@ -10,8 +10,11 @@ reached) — O(distinct users) state at any event volume, sharded by the
 groupBy key like every keyed state store.
 
 Ordering contract: events are folded in (ts, event_id) order WITHIN a
-micro-batch; across batches the fold assumes event-time-ordered
-delivery per user (the availableNow file-drop pattern).  Under
+micro-batch — all Arrow chunks of a key's micro-batch data are
+concatenated before the one sort, so the order holds even when a key's
+rows span multiple record batches; across batches the fold assumes
+event-time-ordered delivery per user (the availableNow file-drop
+pattern).  Under
 cross-batch disorder the greedy fold can trail the batch MIN-chain
 answer until the late stage event is superseded — the same caveat every
 sequential stateful operator carries; a watermark + per-user buffer

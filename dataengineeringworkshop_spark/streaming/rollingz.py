@@ -14,9 +14,11 @@ never grows with stream length, which is what makes the operator
 checkpoint-cheap at any volume.
 
 Ordering contract (same as streaming/funnel.py): readings are folded in
-(ts, event_id) order WITHIN a micro-batch; across batches the fold
-assumes event-time-ordered delivery per user (the availableNow
-file-drop pattern).
+(ts, event_id) order WITHIN a micro-batch — all Arrow chunks of a key's
+micro-batch data are concatenated before the one sort, so the order
+holds even when a key's rows span multiple record batches; across
+batches the fold assumes event-time-ordered delivery per user (the
+availableNow file-drop pattern).
 """
 
 from __future__ import annotations
