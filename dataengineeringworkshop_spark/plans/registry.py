@@ -135,11 +135,16 @@ DRIVER_PREFIX = 50
 # core family is caught the same round) + ALL 28 queries that had never
 # appeared in any driver window after r06 — the complete never-evidenced
 # backlog drains in one round, taking cumulative driver evidence to
-# 215/215 oracle-paired if the window comes back green.  mm_byte_features
-# re-enters in its FIXED form: unnested scalar rows instead of the
-# array<double> column the driver's canonicalizer cannot hash (the r06
-# red row).  No new registry surface was added ahead of this rotation —
-# evidence catches up with implementation first.
+# 215 pre-rotation oracle-paired queries if the window comes back green.
+# mm_byte_features re-enters in its FIXED form: unnested scalar rows
+# instead of the array<double> column the driver's canonicalizer cannot
+# hash (the r06 red row).  No new surface was added AHEAD of this
+# rotation; the 12 round-7 queries added AFTER it (w11, j9, ts_seasonal,
+# e_ztest, rb_map_funcs, g_triangle, mm_payload, mv_minmax,
+# e_rolling_zscore, a19_mode, ts_m4, st_session_eviction — registry now
+# 234/227 oracle-paired) sit OUTSIDE the window as the r8 rotation pool,
+# each already hash-proven in driver_sim's EXTRA list so they arrive at
+# their rotation pre-verified.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
     # §2 breadth composites (family anchors)
