@@ -685,3 +685,52 @@ def test_session_tracker_timeout_eviction_across_restart(spark, tmp_path):
     ])
     out3 = _run_sessions(spark, src, chk, [])
     assert [(r.user_id, r.n_events) for r in out3] == [(2, 1)], out3
+
+
+def test_session_tracker_correct_across_real_arrow_chunks(spark, tmp_path):
+    """Engine-level pin of the concat-before-sort contract: with
+    ``spark.sql.execution.arrow.maxRecordsPerBatch=4``, a user's 30-event
+    micro-batch reaches the fold as ~8 pandas chunks, and the rows are
+    written to the source file in REVERSE event-time order so chunk
+    delivery order opposes event-time order.  A fold that sorted each
+    chunk alone would gap-close phantom sessions; the concat-then-sort
+    fold must still equal the batch sessionizer exactly."""
+    import datetime as _dt
+
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        events, eid = [], 0
+        for u in range(2):
+            t = 500 + u * 13
+            for _ in range(4):  # sessions
+                for _ in range(7, 0, -1):  # 7 events per session
+                    events.append(
+                        {"event_id": eid, "user_id": u, "value": 1.0,
+                         "ts": _dt.datetime.utcfromtimestamp(
+                             1704067200 + t).strftime("%Y-%m-%d %H:%M:%S")}
+                    )
+                    eid += 1
+                    t += 150  # intra-session (< gap=600)
+                t += 900  # inter-session (> gap)
+        flush = {"event_id": 10_000, "user_id": 99, "value": 0.0,
+                 "ts": "2024-01-02 12:00:00"}
+
+        # ONE data file, REVERSE event-time order: every Arrow chunk of a
+        # user's rows is later-in-time than the next chunk delivered
+        rev = sorted(events, key=lambda e: (e["ts"], e["event_id"]),
+                     reverse=True)
+        src, chk = tmp_path / "src", tmp_path / "chk"
+        _write_jsonl_ordered(src, [
+            ("b1.json", rev),
+            ("b2.json", [flush]),
+        ])
+
+        got = {
+            (r.user_id, r.start_us, r.end_us, r.n_events)
+            for r in _run_sessions(spark, src, chk, [])
+        }
+        want = _batch_sessions(spark, events)  # flush session excluded
+        assert got == want, (got ^ want, len(got), len(want))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
