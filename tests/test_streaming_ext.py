@@ -446,33 +446,49 @@ def _batch_rollz(spark, df):
     }
 
 
-def test_rolling_zscore_stream_matches_batch_window(spark, tmp_path):
+@pytest.mark.parametrize("arrow_max", [None, 4])
+def test_rolling_zscore_stream_matches_batch_window(spark, tmp_path, arrow_max):
     """Single ordered batch: the stateful ring-buffer fold must flag the
     SAME readings as the batch trailing-window SQL (the
     e_rolling_zscore_anomaly semantics), z agreeing to float tolerance,
-    null readings occupying frame slots on both sides."""
+    null readings occupying frame slots on both sides.  The arrow_max=4
+    variant fractures each user's micro-batch into many pandas chunks
+    delivered against event-time order (the source file is written
+    time-reversed), pinning the concat-before-sort contract in a real
+    engine run."""
     from dataengineeringworkshop_spark.streaming.rollingz import (
         rolling_zscore_detector,
     )
 
     events = _rollz_events()
     src, chk = tmp_path / "src", tmp_path / "chk"
-    _write_jsonl(src / "b1.json", events)
+    if arrow_max is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(arrow_max))
+        file_events = sorted(events, key=lambda e: (e["ts"], e["event_id"]),
+                             reverse=True)
+    else:
+        file_events = events
+    _write_jsonl(src / "b1.json", file_events)
     stream = spark.readStream.schema(ROLLZ_SCHEMA).json(str(src))
     sink = []
 
     def collect_batch(batch_df, batch_id):
         sink.extend(batch_df.collect())
 
-    q = (
-        rolling_zscore_detector(stream)
-        .writeStream.foreachBatch(collect_batch)
-        .outputMode("update")
-        .option("checkpointLocation", str(chk))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            rolling_zscore_detector(stream)
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("update")
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if arrow_max is not None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     got = {(r.user_id, r.event_id): r.z_score for r in sink}
 
     bdf = spark.createDataFrame(
