@@ -243,8 +243,10 @@ def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, n_name,
                ntile(4) OVER w AS spend_quartile,
-               ROUND(percent_rank() OVER w, 6) AS pct_rank,
-               ROUND(cume_dist() OVER w, 6) AS cume
+               CAST(FLOOR(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+                   AS pct_rank_ppm,
+               CAST(FLOOR(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+                   AS cume_ppm
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal ASC, c_custkey ASC)
     """,
@@ -254,14 +256,24 @@ def w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — ntile quartiles, percent_rank,
     cume_dist per nation.  Unique (acctbal, custkey) ordering makes the
     rank rationals engine-independent; one exchange on the partition
-    key serves all three functions."""
+    key serves all three functions.
+
+    The ratios are emitted as EXACT ppm integers via
+    ``FLOOR(x * 1e6 + 0.5)`` — pure IEEE arithmetic on doubles both
+    engines compute bit-identically — NOT ``ROUND(x, 6)``: rank ratios
+    are small-denominator rationals that can land exactly on a decimal
+    rounding tie (sf0.1 hits 0.5203125), where Spark rounds HALF_UP and
+    DuckDB HALF_EVEN, flipping the 6th decimal (caught by the round-7
+    sf0.1 sweep; SCALE.md)."""
     return _sql(
         spark, sf_dir, ("customer", "nation"),
         """
         SELECT c_custkey, n_name,
                ntile(4) OVER w AS spend_quartile,
-               ROUND(percent_rank() OVER w, 6) AS pct_rank,
-               ROUND(cume_dist() OVER w, 6) AS cume
+               CAST(FLOOR(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+                   AS pct_rank_ppm,
+               CAST(FLOOR(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+                   AS cume_ppm
         FROM dew_customer JOIN dew_nation ON c_nationkey = n_nationkey
         WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal ASC, c_custkey ASC)
         """,
