@@ -209,6 +209,13 @@ def ann_topk_ivf(
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc_nulls_last(), F.col("vid"))
+    # final rank key = the ROUNDED cosine (the emitted value and the
+    # oracle's rank key): distinct raw cosines that round equal must
+    # tie-break by vid in both engines; raw doubles are not
+    # engine-stable at the 14th digit (decimal cast rounding modes)
+    w_final = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cosine"), 6).desc_nulls_last(), F.col("vid")
+    )
     if decimal_rescore:
         from dataengineeringworkshop_spark.llmops.expr import DOT_DECIMAL
 
@@ -230,7 +237,7 @@ def ann_topk_ivf(
             ),
         )
         w2 = Window.partitionBy("qid").orderBy(
-            F.col("cosine").desc_nulls_last(), F.col("vid")
+            F.round(F.col("cosine"), 6).desc_nulls_last(), F.col("vid")
         )
         return (
             exact.withColumn("sim_rank", F.row_number().over(w2))
@@ -244,7 +251,7 @@ def ann_topk_ivf(
         )
     return (
         scored.filter(F.col("cosine").isNotNull())  # zero-norm pairs: no result
-        .withColumn("sim_rank", F.row_number().over(w))
+        .withColumn("sim_rank", F.row_number().over(w_final))
         .filter(F.col("sim_rank") <= k)
         .select(
             F.col("qid").alias("query_id"),

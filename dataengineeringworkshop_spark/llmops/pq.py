@@ -145,7 +145,11 @@ def _finalize_topk(
     double-ranked top k+30 survivors are rescored with the exact
     DECIMAL(28,14) fold — dot and both norms — and re-ranked before the
     final cut (the same two-phase device as ``ivf.ann_topk_ivf``), so
-    reported cosines are bit-identical to a DuckDB decimal oracle."""
+    reported cosines are bit-identical to a DuckDB decimal oracle.
+
+    The FINAL rank key is the ROUNDED cosine (the emitted value and the
+    oracle's rank key) so rounded ties break by id in both engines; the
+    k+30 prefilter still ranks on the raw double (margin logic)."""
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc_nulls_last(), F.col(vid_col)
     )
@@ -164,11 +168,11 @@ def _finalize_topk(
                 ),
             )
         )
-        w = Window.partitionBy("qid").orderBy(
-            F.col("cosine").desc_nulls_last(), F.col(vid_col)
-        )
+    w_final = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cosine"), 6).desc_nulls_last(), F.col(vid_col)
+    )
     return (
-        exact.withColumn("sim_rank", F.row_number().over(w))
+        exact.withColumn("sim_rank", F.row_number().over(w_final))
         .filter(F.col("sim_rank") <= k)
         .select(
             F.col("qid").alias("query_id"),

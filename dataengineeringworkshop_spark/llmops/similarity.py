@@ -50,7 +50,15 @@ def exact_cosine_topk(
             / F.nullif(F.sqrt(F.col("q_nrm") * F.col("c_nrm")), F.lit(0.0)),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc_nulls_last(), F.col("neighbor_id"))
+    # rank on the ROUNDED cosine — the emitted value and the oracle's
+    # rank key: distinct raw cosines that round equal (duplicate-heavy
+    # corpora hit this) must tie-break by neighbor_id in BOTH engines,
+    # and raw doubles are not engine-stable at the 14th digit (decimal
+    # cast rounding modes differ), so the 6-decimal value is the only
+    # cross-engine-deterministic sort key
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc_nulls_last(), F.col("neighbor_id")
+    )
     return (
         scored.filter(F.col("cosine").isNotNull())  # zero-norm pairs: no result
         .withColumn("sim_rank", F.row_number().over(w))
@@ -165,7 +173,10 @@ def ann_topk_lsh(
             / F.nullif(F.sqrt(F.col("q_nrm") * F.col("c_nrm")), F.lit(0.0)),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc_nulls_last(), F.col("vid"))
+    # rounded-cosine rank key: same tie rule as exact_cosine_topk
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cosine"), 6).desc_nulls_last(), F.col("vid")
+    )
     return (
         scored.filter(F.col("cosine").isNotNull())  # zero-norm pairs: no result
         .withColumn("sim_rank", F.row_number().over(w))

@@ -271,20 +271,50 @@ _CORR_SQL = """
     WITH m AS (
         SELECT event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(28,14))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(user_id AS DECIMAL(28,14))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(value * value AS DECIMAL(28,14))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(value * CAST(user_id AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS sxy
+               -- moments stay DECIMAL (exact): value is 2-decimal data so
+               -- DECIMAL(18,4) captures it exactly; user_id needs a
+               -- 19-digit factor so DuckDB multiplies in int128 (width 18
+               -- multiplies in int64 and overflows on ~1e10-scale ids)
+               SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+               SUM(CAST(user_id AS DECIMAL(19,0))) AS sy,
+               SUM(CAST(value AS DECIMAL(18,4))
+                   * CAST(value AS DECIMAL(18,4))) AS sxx,
+               SUM(CAST(user_id AS DECIMAL(19,0))
+                   * CAST(user_id AS DECIMAL(19,0))) AS syy,
+               SUM(CAST(value AS DECIMAL(18,4))
+                   * CAST(user_id AS DECIMAL(19,0))) AS sxy
         FROM {table}
         GROUP BY event_type
+    ),
+    d AS (
+        -- the cancellation-prone combinations (n*Sxy - Sx*Sy etc.) are
+        -- formed EXACTLY in decimal and only the small results cross to
+        -- double: doing the subtraction in double amplifies the two
+        -- engines' independent 1-ulp decimal->double roundings by the
+        -- ~1e12/1e2 condition number (caught by the sf1 sweep, where
+        -- covar_pop diverged in the 4th decimal).  The down-casts pin
+        -- widths so every product stays inside DECIMAL(38) exactly;
+        -- headroom: n < 1e9 rows/group, |Sx| < 1e12, |Sy| < 1e18 --
+        -- ANSI mode fails loudly, never silently, beyond that.
+        -- every product keeps one factor at width >= 19: DuckDB
+        -- multiplies two <=18-width decimals in int64 (overflows on
+        -- these magnitudes); a 19+-width factor forces int128
+        SELECT event_type, n,
+               CAST(CAST(n AS DECIMAL(9,0)) * CAST(sxy AS DECIMAL(25,4))
+                    - CAST(sx AS DECIMAL(16,4)) * CAST(sy AS DECIMAL(19,0))
+                    AS DOUBLE) AS cnum,
+               CAST(CAST(n AS DECIMAL(9,0)) * CAST(sxx AS DECIMAL(20,8))
+                    - CAST(sx AS DECIMAL(19,4)) * CAST(sx AS DECIMAL(16,4))
+                    AS DOUBLE) AS vx,
+               CAST(CAST(n AS DECIMAL(9,0)) * CAST(syy AS DECIMAL(27,0))
+                    - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                    AS DOUBLE) AS vy
+        FROM m
     )
     SELECT event_type, n,
-           ROUND((sxy / n) - ((sx / n) * (sy / n)), 6) AS covar_pop,
-           ROUND(((sxy / n) - ((sx / n) * (sy / n)))
-                 / (sqrt((sxx / n) - ((sx / n) * (sx / n)))
-                    * sqrt((syy / n) - ((sy / n) * (sy / n)))), 6) AS corr
-    FROM m
+           ROUND(cnum / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop,
+           ROUND(cnum / sqrt(vx * vy), 6) AS corr
+    FROM d
 """
 
 

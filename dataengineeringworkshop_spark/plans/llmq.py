@@ -170,16 +170,21 @@ def sh_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "doc_id", "text")
 
 
-#: planted-duplicate id offset for sh_simhash_dup_pairs — far above any
-#: real doc_id at every sf, so (d1, d1+OFFSET) can only be a plant pair
-_SH_PLANT_OFFSET = 10_000_000
+#: planted-duplicate id gap for sh_simhash_dup_pairs — the actual plant
+#: offset is MAX(doc_id) + this gap, computed from the data, so plant
+#: ids can NEVER collide with real ids regardless of the corpus's id
+#: space (a fixed 1e7 offset collided with the ~1e9-offset replica ids
+#: of the scaled sf1 fixture and silently dropped pairs)
+_SH_PLANT_GAP = 10_000_000
 
 
 @query(
     "sh_simhash_dup_pairs",
     oracle=f"""
         SELECT CAST(doc_id AS BIGINT) AS d1,
-               CAST(doc_id AS BIGINT) + {_SH_PLANT_OFFSET} AS d2
+               CAST(doc_id AS BIGINT)
+                   + (SELECT CAST(MAX(doc_id) AS BIGINT) + {_SH_PLANT_GAP}
+                      FROM documents) AS d2
         FROM documents WHERE doc_id % 7 = 0
     """,
     tags=("ext-dedup",),
@@ -199,13 +204,22 @@ def sh_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineeringworkshop_spark.llmops.simhash import simhash_near_pairs
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded scalar collect: the plant offset is data-derived so plant
+    # ids sit strictly above every real id (see _SH_PLANT_GAP note)
+    offset = int(d.agg(F.max("doc_id")).first()[0]) + _SH_PLANT_GAP
     planted = d.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(_SH_PLANT_OFFSET)
+        "doc_id", F.col("doc_id") + F.lit(offset)
     )
     aug = d.unionByName(planted)
-    pairs = simhash_near_pairs(aug, "doc_id", "text", max_hamming=0)
+    # max_bucket=4096: recall of the banded pair search is complete only
+    # for pairs whose band buckets pass the quadratic guard; replica-
+    # heavy fixtures (the scaled sf1 corpus measures a 2032-max bucket)
+    # trip the 256 production default and silently lose plant pairs.
+    # 4096 keeps the guard (worst bucket 16.7M candidate pairs, bounded)
+    # while covering every fixture with 2x headroom.
+    pairs = simhash_near_pairs(aug, "doc_id", "text", max_hamming=0, max_bucket=4096)
     return pairs.filter(
-        F.col("d2") == F.col("d1") + _SH_PLANT_OFFSET
+        F.col("d2") == F.col("d1") + F.lit(offset)
     ).select(F.col("d1").cast("long").alias("d1"), F.col("d2").cast("long").alias("d2"))
 
 

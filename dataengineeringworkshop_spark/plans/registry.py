@@ -19,6 +19,22 @@ Determinism contract (so the driver's order-insensitive value hash matches):
   ``CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)`` (pure IEEE arithmetic on
   doubles both engines compute bit-identically); using them as FILTER
   thresholds is safe (identical doubles compare identically).
+- **Rank on the EMITTED rounded value, not the raw score**: when a query
+  outputs ``ROUND(score, 6)`` plus a rank, the row_number window must
+  order by that same rounded expression (then the id tiebreaker) —
+  distinct raw scores that round equal (duplicate-heavy corpora at sf1
+  hit this in the cosine top-k family) must tie-break identically in
+  both engines, and raw doubles are not engine-stable at the 14th digit
+  (decimal CAST rounding modes differ: Spark HALF_UP, DuckDB HALF_EVEN).
+- **Integer-column moments accumulate at scale 0 with int128-width
+  factors**, never through a double product cast to DECIMAL(28,14): the
+  14-digit integer part overflows on ~1e10-scale ids squared, and DuckDB
+  multiplies two <=18-width decimals in int64 (one factor must be width
+  >= 19).  **Cancellation-prone combinations** (covariance/correlation
+  numerators: n*Sxy - Sx*Sy) are formed EXACTLY in decimal and only the
+  small result crosses to double — subtracting two ~1e12 doubles
+  amplifies each engine's independent decimal->double ulp into the 4th
+  decimal (both caught by the round-7 sf1 sweep).
 - **Column names**: alias every computed column identically on both sides.
 - **No raw array/map/struct columns in driver-prefix outputs** (round-6
   finding: the external driver's pandas canonicalizer crashes on
