@@ -262,9 +262,10 @@ def w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``FLOOR(x * 1e6 + 0.5)`` — pure IEEE arithmetic on doubles both
     engines compute bit-identically — NOT ``ROUND(x, 6)``: rank ratios
     are small-denominator rationals that can land exactly on a decimal
-    rounding tie (sf0.1 hits 0.5203125), where Spark rounds HALF_UP and
-    DuckDB HALF_EVEN, flipping the 6th decimal (caught by the round-7
-    sf0.1 sweep; SCALE.md)."""
+    rounding tie (sf0.1 hits 0.5203125), where Spark ROUND rounds the
+    double's shortest decimal repr while DuckDB rounds the true binary
+    value, flipping the 6th decimal (caught by the round-7 sf0.1 sweep;
+    SCALE.md; tests/test_determinism_edges.py pins the mechanism)."""
     return _sql(
         spark, sf_dir, ("customer", "nation"),
         """

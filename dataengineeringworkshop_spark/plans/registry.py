@@ -14,8 +14,9 @@ Determinism contract (so the driver's order-insensitive value hash matches):
   row_number()/LIMIT.
 - **Rank ratios (percent_rank/cume_dist) are never ROUNDed**: they are
   small-denominator rationals that can land exactly on a decimal
-  rounding tie (sf0.1 hits 0.5203125), where Spark rounds HALF_UP and
-  DuckDB HALF_EVEN — the 6th decimal flips.  Emit exact ppm integers via
+  rounding tie (sf0.1 hits 0.5203125), where Spark ROUND rounds the
+  double's SHORTEST DECIMAL REPR (BigDecimal.valueOf) while DuckDB
+  rounds the true binary value — the 6th decimal flips.  Emit exact ppm integers via
   ``CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)`` (pure IEEE arithmetic on
   doubles both engines compute bit-identically); using them as FILTER
   thresholds is safe (identical doubles compare identically).
