@@ -48,6 +48,10 @@ EXTRA = [
     "st_stream_dedup",
     "sh_simhash_dup_pairs",
     "mm_audio_features",
+    # moments reformulated in round 7 (exact decimal numerators — the
+    # sf1 sweep fix): keep it exercised even though its r1/r2 driver
+    # rows predate the change
+    "a12_corr_covar",
     # r4-proven rows rotated OUT of the r5 prefix — keep them exercised
     # in the sim so a regression is caught before the judge's spot-check
     "tj_sessionize_gap30",
