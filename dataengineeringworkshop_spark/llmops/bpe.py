@@ -127,8 +127,13 @@ def learn_bpe_merges(
     ).persist()
     merges: list[tuple[int, str, str, int]] = []
     try:
-        head = seqs0.limit(local_vocab_cap + 1).collect()
-        if len(head) <= local_vocab_cap:
+        # cheap bounded COUNT decides the path first — collecting the
+        # rows only to discover the vocab is over the cap would pull up
+        # to cap+1 marker strings onto the driver for nothing (the cap
+        # is 1M rows; on an 8g driver that is real memory pressure)
+        n_vocab = seqs0.limit(local_vocab_cap + 1).count()
+        if n_vocab <= local_vocab_cap:
+            head = seqs0.collect()
             merges = _learn_local(
                 [(r.s, int(r.weight)) for r in head], n_merges
             )

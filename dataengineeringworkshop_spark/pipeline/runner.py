@@ -34,8 +34,10 @@ Execution semantics (N4:14-18, 38; SURVEY §7.4):
   (SQL).sql:98` lists QUARANTINE as DLT roadmap — implemented here),
   and all modes record metrics.
 - Every run appends ``flow_definition`` / ``flow_progress`` events (with
-  ``num_output_rows`` and ``data_quality.expectations``) to a JSON-lines
-  event log queryable as a table (N3:130-168 parity).
+  ``metrics.num_output_rows`` and ``data_quality.expectations`` in the
+  DLT event-log field layout) to a JSON-lines event log queryable as a
+  table; :meth:`Pipeline.pipeline_logs` re-shapes it so the reference's
+  N3 audit SQL (`3 Delta Live Tables Setup.py:130-151`) runs verbatim.
 
 The DAG is resolved by parsing ``live.<name>`` references; nodes run in
 topological order.  Dev/prod target remapping (N4:77) falls out of the
@@ -211,6 +213,28 @@ class Pipeline:
     def event_log(self, spark: SparkSession) -> DataFrame:
         return spark.read.json(f"{self.event_log_path}/*.jsonl")
 
+    def pipeline_logs(self, spark: SparkSession) -> DataFrame:
+        """The event log in the Databricks DLT shape the reference's N3
+        audit SQL interrogates verbatim (`3 Delta Live Tables
+        Setup.py:130-151`): columns ``id`` / ``timestamp`` /
+        ``event_type`` / ``details``, where ``details`` is a JSON
+        *string* keyed by event type (``{"flow_progress": {...}}``) so
+        the Databricks ``details:flow_progress...`` ``:``-path operator
+        (→ ``get_json_object`` via :mod:`..sqlcompat`) resolves.  The
+        single-entry map keyed by the row's own ``event_type`` is what
+        makes ``details:flow_progress`` NULL on ``flow_definition``
+        rows, exactly like the real event log."""
+        from pyspark.sql import functions as F
+
+        return self.event_log(spark).select(
+            F.col("flow_name").alias("id"),
+            F.col("timestamp_ms").alias("timestamp"),
+            "event_type",
+            F.to_json(F.create_map(F.col("event_type"), F.col("details"))).alias(
+                "details"
+            ),
+        )
+
     # -------------------------------------------------------------- run
 
     def run(self, spark: SparkSession) -> dict[str, dict]:
@@ -256,18 +280,14 @@ class Pipeline:
                     self._write_quarantine(df, spec)
                     n, metrics = finish()
                     results[spec.name] = {"rows": n, "expectations": metrics}
-                    self._emit(ev, "flow_progress", spec.name, {
-                        "num_output_rows": n,
-                        "data_quality": {"expectations": metrics},
-                    })
+                    self._emit(ev, "flow_progress", spec.name,
+                               _flow_progress_details(n, metrics))
                     continue
                 # incremental_table
                 n, metrics = self._run_incremental(spark, spec)
                 results[spec.name] = {"rows_appended": n, "expectations": metrics}
-                self._emit(ev, "flow_progress", spec.name, {
-                    "num_output_rows": n,
-                    "data_quality": {"expectations": metrics},
-                })
+                self._emit(ev, "flow_progress", spec.name,
+                           _flow_progress_details(n, metrics))
         return results
 
     # --------------------------------------------------------- builders
@@ -363,6 +383,11 @@ class Pipeline:
                 metrics.append(
                     {
                         "name": e.name,
+                        # DLT event-log expectation records carry the
+                        # dataset they gate (N3:134-138 selects
+                        # expectations.dataset) — here that is always
+                        # the node the constraint is declared on
+                        "dataset": spec.name,
                         "mode": e.mode,
                         "passed_records": passed,
                         "failed_records": failed,
@@ -552,6 +577,20 @@ def _translate_fail_guard(node_name: str, ex: Exception) -> None:
             f"[{FAIL_SENTINEL}{which}{FAIL_SENTINEL_END}]"
         ) from ex
     raise ex
+
+
+def _flow_progress_details(n: int, metrics: list[dict]) -> dict:
+    """flow_progress payload in the DLT event-log field layout the N3
+    audit SQL addresses: ``metrics.num_output_rows``,
+    ``data_quality.dropped_records`` (node total) and
+    ``data_quality.expectations`` (per-constraint records)."""
+    return {
+        "metrics": {"num_output_rows": n},
+        "data_quality": {
+            "dropped_records": sum(m["dropped_records"] for m in metrics),
+            "expectations": metrics,
+        },
+    }
 
 
 def _merge_metrics(acc: list[dict], new: list[dict]) -> list[dict]:

@@ -541,3 +541,70 @@ def rb_map_funcs_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
         """
     )
+
+
+@query(
+    "rb_setops_breadth",
+    oracle="""
+        WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        SELECT 'union_distinct' AS op,
+               (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n
+        UNION ALL SELECT 'union_all',
+               (SELECT COUNT(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+        UNION ALL SELECT 'union_by_name_missing',
+               (SELECT COUNT(*) FROM b)
+        UNION ALL SELECT 'intersect_distinct',
+               (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+        UNION ALL SELECT 'intersect_all',
+               (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+        UNION ALL SELECT 'except_distinct',
+               (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        UNION ALL SELECT 'except_all',
+               (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+    """,
+    tags=("breadth", "setops", "C"),
+)
+def rb_setops_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full set-operator family in one pass, DataFrame-API side:
+    union/unionAll, unionByName with allowMissingColumns (the
+    schema-evolution union — its measured scalar is the count of rows
+    whose missing column was null-filled, i.e. exactly the right side),
+    intersect vs intersectAll and subtract vs exceptAll (DISTINCT-set vs
+    multiset bag semantics — the ALL variants preserve multiplicity, so
+    over orders with repeated custkeys the two counts genuinely differ).
+    ``c3_union_except_intersect`` pins the distinct trio; this row adds
+    the bag variants and by-name union.  Each branch reduces to one
+    (op, n) scalar row — seven tiny aggregates unioned, no collect.
+    Scale: every branch is one shuffle on o_custkey at most; the ALL
+    variants compile to the same hash-aggregate + join shapes a manual
+    multiplicity-compare would need, but stay whole-stage-codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    a_tagged = a.withColumn("src", F.lit("a"))
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"), F.count(F.lit(1)).cast("long").alias("n")
+        )
+
+    branches = [
+        one("union_distinct", a.union(b).distinct()),
+        one("union_all", a.unionAll(b)),
+        # rows contributed by the src-less right side arrive null-filled
+        one(
+            "union_by_name_missing",
+            a_tagged.unionByName(b, allowMissingColumns=True).filter(
+                F.col("src").isNull()
+            ),
+        ),
+        one("intersect_distinct", a.intersect(b)),
+        one("intersect_all", a.intersectAll(b)),
+        one("except_distinct", a.subtract(b)),
+        one("except_all", a.exceptAll(b)),
+    ]
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
+    return out

@@ -294,8 +294,14 @@ _CORR_SQL = """
         -- ~1e12/1e2 condition number (caught by the sf1 sweep, where
         -- covar_pop diverged in the 4th decimal).  The down-casts pin
         -- widths so every product stays inside DECIMAL(38) exactly;
-        -- headroom: n < 1e9 rows/group, |Sx| < 1e12, |Sy| < 1e18 --
-        -- ANSI mode fails loudly, never silently, beyond that.
+        -- headroom: n < 1e9 rows/group, |Sx| < 1e12, |Sy| < 1e18.
+        -- Beyond that the failure must stay LOUD on both engines:
+        -- DuckDB decimal arithmetic always errors on overflow, but the
+        -- default Spark session is non-ANSI (decimal overflow silently
+        -- yields NULL), so the Spark side injects an assert_true WHERE
+        -- guard on exactly these bounds via {guard} (empty in the
+        -- oracle; a guard COLUMN would be pruned as dead, a filter
+        -- cannot be).
         -- every product keeps one factor at width >= 19: DuckDB
         -- multiplies two <=18-width decimals in int64 (overflows on
         -- these magnitudes); a 19+-width factor forces int128
@@ -309,7 +315,7 @@ _CORR_SQL = """
                CAST(CAST(n AS DECIMAL(9,0)) * CAST(syy AS DECIMAL(27,0))
                     - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
                     AS DOUBLE) AS vy
-        FROM m
+        FROM m {guard}
     )
     SELECT event_type, n,
            ROUND(cnum / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop,
@@ -318,9 +324,23 @@ _CORR_SQL = """
 """
 
 
+# loud overflow guard for the Spark side of _CORR_SQL (see the headroom
+# comment there): the default session is non-ANSI, where a decimal
+# overflow would silently NULL the moments — assert the documented
+# bounds instead.  Costs one predicate over the ≤|groups| aggregated
+# rows.  (The oracle side formats guard="" — DuckDB decimal arithmetic
+# always errors on overflow on its own.)
+_CORR_GUARD = (
+    "WHERE COALESCE(assert_true("
+    "n < 1000000000 AND abs(sx) < 1e12 AND abs(sy) < 1e18, "
+    "'a12_corr_covar: moment headroom exceeded (n<1e9, |Sx|<1e12, "
+    "|Sy|<1e18) — widen the decimal moment widths'), TRUE)"
+)
+
+
 @query(
     "a12_corr_covar",
-    oracle=_CORR_SQL.format(table="events"),
+    oracle=_CORR_SQL.format(table="events", guard=""),
     tags=("extra", "A3"),
 )
 def a12_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +354,7 @@ def a12_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineeringworkshop_spark.plans.tables import register_views
 
     register_views(spark, sf_dir, "events")
-    return spark.sql(_CORR_SQL.format(table="dew_events"))
+    return spark.sql(_CORR_SQL.format(table="dew_events", guard=_CORR_GUARD))
 
 
 @query(

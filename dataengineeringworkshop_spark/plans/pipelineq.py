@@ -269,6 +269,17 @@ def pl_dlt_sql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked end to end.  (tests/test_dlt_sql.py additionally
     parses the reference notebook itself verbatim, cloud_files and
     STREAM(live.x) included.)"""
+    p = _run_dlt_gate_pipeline(spark, sf_dir, prefix="dew_dltsql_")
+    return p.read_dataset(spark, "gold_mix_dlt").select(
+        "lang", "source", "n_docs", "total_chars"
+    )
+
+
+def _run_dlt_gate_pipeline(spark: SparkSession, sf_dir: str, prefix: str):
+    """Parse + run the shared DLT SQL gate script (TEMPORARY LIVE TABLE
+    with drop/warn constraints → gold rollup) and return the Pipeline —
+    the subject of both ``pl_dlt_sql_pipeline`` (gold output) and
+    ``pl_event_log_audit`` (event-log interrogation)."""
     from dataengineeringworkshop_spark.pipeline.dlt_sql import pipeline_from_sql
 
     script = f"""
@@ -290,10 +301,80 @@ select lang, source, count(*) as n_docs,
        CAST(SUM(n_chars_actual) AS BIGINT) as total_chars
 from live.gated_dlt group by lang, source
 """
-    p = pipeline_from_sql("dltsqlq", tempfile.mkdtemp(prefix="dew_dltsql_"), script)
+    p = pipeline_from_sql("dltsqlq", tempfile.mkdtemp(prefix=prefix), script)
     p.run(spark)
-    return p.read_dataset(spark, "gold_mix_dlt").select(
-        "lang", "source", "n_docs", "total_chars"
+    return p
+
+
+# the reference's event-log audit statement, VERBATIM (`3 Delta Live
+# Tables Setup.py:136-151`, MAGIC markers stripped): Databricks
+# ``details:...`` JSON-path syntax, schema_of_json over a sample record,
+# explode of the expectation array.  sqlcompat.translate_sql rewrites the
+# ``:``-paths to get_json_object; everything else is stock Spark SQL.
+_N3_EVENT_LOG_AUDIT_SQL = """
+SELECT
+  id,
+  expectations.dataset,
+  expectations.name,
+  expectations.failed_records,
+  expectations.passed_records
+FROM(
+  SELECT
+    id,
+    timestamp,
+    details:flow_progress.metrics,
+    details:flow_progress.data_quality.dropped_records,
+    explode(from_json(details:flow_progress:data_quality:expectations
+             ,schema_of_json("[{'name':'str', 'dataset':'str', 'passed_records':42, 'failed_records':42}]"))) expectations
+  FROM pipeline_logs
+  WHERE details:flow_progress.metrics IS NOT NULL) data_quality
+"""
+
+
+@query(
+    "pl_event_log_audit",
+    oracle="""
+        WITH t AS (
+            SELECT LENGTH(text) AS n_chars_actual, lang, source FROM documents
+        )
+        SELECT 'gated_dlt' AS id, 'gated_dlt' AS dataset,
+               'long enough' AS name,
+               CAST(COUNT(*) - SUM(CASE WHEN n_chars_actual >= 120 THEN 1 ELSE 0 END) AS BIGINT) AS failed_records,
+               CAST(SUM(CASE WHEN n_chars_actual >= 120 THEN 1 ELSE 0 END) AS BIGINT) AS passed_records
+        FROM t
+        UNION ALL
+        SELECT 'gated_dlt', 'gated_dlt', 'lang allowed',
+               CAST(COUNT(*) - SUM(CASE WHEN lang IN ('en','de','fr') THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN lang IN ('en','de','fr') THEN 1 ELSE 0 END) AS BIGINT)
+        FROM t
+        UNION ALL
+        SELECT 'gated_dlt', 'gated_dlt', 'has source',
+               CAST(COUNT(*) - SUM(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM t
+    """,
+    tags=("pipeline", "E3", "event-log", "sql-dml"),
+)
+def pl_event_log_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's N3 event-log audit, end to end: run the DLT SQL
+    gate pipeline, expose its event log as the ``pipeline_logs`` view
+    (`3 Delta Live Tables Setup.py:132` — the notebook's CREATE VIEW
+    over ``{storage}/system/events``; here
+    :meth:`Pipeline.pipeline_logs` provides the same Databricks event
+    shape), then execute the notebook's audit SELECT **verbatim**
+    through the ``:``-path shim.  The oracle recomputes each
+    constraint's passed/failed counters straight from ``documents`` —
+    the expectation observation sits before the drop filters, so every
+    constraint is measured against all input rows."""
+    from dataengineeringworkshop_spark.sqlcompat import translate_sql
+
+    p = _run_dlt_gate_pipeline(spark, sf_dir, prefix="dew_dltaudit_")
+    p.pipeline_logs(spark).createOrReplaceTempView("pipeline_logs")
+    out = spark.sql(translate_sql(_N3_EVENT_LOG_AUDIT_SQL))
+    return out.select(
+        "id", "dataset", "name",
+        F.col("failed_records").cast("long").alias("failed_records"),
+        F.col("passed_records").cast("long").alias("passed_records"),
     )
 
 

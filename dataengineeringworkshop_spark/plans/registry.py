@@ -154,21 +154,22 @@ DRIVER_PREFIX = 50
 # singleton family that was green in r1–r3 keeps its cumulative evidence;
 # tests/test_registry_order.py enforces prefix ∪ past-green coverage).
 # All 50 rows are oracle-paired — no rows-only slots in the window.
-# Round-7 composition (the verdict's "rotate hard" order): flagship +
-# 21 live family anchors (all past-green, kept so a repo regression in a
-# core family is caught the same round) + ALL 28 queries that had never
-# appeared in any driver window after r06 — the complete never-evidenced
-# backlog drains in one round, taking cumulative driver evidence to
-# 215 pre-rotation oracle-paired queries if the window comes back green.
-# mm_byte_features re-enters in its FIXED form: unnested scalar rows
-# instead of the array<double> column the driver's canonicalizer cannot
-# hash (the r06 red row).  No new surface was added AHEAD of this
-# rotation; the 12 round-7 queries added AFTER it (w11, j9, ts_seasonal,
-# e_ztest, rb_map_funcs, g_triangle, mm_payload, mv_minmax,
-# e_rolling_zscore, a19_mode, ts_m4, st_session_eviction — registry now
-# 234/227 oracle-paired) sit OUTSIDE the window as the r8 rotation pool,
-# each already hash-proven in driver_sim's EXTRA list so they arrive at
-# their rotation pre-verified.
+# Round-8 composition: flagship + 21 live family anchors (unchanged from
+# r7 — a repo regression in a core family is caught the same round) +
+# the 12-query round-7 pool (the ENTIRE remaining never-evidenced
+# backlog; each pre-proven in driver_sim's EXTRA list since r7, so it
+# arrives pre-verified — green window ⇒ cumulative driver evidence hits
+# 227/227 oracle-paired, zero backlog for the first time) + 16 re-proof
+# slots.  The re-proof slots are spent deliberately: first on queries
+# whose IMPLEMENTATION changed after their last driver row (the r7 sf1
+# sweep fixes: a12_corr_covar's exact-decimal moments,
+# sh_simhash_dup_pairs' widened bucket guard, sim_cosine_topk's
+# rank-on-rounded ties), then on long-stale family reps (dedup, asof,
+# BM25, medallion, versioned-table history/OPTIMIZE, streaming dedup,
+# multimodal audio) whose newest evidence predates r5.  New round-8
+# surface (set-op ALL-variant breadth, the N3 event-log audit) is added
+# BEHIND the rotation and pre-proven in driver_sim EXTRA — the same
+# discipline that kept the backlog drainable in r7.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
     # §2 breadth composites (family anchors)
@@ -188,7 +189,7 @@ _PRIORITY: tuple[str, ...] = (
     "st_stateful_user_totals",
     "st_stream_static_join",
     # LLM-extension family anchors (one live representative per
-    # capability family; everything else in those families is r1–r6
+    # capability family; everything else in those families is r1–r7
     # green and spot-checked in driver_sim's EXTRA list)
     "mh_minhash_lsh_dedup",
     "ann_ivf_fullprobe_exact",
@@ -198,58 +199,52 @@ _PRIORITY: tuple[str, ...] = (
     "t_bpe_tokenize_pack",
     "e_funnel_conversion",
     "mv_incremental_join",
-    # ---- the 28-query never-evidenced backlog (everything below is a
-    # first-time driver row; grouped by family) ----
-    # multimodal: the r06 red row, re-emitted driver-hashable (unnested)
-    "mm_byte_features",
-    # time-series hygiene (round-6 wave 4)
-    "ts_forward_fill",
-    "ts_spine_gapfill",
-    "ts_rollup_cascade",
-    "ts_ohlc_bars",
-    "ts_ewma_dyadic",
-    # aggregation breadth
-    "a14_bitwise_aggs",
-    "a15_value_histogram",
-    "a16_freq_items_bound",
-    # analytics / stats
-    "e_mad_outliers",
-    "e_chi_square_independence",
-    # curation sampling + reports
-    "cp_weighted_sample",
-    "cp_quality_percentile_gate",
-    "cp_dedup_stage_report",
-    "cp_pack_fill_report",
-    # relational breadth tail
-    "rb_array_hof_breadth",
-    "c5_recursive_cte_hierarchy",
-    "j7_null_safe_join",
-    "j8_lateral_topk_per_region",
-    # windows
-    "w9_sliding_event_windows",
-    "w10_ignore_nulls_window_breadth",
-    # text analysis tail
-    "t_url_parse",
-    "t_collocation_dice",
-    "t_rake_keywords",
-    # linear algebra / graph
-    "sim_power_iteration_pc1",
-    "g_pagerank_dupgraph",
-    # partitioning report + MV maintenance tail
-    "pp_partition_skew_report",
-    "mv_incremental_delete",
+    # ---- the 12-query round-7 pool: every remaining never-evidenced
+    # query earns its first driver row here ----
+    "w11_cumulative_distinct",
+    "j9_bloom_prefilter_semi",
+    "ts_seasonal_naive_forecast",
+    "e_two_proportion_ztest",
+    "rb_map_funcs_breadth",
+    "g_triangle_count",
+    "mm_payload_dedup",
+    "mv_incremental_minmax",
+    "e_rolling_zscore_anomaly",
+    "a19_exact_mode",
+    "ts_m4_downsample",
+    "st_session_eviction",
+    # ---- 16 re-proof slots ----
+    # implementation changed AFTER last driver evidence (r7 sf1 fixes)
+    "a12_corr_covar",
+    "sh_simhash_dup_pairs",
+    "sim_cosine_topk",
+    # stale family reps (newest driver rows predate r5)
+    "sd_semantic_dedup",
+    "w1_dedup_keep_latest",
+    "d_exact_dedup_keep_first",
+    "tj_asof_click_view",
+    "cp_bm25_search",
+    "j2_three_way_inner",
+    "ws_medallion_gold",
+    "vt_history_time_travel",
+    "vt_optimize_roundtrip",
+    "st_stream_dedup",
+    "mm_audio_features",
+    "t_tfidf_topk",
+    "a17_exact_median_twopass",
 )
-# Rotated out for round 7 (all past-green; their old driver rows persist
-# and they stay exercised in driver_sim's EXTRA spot-check list):
-# vt_table_diff, t_tfidf_topk, a17_exact_median_twopass,
-# a18_count_min_sketch, pp_zorder_layout, t_bpe_learn_merges,
-# t_bpe_vocab_stats, mm_frame_sample, pp_bucketed_join_agg,
-# pp_salted_skew_agg, s_orc_roundtrip, e_retention_cohorts,
-# e_user_path_bigrams, w6_time_range_window, a13_filtered_agg,
-# mv_incremental_agg, t_winnowing_fingerprint, d_containment_pairs,
-# t_bpe_token_ids, tj_range_sql_script, sim_knn_classify,
-# cp_mix_temperature, cp_shard_manifest, e_session_topk_paths,
-# st_funnel_stages, j5_outer_semi_anti, tj_interval_overlap.
+# Rotated out for round 8 (the full 28-query r7 backlog, all first-time
+# green in CORRECTNESS_r07; their driver rows persist and they stay
+# exercised in driver_sim's EXTRA spot-check list):
+# mm_byte_features, ts_forward_fill, ts_spine_gapfill, ts_rollup_cascade,
+# ts_ohlc_bars, ts_ewma_dyadic, a14_bitwise_aggs, a15_value_histogram,
+# a16_freq_items_bound, e_mad_outliers, e_chi_square_independence,
+# cp_weighted_sample, cp_quality_percentile_gate, cp_dedup_stage_report,
+# cp_pack_fill_report, rb_array_hof_breadth, c5_recursive_cte_hierarchy,
+# j7_null_safe_join, j8_lateral_topk_per_region, w9_sliding_event_windows,
+# w10_ignore_nulls_window_breadth, t_url_parse, t_collocation_dice,
+# t_rake_keywords, sim_power_iteration_pc1, g_pagerank_dupgraph,
+# pp_partition_skew_report, mv_incremental_delete.
 
 
 def load_all() -> dict[str, QuerySpec]:

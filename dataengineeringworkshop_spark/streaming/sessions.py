@@ -32,11 +32,14 @@ Ordering contract (same as funnel.py/rollingz.py): events fold in
 (ts, event_id) order within a micro-batch — ALL Arrow chunks of a key's
 micro-batch data are concatenated before the one sort, so the order
 holds even when a key's rows span multiple record batches; across
-batches the fold assumes event-time-ordered delivery per user.  A late
-event inside the watermark that lands in a still-open session merges
-correctly (min/max interval extension); a late event older than an
-already-evicted session starts a fresh session (the standard watermark
-trade-off — the watermark delay is the knob).
+batches the carried-over open session is merged by INTERVAL POSITION,
+not fold order: a late in-watermark event within the gap of the open
+session (on either side) merges into it, and one more than the gap
+BEFORE the open session's start is emitted as its own earlier session —
+exactly the batch sessionizer's split (round-8 fix: the old min-merge
+silently absorbed that case).  A late event older than an
+already-evicted session still starts a fresh session (the standard
+watermark trade-off — the watermark delay is the knob).
 """
 
 from __future__ import annotations
@@ -91,20 +94,47 @@ def make_session_fn(gap_seconds: int = 1800):
             chunks = [c for c in batches if len(c)]  # drop empties (concat dtype warnings)
             if chunks:
                 pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+                # 1) fold THIS batch's events alone into candidate
+                # sessions (plain ascending gap fold)
+                cand: list[tuple[int, int, int]] = []
+                cs = ce = cn = None
                 for ts in pdf["ts"]:
                     t_us = int(pd.Timestamp(ts).value // 1000)
-                    if start is None:
-                        start, last, n = t_us, t_us, 1
-                    elif t_us - last > gap_us:
-                        closed.append((start, last, n))
-                        start, last, n = t_us, t_us, 1
+                    if cs is None:
+                        cs, ce, cn = t_us, t_us, 1
+                    elif t_us - ce > gap_us:
+                        cand.append((cs, ce, cn))
+                        cs, ce, cn = t_us, t_us, 1
                     else:
-                        # late in-watermark arrival can precede the open
-                        # session's start — min-merge so the emitted
-                        # interval covers it (the batch sessionizer's MIN)
-                        start = min(start, t_us)
-                        last = max(last, t_us)
-                        n += 1
+                        ce, cn = t_us, cn + 1
+                if cs is not None:
+                    cand.append((cs, ce, cn))
+                # 2) merge the carried-over open session in by interval
+                # position, NOT by fold order: a cross-batch late event
+                # can precede the open session's start by more than the
+                # gap, and the batch sessionizer would emit it as its own
+                # EARLIER session — a blind min-merge would silently
+                # absorb it (round-8 fix; pinned in
+                # tests/test_streaming_ext.py).  Sorted-by-start
+                # gap-tolerant interval merge handles every case: within
+                # gap on either side merges (and can bridge candidates),
+                # beyond gap stays separate.
+                if start is not None:
+                    cand.append((start, last, n))
+                    cand.sort()
+                sessions: list[tuple[int, int, int]] = []
+                for s, e, c in cand:
+                    if sessions and s - sessions[-1][1] <= gap_us:
+                        ps, pe, pc = sessions[-1]
+                        sessions[-1] = (ps, max(pe, e), pc + c)
+                    else:
+                        sessions.append((s, e, c))
+                # 3) everything but the newest session is gap-separated
+                # from a later in-hand event → closes now (same inline
+                # gap-close the pre-batch-parity fold applied); the
+                # newest stays open
+                closed.extend(sessions[:-1])
+                start, last, n = sessions[-1] if sessions else (None, None, 0)
             if start is not None:
                 # Spark's timeout semantics are MILLISECOND-strict:
                 # setTimeoutTimestamp rejects t_ms < watermark_ms and the

@@ -25,33 +25,46 @@ TABLES = (
 # resolved from registry.DRIVER_PREFIX inside main() (importable only
 # after __spark_entry__ has put the repo on sys.path)
 EXTRA = [
-    # round-7 additions not yet in the evidence prefix (r8 backlog) —
-    # exercised here so they arrive at their rotation already proven
-    "st_session_eviction",
-    "w11_cumulative_distinct",
-    "j9_bloom_prefilter_semi",
-    "ts_seasonal_naive_forecast",
-    "e_two_proportion_ztest",
-    "rb_map_funcs_breadth",
-    "g_triangle_count",
-    "mm_payload_dedup",
-    "mv_incremental_minmax",
-    "e_rolling_zscore_anomaly",
-    "a19_exact_mode",
-    "ts_m4_downsample",
+    # round-8 additions not yet in the evidence prefix (r9 rotation
+    # pool) — exercised here so they arrive at their rotation already
+    # proven
+    "rb_setops_breadth",
+    "pl_event_log_audit",
+    # the full 28-query r7 backlog rotated OUT of the r8 prefix (all
+    # first-time green in CORRECTNESS_r07) — keep them exercised so a
+    # regression is caught before the judge's spot-check
+    "mm_byte_features",
+    "ts_forward_fill",
+    "ts_spine_gapfill",
+    "ts_rollup_cascade",
+    "ts_ohlc_bars",
+    "ts_ewma_dyadic",
+    "a14_bitwise_aggs",
+    "a15_value_histogram",
+    "a16_freq_items_bound",
+    "e_mad_outliers",
+    "e_chi_square_independence",
+    "cp_weighted_sample",
+    "cp_quality_percentile_gate",
+    "cp_dedup_stage_report",
+    "cp_pack_fill_report",
+    "rb_array_hof_breadth",
+    "c5_recursive_cte_hierarchy",
+    "j7_null_safe_join",
+    "j8_lateral_topk_per_region",
+    "w9_sliding_event_windows",
+    "w10_ignore_nulls_window_breadth",
+    "t_url_parse",
+    "t_collocation_dice",
+    "t_rake_keywords",
+    "sim_power_iteration_pc1",
+    "g_pagerank_dupgraph",
+    "pp_partition_skew_report",
+    "mv_incremental_delete",
     # proven rows rotated OUT of the mid-round-6 prefix — keep them
     # exercised in the sim so a regression is caught before the judge's
     # spot-check
-    "vt_history_time_travel",
-    "vt_optimize_roundtrip",
     "vt_maintenance_sql",
-    "st_stream_dedup",
-    "sh_simhash_dup_pairs",
-    "mm_audio_features",
-    # moments reformulated in round 7 (exact decimal numerators — the
-    # sf1 sweep fix): keep it exercised even though its r1/r2 driver
-    # rows predate the change
-    "a12_corr_covar",
     # r4-proven rows rotated OUT of the r5 prefix — keep them exercised
     # in the sim so a regression is caught before the judge's spot-check
     "tj_sessionize_gap30",
@@ -110,29 +123,14 @@ EXTRA = [
     "cp_bigram_lm_score",
     "sim_embed_quantize",
     "cp_chunk_documents",
-    # stale-evidence family reps spot-checked here instead of holding
-    # prefix slots (their old driver evidence persists)
-    "w1_dedup_keep_latest",
-    "d_exact_dedup_keep_first",
-    "sd_semantic_dedup",
-    "tj_asof_click_view",
-    "cp_bm25_search",
-    "sim_cosine_topk",
     # rows-only serve paths (recall-tested; exact twins are in-prefix)
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "rb_string_funcs_breadth",
     "rb_time_funcs_breadth",
-    # J-family / medallion anchors displaced by the wave-7 prefix rows
-    # (r1-r5 green, also timed in every bench run)
-    "j2_three_way_inner",
-    "ws_medallion_gold",
-    # r6-proven rows rotated OUT of the r7 prefix (the prefix drains the
-    # full 28-query never-evidenced backlog this round) — keep them
+    # r6-proven rows rotated OUT of the r7 prefix — keep them
     # exercised so a regression is caught before the judge's spot-check
     "vt_table_diff",
-    "t_tfidf_topk",
-    "a17_exact_median_twopass",
     "a18_count_min_sketch",
     "pp_zorder_layout",
     "t_bpe_learn_merges",
@@ -157,19 +155,6 @@ EXTRA = [
     "st_funnel_stages",
     "j5_outer_semi_anti",
     "tj_interval_overlap",
-    # round-7 additions outside the prefix (next round's rotation pool;
-    # the r7 prefix was frozen to drain the 28-query backlog first)
-    "w11_cumulative_distinct",
-    "j9_bloom_prefilter_semi",
-    "ts_seasonal_naive_forecast",
-    "e_two_proportion_ztest",
-    "rb_map_funcs_breadth",
-    "g_triangle_count",
-    "mm_payload_dedup",
-    "mv_incremental_minmax",
-    "e_rolling_zscore_anomaly",
-    "a19_exact_mode",
-    "ts_m4_downsample",
 ]
 
 

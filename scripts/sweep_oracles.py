@@ -71,6 +71,10 @@ def main() -> int:
                     help="per-query oracle budget in seconds")
     ap.add_argument("--memory-limit", default="16GB")
     ap.add_argument("--include-quadratic", action="store_true")
+    ap.add_argument("--only-quadratic", action="store_true",
+                    help="sweep ONLY the quadratic-oracle set — pair it "
+                         "with the gen_sampled_sf1.py subcorpus, where "
+                         "those oracles are feasible")
     ap.add_argument("--only", default="",
                     help="comma-separated subset of query names")
     args = ap.parse_args()
@@ -97,6 +101,9 @@ def main() -> int:
             spark.conf.set(k, v)
 
     only = {n for n in args.only.split(",") if n}
+    if args.only_quadratic:
+        only = set(QUADRATIC_ORACLES)
+        args.include_quadratic = True
     reg = load_all()
     names = [
         n for n, s in reg.items()
@@ -115,6 +122,7 @@ def main() -> int:
 
         def work():
             try:
+                spark.sparkContext.setJobGroup(name, f"sweep:{name}")
                 result["p"] = compare(
                     spec.fn(spark, args.sf_dir), con, spec.oracle, name
                 )
@@ -125,8 +133,17 @@ def main() -> int:
         th.start()
         th.join(timeout=args.timeout)
         if th.is_alive():
+            # tear BOTH engines' in-flight work down, not just signal it:
+            # the abandoned daemon thread's Spark job would otherwise keep
+            # 32 cores busy into the NEXT query's timing window, and the
+            # interrupted DuckDB connection would leak (one per timeout)
             con.interrupt()
+            spark.sparkContext.cancelJobGroup(name)
             th.join(timeout=60)
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001 — best-effort on a wedged con
+                pass
             timed_out.append(name)
             print(f"TIMEOUT {name}", flush=True)
             con = fresh_con()

@@ -92,12 +92,47 @@ def test_corr_covar_survives_huge_ids(spark, tmp_path):
     df.coalesce(1).write.parquet(p)
 
     spark.read.parquet(p).createOrReplaceTempView("dew_huge")
-    got = spark.sql(_CORR_SQL.format(table="dew_huge")).collect()[0]
+    got = spark.sql(_CORR_SQL.format(table="dew_huge", guard="")).collect()[0]
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW huge AS SELECT * FROM read_parquet('{p}/*.parquet')")
-    want = con.execute(_CORR_SQL.format(table="huge")).fetchone()
+    want = con.execute(_CORR_SQL.format(table="huge", guard="")).fetchone()
 
     assert (got.event_type, got.n) == (want[0], want[1])
     assert repr(float(got.covar_pop)) == repr(float(want[2])), (got, want)
     assert repr(float(got.corr)) == repr(float(want[3])), (got, want)
+
+
+def test_corr_covar_overflow_guard_fires(spark):
+    """Round-8 ADVICE fix, pinned: past the documented moment headroom
+    the a12 query's Spark side must fail LOUDLY in the default
+    (non-ANSI) session — the assert_true WHERE guard raises instead of
+    letting a decimal overflow silently NULL the covariance.
+    |Sy| >= 1e18 is the easiest bound to trip: six 2e17-scale ids sum
+    past it."""
+    import pytest
+
+    from dataengineeringworkshop_spark.plans.eventsq import _CORR_GUARD, _CORR_SQL
+
+    rows = [
+        (200_000_000_000_000_001 + i, 10.0 + i, "a") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, value double, event_type string")
+    df.createOrReplaceTempView("dew_guard_trip")
+    try:
+        with pytest.raises(Exception, match="moment headroom exceeded"):
+            spark.sql(
+                _CORR_SQL.format(table="dew_guard_trip", guard=_CORR_GUARD)
+            ).collect()
+        # and the same guarded SQL stays transparent under the bounds
+        ok_rows = [(9_000_000_001 + i, 10.0 + i, "a") for i in range(6)]
+        spark.createDataFrame(
+            ok_rows, "user_id long, value double, event_type string"
+        ).createOrReplaceTempView("dew_guard_ok")
+        got = spark.sql(
+            _CORR_SQL.format(table="dew_guard_ok", guard=_CORR_GUARD)
+        ).collect()
+        assert len(got) == 1 and got[0].n == 6
+    finally:
+        spark.catalog.dropTempView("dew_guard_trip")
+        spark.catalog.dropTempView("dew_guard_ok")

@@ -326,6 +326,78 @@ def test_session_fold_matches_naive_sessionizer(events, gap_s, delay_s, n_batche
     assert got_closed == want_closed
 
 
+def _feed_session_batch(fn, stt, offsets_s, wm_ms=0):
+    """Run one micro-batch of second-offset events through the fold."""
+    stt.wm_ms = wm_ms
+    stt.hasTimedOut = False
+    pdf = pd.DataFrame(
+        {
+            "ts": [pd.Timestamp(BASE + dt.timedelta(seconds=t)) for t in offsets_s],
+            "event_id": list(range(len(offsets_s))),
+        }
+    )
+    base_us = int(pd.Timestamp(BASE).value // 1000)
+    out = []
+    for o in fn((1,), iter([pdf]), stt):
+        out.extend(
+            (
+                (int(r.start_us) - base_us) // 1_000_000,
+                (int(r.end_us) - base_us) // 1_000_000,
+                int(r.n_events),
+            )
+            for r in out_rows(o)
+        )
+    return out
+
+
+def out_rows(pdf):
+    return list(pdf.itertuples())
+
+
+def test_session_fold_splits_stale_cross_batch_event():
+    """Round-8 ADVICE fix, pinned: a cross-batch late event more than
+    ``gap`` OLDER than the carried-over open session's start must be
+    emitted as its own earlier session (the batch sessionizer's split),
+    not silently min-merged into the open interval."""
+    from dataengineeringworkshop_spark.streaming.sessions import make_session_fn
+
+    fn = make_session_fn(gap_seconds=100)
+    stt = _FakeGroupState()
+    base_us = int(pd.Timestamp(BASE).value // 1000)
+
+    assert _feed_session_batch(fn, stt, [1000]) == []
+    assert stt.get == (base_us + 1000 * 10**6, base_us + 1000 * 10**6, 1)
+
+    # batch 2: t=500 is 500s before the open start (gap 100) → its own
+    # closed session; t=1050 extends the open one
+    closed = _feed_session_batch(fn, stt, [500, 1050])
+    assert closed == [(500, 500, 1)]
+    assert stt.get == (base_us + 1000 * 10**6, base_us + 1050 * 10**6, 2)
+
+
+def test_session_fold_bridges_stale_events_within_gap():
+    """Late events that chain within-gap up to the open session's start
+    must all merge into ONE session (interval merge can bridge), exactly
+    like the batch fold over the full event set."""
+    from dataengineeringworkshop_spark.streaming.sessions import make_session_fn
+
+    fn = make_session_fn(gap_seconds=100)
+    stt = _FakeGroupState()
+    base_us = int(pd.Timestamp(BASE).value // 1000)
+
+    _feed_session_batch(fn, stt, [1000])
+    # 850 → 930 (gap 80) → open start 1000 (gap 70): one chained session
+    closed = _feed_session_batch(fn, stt, [850, 930])
+    assert closed == []
+    assert stt.get == (base_us + 850 * 10**6, base_us + 1000 * 10**6, 3)
+
+    # 600 is within gap of nothing (850-600=250 > 100) → separate, and
+    # 700 chains onto 600 but not up to 850 → one closed (600,700,2)
+    closed = _feed_session_batch(fn, stt, [600, 700])
+    assert closed == [(600, 700, 2)]
+    assert stt.get == (base_us + 850 * 10**6, base_us + 1000 * 10**6, 3)
+
+
 # ---------------------------------------------------------------------------
 # Arrow-chunk order invariance: applyInPandasWithState hands a key's
 # micro-batch rows to the fold as MULTIPLE pandas chunks in SHUFFLE
