@@ -67,6 +67,9 @@ def main() -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--hostile", action="store_true",
                     help="prime shuffle partitions + fractured input splits")
+    ap.add_argument("--aqe-off", action="store_true",
+                    help="disable adaptive query execution — proves no "
+                         "result depends on AQE's runtime re-planning")
     ap.add_argument("--timeout", type=int, default=300,
                     help="per-query oracle budget in seconds")
     ap.add_argument("--memory-limit", default="16GB")
@@ -99,6 +102,8 @@ def main() -> int:
     if args.hostile:
         for k, v in HOSTILE_CONFS.items():
             spark.conf.set(k, v)
+    if args.aqe_off:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     only = {n for n in args.only.split(",") if n}
     if args.only_quadratic:

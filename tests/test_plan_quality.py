@@ -731,3 +731,17 @@ def test_rolling_zscore_single_window_exchange(spark, registry):
     ops = _ops(_plan(registry["e_rolling_zscore_anomaly"].fn(spark, SF_SMOKE)))
     assert ops.get("Window", 0) == 1, ops
     assert ops.get("Exchange", 0) <= 1, ops
+
+
+def test_setops_breadth_no_nested_loops(spark, registry):
+    """Every set-op branch (union/intersectAll/exceptAll and friends)
+    must compile to hash-based shapes over the one shared orders scan —
+    a nested-loop or cartesian anywhere means a multiset compare fell
+    out of the equi-key path.  The orders scan must also be pruned to
+    the filter columns + o_custkey, never the full table."""
+    plan = _plan(registry["rb_setops_breadth"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops.get("CartesianProduct", 0) == 0, ops
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 0, ops
+    for m in re.finditer(r"ReadSchema: struct<(o_[^>]*)>", plan):
+        assert len(m.group(1).split(",")) <= 3, m.group(1)
