@@ -725,3 +725,85 @@ def a19_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate/mergeable sibling is a18_count_min_sketch."""
     register_views(spark, sf_dir, "orders")
     return spark.sql(_MODE_BODY.format(orders="dew_orders"))
+
+
+_HLL_BOUNDS_BODY = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           CAST(ABS(CAST({approx} AS DOUBLE) - COUNT(DISTINCT user_id))
+                <= 0.1 * COUNT(DISTINCT user_id) AS BOOLEAN) AS sketch_within_10pct
+    FROM {events}
+    GROUP BY event_type
+"""
+
+
+@query(
+    "a20_hll_distinct_bounds",
+    oracle=_HLL_BOUNDS_BODY.format(
+        events="events", approx="approx_count_distinct(user_id)"
+    ),
+    tags=("ext-analytics", "A4", "sketch"),
+)
+def a20_hll_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count CONTRACT row: per event_type, the
+    exact distinct count plus each engine's own assertion that ITS
+    HLL sketch (Spark HLL++ at rsd 0.02, DuckDB's fixed-precision HLL)
+    lands within 10% of ITS exact count.  The sketch values themselves
+    are deliberately not emitted — two different HLL implementations
+    never agree bit-for-bit; what IS cross-engine checkable is the
+    exact count and the accuracy contract both engines promise, which
+    is also exactly what a user of approx_count_distinct relies on.
+    The companion mergeable-sketch rows are a18_count_min_sketch (CMS)
+    and a_sketch_bounds.  Scale: one partial-aggregated shuffle; the
+    sketch makes the distinct count mergeable, which is the entire
+    reason to accept approximation at 100 TB."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        _HLL_BOUNDS_BODY.format(
+            events="dew_events", approx="approx_count_distinct(user_id, 0.02)"
+        )
+    )
+
+
+_WMEDIAN_BODY = """
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM {lineitem}
+        GROUP BY l_returnflag, CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+    ),
+    c AS (
+        SELECT l_returnflag, price_c, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                            ROWS UNBOUNDED PRECEDING) AS cum_w,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot_w
+        FROM t
+    )
+    SELECT l_returnflag,
+           CAST(MIN(price_c) AS BIGINT) AS wmedian_cents,
+           CAST(MAX(tot_w) AS BIGINT) AS total_weight
+    FROM c
+    WHERE 2 * cum_w >= tot_w
+    GROUP BY l_returnflag
+"""
+
+
+@query(
+    "a21_weighted_median",
+    oracle=_WMEDIAN_BODY.format(lineitem="lineitem"),
+    tags=("ext-analytics", "A1", "robust-stats"),
+)
+def a21_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower rule) per group — the quantity-
+    weighted price midpoint a curation pipeline uses to set value-aware
+    thresholds (e.g. token-weighted doc-quality cutoffs).  Entirely
+    integer arithmetic: prices become exact cents, weights are integer
+    quantities, the answer is the smallest price whose cumulative
+    weight reaches half the total (2*cum >= tot avoids division), so
+    both engines agree bit-for-bit with no interpolation.  Scale shape:
+    one partial-agg shuffle collapses the raw table to |group, price|
+    rows; the cumulative window runs over that collapsed table only —
+    the same collapse that makes a19's mode window near-free."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_WMEDIAN_BODY.format(lineitem="dew_lineitem"))

@@ -30,6 +30,9 @@ EXTRA = [
     # proven
     "rb_setops_breadth",
     "pl_event_log_audit",
+    "a20_hll_distinct_bounds",
+    "a21_weighted_median",
+    "w13_value_range_window",
     # the full 28-query r7 backlog rotated OUT of the r8 prefix (all
     # first-time green in CORRECTNESS_r07) — keep them exercised so a
     # regression is caught before the judge's spot-check
