@@ -745,3 +745,40 @@ def test_setops_breadth_no_nested_loops(spark, registry):
     assert ops.get("BroadcastNestedLoopJoin", 0) == 0, ops
     for m in re.finditer(r"ReadSchema: struct<(o_[^>]*)>", plan):
         assert len(m.group(1).split(",")) <= 3, m.group(1)
+
+
+def test_weighted_median_window_runs_over_collapsed_table(spark, registry):
+    """a21's cumulative-weight window must run over the partial-agg
+    (group, price) collapse, never the raw lineitem rows: plan order is
+    HashAggregate pair -> one window sort -> final agg, with no join
+    and no extra exchange beyond the agg + window pair."""
+    plan = _plan(registry["a21_weighted_median"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops.get("HashAggregate", 0) >= 2, ops  # partial + final collapse
+    assert ops.get("SortMergeJoin", 0) == 0 and ops.get("BroadcastHashJoin", 0) == 0, ops
+    assert ops.get("Exchange", 0) <= 3, ops
+
+
+def test_value_range_window_no_self_join(spark, registry):
+    """w13's price +/- 1000 neighborhood must be a RANGE frame (one
+    exchange on the partition key, bounded sliding frame), never the
+    naive per-row self-join a +/-delta predicate invites."""
+    plan = _plan(registry["w13_value_range_window"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops.get("Window", 0) == 1, ops
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert ops.get(j, 0) == 0, (j, ops)
+    assert ops.get("Exchange", 0) <= 1, ops
+    # the price filter reaches the scan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_totalprice" in plan, plan
+
+
+def test_hll_bounds_single_aggregation_pass(spark, registry):
+    """a20 computes exact distinct + the HLL sketch in one grouped
+    aggregation pipeline — no join between an exact branch and a sketch
+    branch, no more exchanges than the distinct-agg's two-phase shape."""
+    plan = _plan(registry["a20_hll_distinct_bounds"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops.get("SortMergeJoin", 0) == 0 and ops.get("BroadcastHashJoin", 0) == 0, ops
+    assert ops.get("Exchange", 0) <= 2, ops
