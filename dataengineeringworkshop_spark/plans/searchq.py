@@ -94,35 +94,55 @@ def cp_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (gibberish / boilerplate) — the thresholding signal CCNet
     gets from a KenLM perplexity, in exact rational arithmetic.
 
-    Spark shape: one explode pass builds bigrams WITHOUT a self-join
-    (``transform`` over an index sequence), then two partial-agg
-    groupBys build the model and one shuffled join scores occurrences.
+    Spark shape (round-8 rework): the (doc, w1, w2, n) bigram table
+    feeds THREE consumers (the c12 model, the c1 marginals, and the
+    per-occurrence scoring join), and Spark inlines SQL CTEs — the
+    original single statement ran the corpus explode+aggregate three
+    times (plus once more for |V|): four full corpus passes, zero
+    ReusedExchange (measured).  Now the bigram table is built in ONE
+    explode pass and ``materialize()``d (the checkpointed derived-model
+    table a 100 TB pipeline maintains anyway, sf-keyed like the minhash
+    signature and shingle indexes), the model aggregates and the
+    scoring join read the artifact, and |V| is the one remaining raw
+    pass — 4 corpus scans down to 2, and the two model groupBys now
+    aggregate the collapsed bigram table instead of raw occurrences.
     """
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
     register_views(spark, sf_dir, "documents")
+    docbig = materialize(
+        spark.sql(
+            """
+            WITH ws AS (
+                SELECT doc_id, split(text, ' ') AS w FROM dew_documents
+            ),
+            big AS (
+                SELECT doc_id, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+                FROM (SELECT * FROM ws WHERE size(w) >= 2)
+                LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+            )
+            SELECT doc_id, w1, w2, COUNT(*) AS n FROM big GROUP BY doc_id, w1, w2
+            """
+        ),
+        "docbig",
+        cache_key=f"bigram_lm:{sf_dir}",
+    )
+    docbig.createOrReplaceTempView("dew_bigram_docbig")
     return spark.sql(
         """
-        WITH ws AS (
-            SELECT doc_id, split(text, ' ') AS w FROM dew_documents
-        ),
-        big AS (
-            SELECT doc_id, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
-            FROM (SELECT * FROM ws WHERE size(w) >= 2)
-            LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
-        ),
-        docbig AS (
-            SELECT doc_id, w1, w2, COUNT(*) AS n FROM big GROUP BY doc_id, w1, w2
-        ),
-        bc AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM docbig GROUP BY w1, w2),
-        pc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM docbig GROUP BY w1),
+        WITH bc AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12
+                    FROM dew_bigram_docbig GROUP BY w1, w2),
+        pc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1
+               FROM dew_bigram_docbig GROUP BY w1),
         voc AS (
             SELECT COUNT(DISTINCT wd) AS v
-            FROM (SELECT explode(w) AS wd FROM ws)
+            FROM (SELECT explode(split(text, ' ')) AS wd FROM dew_documents)
         ),
         scored AS (
             SELECT d.doc_id, d.n,
                    CAST(d.n AS DOUBLE) *
                    (CAST(bc.c12 + 1 AS DOUBLE) / CAST(pc.c1 + voc.v AS DOUBLE)) AS np
-            FROM docbig d
+            FROM dew_bigram_docbig d
             JOIN bc ON d.w1 = bc.w1 AND d.w2 = bc.w2
             JOIN pc ON d.w1 = pc.w1
             CROSS JOIN voc

@@ -782,3 +782,14 @@ def test_hll_bounds_single_aggregation_pass(spark, registry):
     ops = _ops(plan)
     assert ops.get("SortMergeJoin", 0) == 0 and ops.get("BroadcastHashJoin", 0) == 0, ops
     assert ops.get("Exchange", 0) <= 2, ops
+
+
+def test_bigram_lm_scores_from_materialized_model(spark, registry):
+    """cp_bigram_lm_score's scoring statement must read the materialized
+    bigram artifact, not rebuild it per consumer: exactly ONE raw-corpus
+    explode remains in the returned plan (the |V| pass) — the original
+    CTE-inlined form ran four (measured: 4 Generates, 0 ReusedExchange)."""
+    plan = _plan(registry["cp_bigram_lm_score"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops.get("Generate", 0) == 1, ops
+    assert plan.count("documents.parquet") == 1, plan.count("documents.parquet")
