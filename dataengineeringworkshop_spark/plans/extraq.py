@@ -1035,3 +1035,135 @@ def w13_value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation would shuffle."""
     return _sql(spark, sf_dir, ("orders",),
                 _VALUE_RANGE_BODY.format(orders="dew_orders"))
+
+
+@query(
+    "g3_stack_inline_breadth",
+    oracle="""
+        WITH base AS (SELECT doc_id, text FROM documents)
+        SELECT 'chars' AS metric, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total FROM base
+        UNION ALL
+        SELECT 'words', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM base
+        UNION ALL
+        SELECT 'caps', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(LENGTH(regexp_replace(text, '[^A-Z]', '', 'g'))) AS BIGINT)
+        FROM base
+        UNION ALL
+        SELECT 'zip3', CAST(COUNT(*) AS BIGINT), CAST(SUM(pos) AS BIGINT)
+        FROM (
+            SELECT generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS wd
+            FROM base
+        )
+        WHERE LENGTH(wd) = 3
+    """,
+    tags=("extra", "G1", "G2", "generators"),
+)
+def g3_stack_inline_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-function breadth beyond explode/posexplode: ``stack``
+    pivots each document into per-metric rows (the columns-to-rows move
+    DuckDB writes as UNION ALL — which is exactly what the oracle
+    does), and ``inline`` over a ``transform``-built array<struct>
+    flattens (word, position) pairs in one generator (the named-struct
+    spelling of posexplode).  Each branch reduces to (metric, n, total)
+    scalars.  Scale: both generators are row-local (no shuffle until
+    the final 4-group aggregate); stack multiplies rows by a CONSTANT
+    3, inline by words-per-doc — the same bounded expansion the
+    explode family's plans already carry."""
+    return _sql(
+        spark, sf_dir, ("documents",),
+        """
+        WITH stacked AS (
+            SELECT stack(3,
+                       'chars', LENGTH(text),
+                       'words', size(split(text, ' ')),
+                       'caps',  LENGTH(regexp_replace(text, '[^A-Z]', ''))
+                   ) AS (metric, v)
+            FROM dew_documents
+        ),
+        zipped AS (
+            SELECT inline(transform(split(text, ' '),
+                                    (x, i) -> struct(x AS wd, i + 1 AS pos)))
+            FROM dew_documents
+        )
+        SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS total
+        FROM stacked GROUP BY metric
+        UNION ALL
+        SELECT 'zip3', CAST(COUNT(*) AS BIGINT), CAST(SUM(pos) AS BIGINT)
+        FROM zipped WHERE LENGTH(wd) = 3
+        """,
+    )
+
+
+@query(
+    "o5_null_ordering_breadth",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM orders
+        ),
+        r AS (
+            SELECT o_orderkey, o_orderstatus, k,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY k ASC NULLS FIRST, o_orderkey) AS rn_anf,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY k ASC NULLS LAST, o_orderkey) AS rn_anl,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY k DESC NULLS FIRST, o_orderkey) AS rn_dnf,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY k DESC NULLS LAST, o_orderkey) AS rn_dnl
+            FROM t
+        )
+        SELECT o_orderkey, o_orderstatus, k,
+               CAST(rn_anf AS BIGINT) AS rn_anf, CAST(rn_anl AS BIGINT) AS rn_anl,
+               CAST(rn_dnf AS BIGINT) AS rn_dnf, CAST(rn_dnl AS BIGINT) AS rn_dnl
+        FROM r
+        WHERE least(rn_anf, rn_anl, rn_dnf, rn_dnl) <= 3
+    """,
+    tags=("extra", "O1", "W2", "null-ordering"),
+)
+def o5_null_ordering_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT null-ordering semantics pinned cross-engine — the
+    hazard class the determinism contract flags: Spark defaults to
+    NULLS FIRST on ASC where DuckDB defaults to NULLS LAST, so any
+    ORDER BY on a nullable key inside a window rank silently diverges
+    unless the NULLS clause is explicit.  All four (direction × nulls
+    placement) combinations rank a derived nullable key (CASE-derived,
+    identical expression both engines) per order-status partition; the
+    output keeps only each ranking's top 3, so the row set is tiny and
+    every combination's boundary (null block at the head vs tail) is in
+    it.  Purpose-built semantics pin: windows partition by status, so
+    no global single-partition sort."""
+    return _sql(
+        spark, sf_dir, ("orders",),
+        """
+        WITH t AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM dew_orders
+        ),
+        r AS (
+            SELECT o_orderkey, o_orderstatus, k,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY k ASC NULLS FIRST, o_orderkey) AS rn_anf,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY k ASC NULLS LAST, o_orderkey) AS rn_anl,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY k DESC NULLS FIRST, o_orderkey) AS rn_dnf,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY k DESC NULLS LAST, o_orderkey) AS rn_dnl
+            FROM t
+        )
+        SELECT o_orderkey, o_orderstatus, k,
+               CAST(rn_anf AS BIGINT) AS rn_anf, CAST(rn_anl AS BIGINT) AS rn_anl,
+               CAST(rn_dnf AS BIGINT) AS rn_dnf, CAST(rn_dnl AS BIGINT) AS rn_dnl
+        FROM r
+        WHERE least(rn_anf, rn_anl, rn_dnf, rn_dnl) <= 3
+        """,
+    )

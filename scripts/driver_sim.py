@@ -33,6 +33,8 @@ EXTRA = [
     "a20_hll_distinct_bounds",
     "a21_weighted_median",
     "w13_value_range_window",
+    "g3_stack_inline_breadth",
+    "o5_null_ordering_breadth",
     # the full 28-query r7 backlog rotated OUT of the r8 prefix (all
     # first-time green in CORRECTNESS_r07) — keep them exercised so a
     # regression is caught before the judge's spot-check
