@@ -119,3 +119,25 @@ def test_prefix_outputs_are_driver_hashable(spark):
         if complex_cols:
             bad[name] = complex_cols
     assert not bad, f"driver-unhashable columns in prefix outputs: {bad}"
+
+
+def test_driver_sim_extra_names_registered_and_unique():
+    """driver_sim's EXTRA spot-check list is the holding pen for every
+    rotated-out and not-yet-rotated-in query — a typo'd or stale name
+    there silently skips its regression check (driver_sim ignores
+    unknown names by design).  Pin: every EXTRA name resolves in the
+    registry, no duplicates, and no EXTRA name wastes a slot by also
+    sitting in the prefix."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts", "driver_sim.py")
+    src = open(path).read()
+    block = src.split("EXTRA = [")[1].split("]")[0]
+    names = re.findall(r'"([a-z0-9_]+)"', block)
+    reg = load_all()
+    assert len(names) == len(set(names)), [n for n in names if names.count(n) > 1]
+    missing = [n for n in names if n not in reg]
+    assert not missing, f"EXTRA names not in registry: {missing}"
+    overlap = [n for n in names if n in _PRIORITY]
+    assert not overlap, f"EXTRA names duplicated in the prefix: {overlap}"
