@@ -33,6 +33,16 @@ _TMP_DIRS: list[str] = []
 #: input that determines the artifact (source path + parameters).
 _CACHE: dict[str, str] = {}
 
+#: opened-DataFrame cache: (session id, cache_key) -> the scan DataFrame.
+#: ``spark.read.parquet`` pays driver-side file listing + footer reads on
+#: EVERY call (~0.1-0.2 s per artifact on this VM) — for a memoized
+#: artifact consulted by a hot query that open cost dominates once the
+#: compute is cached away.  DataFrames are immutable plans, so reusing
+#: one across calls within the same session is sound; keyed by session
+#: so a fresh session re-opens rather than borrowing another session's
+#: plan.
+_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def _cleanup() -> None:
     for d in _TMP_DIRS:
@@ -59,8 +69,14 @@ def materialize(
     (directory pruning: non-matching partitions are never listed, let
     alone scanned), the layout move that makes a date-keyed 100 TB table
     queryable."""
+    spark = df.sparkSession
+    df_key = (id(spark), cache_key) if cache_key is not None else None
+    if df_key is not None and df_key in _DF_CACHE:
+        return _DF_CACHE[df_key]
     if cache_key is not None and cache_key in _CACHE:
-        return df.sparkSession.read.parquet(_CACHE[cache_key])
+        out = spark.read.parquet(_CACHE[cache_key])
+        _DF_CACHE[df_key] = out
+        return out
     path = tempfile.mkdtemp(prefix=f"dew_mat_{label}_")
     _TMP_DIRS.append(path)
     writer = df.write.mode("overwrite")
@@ -69,4 +85,7 @@ def materialize(
     writer.parquet(path)
     if cache_key is not None:
         _CACHE[cache_key] = path
-    return df.sparkSession.read.parquet(path)
+    out = spark.read.parquet(path)
+    if df_key is not None:
+        _DF_CACHE[df_key] = out
+    return out

@@ -209,33 +209,56 @@ def cp_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-order identical for any single term, and hash-deterministic
     across engines, unlike ``ln``).
 
-    Spark shape: explode → IN-list filter (pushed to the scan) →
-    partial-agg tf; df/avgdl are tiny aggregates broadcast into the
-    scoring join; global top-20 is ORDER BY … LIMIT 20 — Catalyst's
+    Spark shape (round-8 rework): the tf posting table feeds BOTH the
+    df aggregate and the scoring join, and the doc-length table feeds
+    both avgdl and the scoring join — CTE inlining re-ran the corpus
+    explode and the length scan once per consumer (measured: 4
+    documents scans, 2 Generates).  Both are now built once and
+    ``materialize()``d (exactly the standing posting-list + doc-length
+    tables a production BM25 index maintains, sf-keyed like the
+    minhash/shingle/bigram artifacts); every consumer reads the
+    artifacts and the scoring statement touches the raw corpus zero
+    times.  df/avgdl are tiny aggregates broadcast into the scoring
+    join; global top-20 is ORDER BY … LIMIT 20 — Catalyst's
     TakeOrderedAndProject (per-partition heaps merged on the driver),
     NOT a single-partition window over every matched doc, so it stays
     O(k) per partition however many docs match the query terms; the
     rank window then runs over just the 20 survivors.
     """
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
     register_views(spark, sf_dir, "documents")
+    tf = materialize(
+        spark.sql(
+            f"""
+            SELECT doc_id, wd, COUNT(*) AS tf
+            FROM (SELECT doc_id, explode(split(text, ' ')) AS wd
+                  FROM dew_documents)
+            WHERE wd IN {_BM25_TERMS}
+            GROUP BY doc_id, wd
+            """
+        ),
+        "bm25_tf",
+        cache_key=f"bm25_tf:{sf_dir}",
+    )
+    dl = materialize(
+        spark.sql(
+            "SELECT doc_id, size(split(text, ' ')) AS dl FROM dew_documents"
+        ),
+        "bm25_dl",
+        cache_key=f"bm25_dl:{sf_dir}",
+    )
+    tf.createOrReplaceTempView("dew_bm25_tf")
+    dl.createOrReplaceTempView("dew_bm25_dl")
     return spark.sql(
         f"""
-        WITH ex AS (
-            SELECT doc_id, explode(split(text, ' ')) AS wd FROM dew_documents
-        ),
-        dl AS (
-            SELECT doc_id, size(split(text, ' ')) AS dl FROM dew_documents
-        ),
+        WITH dl AS (SELECT doc_id, dl FROM dew_bm25_dl),
         corpus AS (
             SELECT COUNT(*) AS n_docs,
                    CAST(CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avgdl
             FROM dl
         ),
-        tf AS (
-            SELECT doc_id, wd, COUNT(*) AS tf
-            FROM ex WHERE wd IN {_BM25_TERMS}
-            GROUP BY doc_id, wd
-        ),
+        tf AS (SELECT doc_id, wd, tf FROM dew_bm25_tf),
         df AS (SELECT wd, COUNT(*) AS df FROM tf GROUP BY wd),
         term_scores AS (
             SELECT tf.doc_id, tf.wd,

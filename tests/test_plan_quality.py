@@ -793,3 +793,14 @@ def test_bigram_lm_scores_from_materialized_model(spark, registry):
     ops = _ops(plan)
     assert ops.get("Generate", 0) == 1, ops
     assert plan.count("documents.parquet") == 1, plan.count("documents.parquet")
+
+
+def test_bm25_scores_from_materialized_postings(spark, registry):
+    """cp_bm25_search's scoring statement must read the materialized
+    posting + doc-length artifacts: zero raw documents scans and zero
+    Generates remain (the CTE-inlined form ran the corpus explode twice
+    and the length scan twice — measured 4 documents scans)."""
+    plan = _plan(registry["cp_bm25_search"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops.get("Generate", 0) == 0, ops
+    assert plan.count("documents.parquet") == 0, plan.count("documents.parquet")
