@@ -213,26 +213,40 @@ def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 salient terms per document by TF-IDF with the rational idf
     (N+1)/(df+1) — the per-document keyword/topic signal (BM25 in
     searchq.py is the query-serving twin; this is the corpus-wide
-    labeling pass).  One token explode feeds both grouped counts; the
-    document-frequency table joins back on term (dictionary-sized —
-    AQE broadcasts it while it fits, hash-join beyond); the 1-row
-    corpus count is a broadcast cross join; top-k is a window over the
-    per-(doc, term) table, which is already reduced far below token
-    volume.  (term ASC, score DESC) with integer tf/df makes the cut
-    engine-independent."""
+    labeling pass).  The (doc, term, tf) table feeds both the
+    document-frequency aggregate and the scoring join, and Spark
+    inlines CTEs — so the token explode would run twice (round-8 scan
+    audit); it is built once and ``materialize()``d (the standing term
+    index this labeling pass shares conceptually with the BM25 posting
+    table), and df collapses FROM it (tf is already distinct per
+    (doc, term), so COUNT(*) per term IS the document frequency — no
+    second explode, no COUNT(DISTINCT)).  The dictionary-sized df table
+    joins back on term (AQE broadcasts it while it fits, hash-join
+    beyond); the 1-row corpus count is a broadcast cross join; top-k is
+    a window over the per-(doc, term) table, which is already reduced
+    far below token volume.  (term ASC, score DESC) with integer tf/df
+    makes the cut engine-independent."""
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
     register_views(spark, sf_dir, "documents")
+    tf = materialize(
+        spark.sql(
+            """
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, explode(split(text, ' ')) AS term
+                  FROM dew_documents)
+            GROUP BY doc_id, term
+            """
+        ),
+        "tfidf_tf",
+        cache_key=f"tfidf_tf:{sf_dir}",
+    )
+    tf.createOrReplaceTempView("dew_tfidf_tf")
     return spark.sql(
         """
-        WITH tok AS (
-            SELECT doc_id, explode(split(text, ' ')) AS term
-            FROM dew_documents
-        ),
-        tf AS (
-            SELECT doc_id, term, COUNT(*) AS tf
-            FROM tok GROUP BY doc_id, term
-        ),
+        WITH tf AS (SELECT doc_id, term, tf FROM dew_tfidf_tf),
         df AS (
-            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
         ),
         n AS (SELECT COUNT(*) AS n_docs FROM dew_documents),
         scored AS (

@@ -804,3 +804,22 @@ def test_bm25_scores_from_materialized_postings(spark, registry):
     ops = _ops(plan)
     assert ops.get("Generate", 0) == 0, ops
     assert plan.count("documents.parquet") == 0, plan.count("documents.parquet")
+
+
+def test_tfidf_explodes_corpus_once(spark, registry):
+    """t_tfidf_topk's scoring statement reads the materialized
+    (doc, term, tf) artifact: zero Generates remain (df collapses FROM
+    tf — no second explode, no COUNT(DISTINCT)); the only raw documents
+    scan left is the 1-row corpus count."""
+    plan = _plan(registry["t_tfidf_topk"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops.get("Generate", 0) == 0, ops
+    assert plan.count("documents.parquet") <= 1, plan.count("documents.parquet")
+
+
+def test_seasonal_naive_aggregates_raw_events_once(spark, registry):
+    """ts_seasonal_naive_forecast's backtest statement self-joins the
+    materialized hourly table — zero raw events scans remain (the
+    CTE-inlined form ran the corpus partial-agg once per join side)."""
+    plan = _plan(registry["ts_seasonal_naive_forecast"].fn(spark, SF_SMOKE))
+    assert plan.count("events.parquet") == 0, plan.count("events.parquet")
