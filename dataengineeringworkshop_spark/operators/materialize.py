@@ -21,8 +21,9 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import weakref
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 _TMP_DIRS: list[str] = []
 
@@ -33,15 +34,32 @@ _TMP_DIRS: list[str] = []
 #: input that determines the artifact (source path + parameters).
 _CACHE: dict[str, str] = {}
 
-#: opened-DataFrame cache: (session id, cache_key) -> the scan DataFrame.
+#: opened-DataFrame cache: session -> {cache_key: scan DataFrame}.
 #: ``spark.read.parquet`` pays driver-side file listing + footer reads on
 #: EVERY call (~0.1-0.2 s per artifact on this VM) — for a memoized
 #: artifact consulted by a hot query that open cost dominates once the
 #: compute is cached away.  DataFrames are immutable plans, so reusing
-#: one across calls within the same session is sound; keyed by session
-#: so a fresh session re-opens rather than borrowing another session's
-#: plan.
-_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: one across calls within the same session is sound.  Keyed by a WEAK
+#: reference to the session object: entries evict when the session is
+#: garbage-collected (no process-lifetime pinning of JVM state), and a
+#: new session never inherits a dead session's plans even if Python
+#: reuses the old object's id().  A stopped-but-live session is further
+#: guarded by an explicit liveness check at lookup time.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _session_is_active(spark: "SparkSession") -> bool:
+    """True when the session's JVM context has not been stopped.
+
+    ``SparkContext.stop()`` nulls the underlying ``_jsc`` handle, so a
+    cached DataFrame bound to a stopped session must not be served — the
+    caller would get a confusing failure only at action time."""
+    try:
+        return spark.sparkContext._jsc is not None  # noqa: SLF001
+    except Exception:
+        return False
 
 
 def _cleanup() -> None:
@@ -70,12 +88,16 @@ def materialize(
     alone scanned), the layout move that makes a date-keyed 100 TB table
     queryable."""
     spark = df.sparkSession
-    df_key = (id(spark), cache_key) if cache_key is not None else None
-    if df_key is not None and df_key in _DF_CACHE:
-        return _DF_CACHE[df_key]
+    session_cache: dict[str, DataFrame] | None = None
+    if cache_key is not None and _session_is_active(spark):
+        session_cache = _DF_CACHE.setdefault(spark, {})
+        hit = session_cache.get(cache_key)
+        if hit is not None:
+            return hit
     if cache_key is not None and cache_key in _CACHE:
         out = spark.read.parquet(_CACHE[cache_key])
-        _DF_CACHE[df_key] = out
+        if session_cache is not None:
+            session_cache[cache_key] = out
         return out
     path = tempfile.mkdtemp(prefix=f"dew_mat_{label}_")
     _TMP_DIRS.append(path)
@@ -86,6 +108,6 @@ def materialize(
     if cache_key is not None:
         _CACHE[cache_key] = path
     out = spark.read.parquet(path)
-    if df_key is not None:
-        _DF_CACHE[df_key] = out
+    if session_cache is not None:
+        session_cache[cache_key] = out
     return out

@@ -1007,12 +1007,16 @@ def j9_bloom_prefilter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VALUE_RANGE_BODY = """
     SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS BIGINT)
+               AS order_month,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_nearby,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
                AS nearby_total
     FROM {orders}
-    WHERE o_orderstatus = 'F' AND o_totalprice >= 250000
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+    WHERE o_totalprice >= 250000
+    WINDOW w AS (PARTITION BY o_orderstatus,
+                              YEAR(o_orderdate) * 100 + MONTH(o_orderdate)
+                 ORDER BY o_totalprice
                  RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
 """
 
@@ -1024,15 +1028,19 @@ _VALUE_RANGE_BODY = """
 )
 def w13_value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUE-based RANGE frame (price ± 1000), the non-time sibling of
-    w6's interval RANGE window: per order, how many same-status orders
-    sit within 1000 of its price and their exact decimal total.  The
-    frame is defined by the ORDER-BY VALUE, not row position — ties
-    share a frame by construction, so no tiebreaker is needed and both
-    engines bound the frame with identical IEEE double comparisons;
-    the in-frame sum accumulates in DECIMAL.  Scale: one exchange on
-    the partition key, then a bounded sliding frame per partition —
-    never a per-row self-join, which is what a naive ±delta
-    formulation would shuffle."""
+    w6's interval RANGE window: per order, how many orders of the same
+    status in the same calendar month sit within 1000 of its price, and
+    their exact decimal total.  The frame is defined by the ORDER-BY
+    VALUE, not row position — ties share a frame by construction, so no
+    tiebreaker is needed and both engines bound the frame with
+    identical IEEE double comparisons; the in-frame sum accumulates in
+    DECIMAL.  Scale: the window partitions on (status, order month) —
+    cardinality grows with the table's timespan, so the exchange
+    genuinely parallelizes and each per-partition sort is bounded by a
+    month of one status (the round-8 version filtered to a single
+    status AND partitioned on it, collapsing every row into one window
+    partition — fixed per ADVICE r8) — never a per-row self-join, which
+    is what a naive ±delta formulation would shuffle."""
     return _sql(spark, sf_dir, ("orders",),
                 _VALUE_RANGE_BODY.format(orders="dew_orders"))
 

@@ -154,22 +154,27 @@ DRIVER_PREFIX = 50
 # singleton family that was green in r1–r3 keeps its cumulative evidence;
 # tests/test_registry_order.py enforces prefix ∪ past-green coverage).
 # All 50 rows are oracle-paired — no rows-only slots in the window.
-# Round-8 composition: flagship + 21 live family anchors (unchanged from
-# r7 — a repo regression in a core family is caught the same round) +
-# the 12-query round-7 pool (the ENTIRE remaining never-evidenced
-# backlog; each pre-proven in driver_sim's EXTRA list since r7, so it
-# arrives pre-verified — green window ⇒ cumulative driver evidence hits
-# 227/227 oracle-paired, zero backlog for the first time) + 16 re-proof
-# slots.  The re-proof slots are spent deliberately: first on queries
-# whose IMPLEMENTATION changed after their last driver row (the r7 sf1
-# sweep fixes: a12_corr_covar's exact-decimal moments,
-# sh_simhash_dup_pairs' widened bucket guard, sim_cosine_topk's
-# rank-on-rounded ties), then on long-stale family reps (dedup, asof,
-# BM25, medallion, versioned-table history/OPTIMIZE, streaming dedup,
-# multimodal audio) whose newest evidence predates r5.  New round-8
-# surface (set-op ALL-variant breadth, the N3 event-log audit) is added
-# BEHIND the rotation and pre-proven in driver_sim EXTRA — the same
-# discipline that kept the backlog drainable in r7.
+# Round-9 composition: flagship + 21 live family anchors (unchanged
+# from r8) + the 12-query round-7 pool retained for second rows (a
+# regression in any of them is caught the same round; several also
+# re-prove the round-9 materialize-cache refactor through their
+# artifact paths) + the ENTIRE 7-query round-8 pool (rb_setops,
+# pl_event_log_audit — the reference's N3 audit SQL run verbatim —
+# a20 HLL bounds, a21 weighted median, w13 value-range window with its
+# round-9 higher-cardinality partition fix, g3 stack/inline, o5 null
+# ordering; each pre-proven in driver_sim EXTRA since r8 and swept at
+# sf0.1/sf1/hostile — green window ⇒ cumulative driver evidence hits
+# 234/234 oracle-paired, zero backlog) + 9 re-proof slots.  The re-proof
+# slots are spent deliberately: cp_bm25_search / t_tfidf_topk /
+# ws_medallion_gold / a17 ride the materialize() cache-keying refactor
+# (ADVICE r8) through the driver; a12 / sh_simhash / sim_cosine_topk /
+# vt_optimize_roundtrip / st_stream_dedup keep one live row per
+# determinism-sensitive family.  Rotated out (all r8-green, to
+# driver_sim EXTRA): sd_semantic_dedup, w1_dedup_keep_latest,
+# d_exact_dedup_keep_first, tj_asof_click_view, j2_three_way_inner,
+# vt_history_time_travel, mm_audio_features.  New round-9 surface
+# (unpivot/melt, explode_outer breadth) is added BEHIND the rotation
+# and pre-proven in driver_sim EXTRA — the same discipline as r7/r8.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
     # §2 breadth composites (family anchors)
@@ -199,8 +204,8 @@ _PRIORITY: tuple[str, ...] = (
     "t_bpe_tokenize_pack",
     "e_funnel_conversion",
     "mv_incremental_join",
-    # ---- the 12-query round-7 pool: every remaining never-evidenced
-    # query earns its first driver row here ----
+    # ---- the 12-query round-7 pool (second rows; ts_seasonal and
+    # mv_* also re-prove the materialize-cache refactor) ----
     "w11_cumulative_distinct",
     "j9_bloom_prefilter_semi",
     "ts_seasonal_naive_forecast",
@@ -213,26 +218,33 @@ _PRIORITY: tuple[str, ...] = (
     "a19_exact_mode",
     "ts_m4_downsample",
     "st_session_eviction",
-    # ---- 16 re-proof slots ----
-    # implementation changed AFTER last driver evidence (r7 sf1 fixes)
+    # ---- the 7-query round-8 pool: every remaining never-evidenced
+    # query earns its first driver row here ----
+    "rb_setops_breadth",
+    "pl_event_log_audit",
+    "a20_hll_distinct_bounds",
+    "a21_weighted_median",
+    "w13_value_range_window",
+    "g3_stack_inline_breadth",
+    "o5_null_ordering_breadth",
+    # ---- 9 re-proof slots ----
+    # artifact paths changed by the r9 materialize-cache refactor
+    "cp_bm25_search",
+    "t_tfidf_topk",
+    "ws_medallion_gold",
+    "a17_exact_median_twopass",
+    # determinism-sensitive family reps (r7 sf1-sweep fixes + DML/stream)
     "a12_corr_covar",
     "sh_simhash_dup_pairs",
     "sim_cosine_topk",
-    # stale family reps (newest driver rows predate r5)
-    "sd_semantic_dedup",
-    "w1_dedup_keep_latest",
-    "d_exact_dedup_keep_first",
-    "tj_asof_click_view",
-    "cp_bm25_search",
-    "j2_three_way_inner",
-    "ws_medallion_gold",
-    "vt_history_time_travel",
     "vt_optimize_roundtrip",
     "st_stream_dedup",
-    "mm_audio_features",
-    "t_tfidf_topk",
-    "a17_exact_median_twopass",
 )
+# Rotated out for round 9 (all r8-green; their driver rows persist and
+# they stay exercised in driver_sim's EXTRA spot-check list):
+# sd_semantic_dedup, w1_dedup_keep_latest, d_exact_dedup_keep_first,
+# tj_asof_click_view, j2_three_way_inner, vt_history_time_travel,
+# mm_audio_features.
 # Rotated out for round 8 (the full 28-query r7 backlog, all first-time
 # green in CORRECTNESS_r07; their driver rows persist and they stay
 # exercised in driver_sim's EXTRA spot-check list):

@@ -115,7 +115,7 @@ def make_session_fn(gap_seconds: int = 1800):
                 # gap, and the batch sessionizer would emit it as its own
                 # EARLIER session — a blind min-merge would silently
                 # absorb it (round-8 fix; pinned in
-                # tests/test_streaming_ext.py).  Sorted-by-start
+                # tests/test_temporal_properties.py).  Sorted-by-start
                 # gap-tolerant interval merge handles every case: within
                 # gap on either side merges (and can bridge candidates),
                 # beyond gap stays separate.

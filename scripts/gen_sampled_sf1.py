@@ -57,6 +57,15 @@ def kbucket(expr: str, m: int) -> str:
 
 
 def gen(sf1: str, dst: str, doc_pct: int = 2, vec_pct: int = 5) -> None:
+    # Both samples use the SAME kbucket on the base id, so doc_pct <=
+    # vec_pct guarantees every kept document's embedding is also kept —
+    # the invariant every doc⋈embedding quadratic query relies on.  A
+    # larger doc_pct would silently orphan documents.
+    if doc_pct > vec_pct:
+        raise ValueError(
+            f"doc_pct ({doc_pct}) must be <= vec_pct ({vec_pct}): kept "
+            "documents must be a subset of kept embeddings"
+        )
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -86,4 +95,6 @@ if __name__ == "__main__":
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/dew_sf1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dew_sf1_sample"
     pct = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    gen(sf1, dst, doc_pct=pct)
+    # scale the embedding sample with the CLI doc pct so the
+    # subset invariant (docs ⊆ embeddings) holds for any requested size
+    gen(sf1, dst, doc_pct=pct, vec_pct=max(5, pct))

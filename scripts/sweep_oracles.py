@@ -145,10 +145,18 @@ def main() -> int:
             con.interrupt()
             spark.sparkContext.cancelJobGroup(name)
             th.join(timeout=60)
-            try:
-                con.close()
-            except Exception:  # noqa: BLE001 — best-effort on a wedged con
-                pass
+            if not th.is_alive():
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001 — best-effort on a wedged con
+                    pass
+            else:
+                # the worker is STILL wedged inside a DuckDB call;
+                # closing the connection from this thread mid-query can
+                # fault natively (uncatchable).  Deliberately leak this
+                # one connection — one leak per wedged timeout — and move
+                # on with a fresh one.
+                print(f"LEAKED wedged DuckDB connection for {name}", flush=True)
             timed_out.append(name)
             print(f"TIMEOUT {name}", flush=True)
             con = fresh_con()
