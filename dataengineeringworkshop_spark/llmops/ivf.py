@@ -50,7 +50,15 @@ def _train_centroid_rows(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    full_key = f"{cache_key}:k{nlist}:s{seed}:i{max_iter}" if cache_key else None
+    # the key must encode EVERY input that determines the centroids —
+    # omitting max_train_rows/vec_col here served stale centroids to a
+    # caller that varied them (round-9 fix; pinned in
+    # tests/test_materialize_cache.py)
+    full_key = (
+        f"{cache_key}:k{nlist}:s{seed}:i{max_iter}:r{max_train_rows}:v{vec_col}"
+        if cache_key
+        else None
+    )
     if full_key is not None and full_key in _CENTROID_CACHE:
         return _CENTROID_CACHE[full_key]
     train = corpus.select(
@@ -182,7 +190,7 @@ def ann_topk_ivf(
         c_index = materialize(
             c_index,
             label="ivf_index",
-            cache_key=f"{index_key}:k{nlist}:s{seed}:cells",
+            cache_key=f"{index_key}:k{nlist}:s{seed}:cells:v{vec_col}:id{id_col}",
         )
     # PROBE: queries assigned to their nprobe cells map-only, then
     # broadcast against the index — a corpus vector lives in exactly one

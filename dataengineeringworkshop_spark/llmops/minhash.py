@@ -86,7 +86,9 @@ def minhash_signatures_materialized(
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
         "minhash_sigs",
         cache_key=(
-            f"{index_key}:sh{shingle_n}:mh{num_hashes}" if index_key else None
+            f"{index_key}:sh{shingle_n}:mh{num_hashes}:id{id_col}:t{text_col}"
+            if index_key
+            else None
         ),
     )
 
@@ -183,12 +185,20 @@ def minhash_dedup_pairs(
     sh = materialize(
         word_shingles(df, id_col, text_col, shingle_n),
         "shingles",
-        cache_key=f"{index_key}:sh{shingle_n}" if index_key else None,
+        cache_key=(
+            f"{index_key}:sh{shingle_n}:id{id_col}:t{text_col}"
+            if index_key
+            else None
+        ),
     )
     sigs = materialize(
         _signatures_from_shingles(sh, num_hashes),
         "minhash_sigs",
-        cache_key=f"{index_key}:sh{shingle_n}:mh{num_hashes}" if index_key else None,
+        cache_key=(
+            f"{index_key}:sh{shingle_n}:mh{num_hashes}:id{id_col}:t{text_col}"
+            if index_key
+            else None
+        ),
     )
     # the candidate pair set feeds both verify joins and the doc filter
     # — materialize so the LSH band pipeline runs once, not per consumer

@@ -58,8 +58,14 @@ def train_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
+    # key every input that determines the codebooks — dim, the training
+    # sample bound, and the vector column all change the result (round-9
+    # fix; pinned in tests/test_materialize_cache.py)
     full_key = (
-        f"{cache_key}:pq{m}x{ksub}:s{seed}:i{max_iter}" if cache_key else None
+        f"{cache_key}:pq{m}x{ksub}:s{seed}:i{max_iter}:d{dim}"
+        f":r{max_train_rows}:v{vec_col}"
+        if cache_key
+        else None
     )
     if full_key is not None and full_key in _CODEBOOK_CACHE:
         return _CODEBOOK_CACHE[full_key]
@@ -210,7 +216,10 @@ def ann_topk_pq(
         from dataengineeringworkshop_spark.operators.materialize import materialize
 
         index = materialize(
-            index, label="pq_index", cache_key=f"{index_key}:pq{m}x{ksub}:s{seed}"
+            index,
+            label="pq_index",
+            cache_key=f"{index_key}:pq{m}x{ksub}:s{seed}:d{dim}"
+            f":v{vec_col}:id{id_col}",
         )
     # per-query ADC lookup table: |Q|·m·ksub partial dots, built as a
     # DataFrame (map-only explode over the codebook literal), collapsed
@@ -359,7 +368,8 @@ def ann_topk_ivfpq(
         index = materialize(
             index,
             label="ivfpq_index",
-            cache_key=f"{index_key}:ivfpq{nlist}x{m}x{ksub}:s{seed}",
+            cache_key=f"{index_key}:ivfpq{nlist}x{m}x{ksub}:s{seed}:d{dim}"
+            f":v{vec_col}:id{id_col}",
         )
     # probe side: nprobe cells per query, dot(q, centroid) per probed
     # cell, and the residual-codebook LUT per query — all bounded by |Q|

@@ -102,7 +102,11 @@ def semantic_dedup(
     assigned = materialize(
         assign_trained_cells(df, id_col, vec_col, nlist, seed, index_key),
         label="semdedup_trained_cells",
-        cache_key=f"{index_key}:k{nlist}:s{seed}:sdcells" if index_key else None,
+        cache_key=(
+            f"{index_key}:k{nlist}:s{seed}:sdcells:v{vec_col}:id{id_col}"
+            if index_key
+            else None
+        ),
     )
     dups = (
         cell_neardup_pairs(assigned, tau)

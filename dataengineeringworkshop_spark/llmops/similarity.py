@@ -136,7 +136,8 @@ def ann_topk_lsh(
         c_sig = materialize(
             build_index(),
             label="lsh_buckets",
-            cache_key=f"{index_key}:d{dim}:n{nbits}:b{bands}:m{max_bucket}",
+            cache_key=f"{index_key}:d{dim}:n{nbits}:b{bands}:m{max_bucket}"
+            f":v{vec_col}:id{id_col}",
         )
     else:
         c_sig = build_index()
@@ -159,7 +160,9 @@ def ann_topk_lsh(
     ).withColumn("c_nrm", F.expr(_DOT.format(a="c_vec", b="c_vec")))
     if index_key:
         c_vec = materialize(
-            c_vec, label="lsh_vectors", cache_key=f"{index_key}:vecs"
+            c_vec,
+            label="lsh_vectors",
+            cache_key=f"{index_key}:vecs:v{vec_col}:id{id_col}",
         )
     q_vec = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec")

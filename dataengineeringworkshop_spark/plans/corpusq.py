@@ -22,6 +22,31 @@ from pyspark.sql import functions as F
 from dataengineeringworkshop_spark.plans.registry import kbucket, pack_id_sql, query
 from dataengineeringworkshop_spark.plans.tables import register_views
 
+
+def _doc_sizes_view(spark: SparkSession, sf_dir: str) -> None:
+    """Register ``dew_doc_sizes`` — the standing (doc_id, source,
+    n_tokens) token-accounting table.
+
+    Every mixture/packing query starts from per-document token counts,
+    and Spark inlines CTEs, so a WITH-block ``sized`` intermediate
+    re-tokenizes the corpus once PER CONSUMER (round-9 scan audit:
+    cp_mix_temperature re-scanned documents 4×, cp_source_mix 3×).
+    Built once per sf and ``materialize()``d — at 100 TB this is the
+    token-ledger table a data-mixture pipeline maintains next to the
+    corpus."""
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    register_views(spark, sf_dir, "documents")
+    ds = materialize(
+        spark.sql(
+            "SELECT doc_id, source, size(split(text, ' ')) AS n_tokens"
+            " FROM dew_documents"
+        ),
+        label="doc_sizes",
+        cache_key=f"doc_sizes:{sf_dir}",
+    )
+    ds.createOrReplaceTempView("dew_doc_sizes")
+
 @query(
     "cp_quality_gate_stats",
     oracle="""
@@ -343,15 +368,17 @@ def cp_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting — the reweighting step that turns a cleaned corpus into a
     training mixture, re-derivable run-to-run and engine-to-engine.
 
-    Scale shape: per-source token totals are one partial-agg groupBy;
-    the sampling predicate is map-side arithmetic on the id; the rate
-    table (one row per source) broadcasts."""
-    register_views(spark, sf_dir, "documents")
+    Scale shape: per-source token totals are one partial-agg groupBy
+    over the materialized ``dew_doc_sizes`` token ledger (the raw
+    corpus is scanned ONCE per sf to build it — the WITH form
+    re-tokenized documents three times); the sampling predicate is
+    map-side arithmetic on the id; the rate table (one row per source)
+    broadcasts."""
+    _doc_sizes_view(spark, sf_dir)
     return spark.sql(
         f"""
         WITH sized AS (
-            SELECT doc_id, source, size(split(text, ' ')) AS n_tokens
-            FROM dew_documents
+            SELECT doc_id, source, n_tokens FROM dew_doc_sizes
         ),
         totals AS (
             SELECT source, SUM(CAST(n_tokens AS BIGINT)) AS source_tokens
@@ -665,17 +692,16 @@ def cp_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_i = p_i^α / Σ p_j^α over per-source token shares, plus the
     per-million token allocation those weights imply.  All driver-side
     state is one row per source; the token totals are one partial-agg
-    groupBy over the corpus, and the two CROSS JOINs are 1-row scalar
+    groupBy over the materialized ``dew_doc_sizes`` token ledger (the
+    WITH form re-tokenized the corpus FOUR times — Spark inlines CTEs;
+    round-9 scan audit), and the two CROSS JOINs are 1-row scalar
     aggregates (grand total, normalizer) — the sanctioned pattern."""
-    register_views(spark, sf_dir, "documents")
+    _doc_sizes_view(spark, sf_dir)
     return spark.sql(
         """
-        WITH sized AS (
-            SELECT source, size(split(text, ' ')) AS n_tokens FROM dew_documents
-        ),
-        tot AS (
+        WITH tot AS (
             SELECT source, SUM(CAST(n_tokens AS BIGINT)) AS source_tokens
-            FROM sized GROUP BY source
+            FROM dew_doc_sizes GROUP BY source
         ),
         g AS (SELECT CAST(SUM(source_tokens) AS DOUBLE) AS grand FROM tot),
         p AS (

@@ -426,25 +426,42 @@ def t_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) theta join); ``levenshtein`` then verifies only the bounded
     candidate set.  Key fan-out is O(avg name length) per name — at
     100 TB the candidate space is Σ bucket², bounded by key selectivity,
-    not n²."""
-    return _sql(
-        spark, sf_dir, ("supplier",),
-        """
-        WITH names AS (SELECT DISTINCT s_name AS nm FROM dew_supplier),
-        keys AS (
+    not n².
+
+    The deletion-key table is the FastSS INDEX — it feeds both sides of
+    the candidate self-join, and Spark inlines CTEs, so the WITH form
+    re-scanned supplier and re-exploded the neighborhood FOUR times
+    (2 UNION branches × 2 join sides; round-9 scan audit).  It is built
+    once and ``materialize()``d, exactly the persisted index an entity-
+    resolution pipeline maintains."""
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    register_views(spark, sf_dir, "supplier")
+    keys = materialize(
+        spark.sql(
+            """
+            WITH names AS (SELECT DISTINCT s_name AS nm FROM dew_supplier)
             SELECT nm, nm AS k FROM names
             UNION ALL
             SELECT nm, concat(substr(nm, 1, i - 1), substr(nm, i + 1)) AS k
             FROM names LATERAL VIEW explode(sequence(1, length(nm))) AS i
+            """
         ),
-        cand AS (
+        label="fastss_keys",
+        cache_key=f"fastss_keys:{sf_dir}",
+    )
+    keys.createOrReplaceTempView("dew_fastss_keys")
+    return spark.sql(
+        """
+        WITH cand AS (
             SELECT DISTINCT a.nm AS nm1, b.nm AS nm2
-            FROM keys a JOIN keys b ON a.k = b.k AND a.nm < b.nm
+            FROM dew_fastss_keys a JOIN dew_fastss_keys b
+              ON a.k = b.k AND a.nm < b.nm
         )
         SELECT nm1, nm2, levenshtein(nm1, nm2) AS dist
         FROM cand
         WHERE levenshtein(nm1, nm2) <= 1
-        """,
+        """
     )
 
 
@@ -487,12 +504,51 @@ _PROFILE_SQL = """
 def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling (the ANALYZE / data-quality-report surface):
     per-column row count, null count, exact distinct count, and typed
-    min/max in one long-format result.  Each column's stats are one
-    aggregate over the shared scan; at 100 TB swap COUNT(DISTINCT) for
-    approx_count_distinct (see a_sketch_bounds) and let one pass compute
-    every column's profile."""
+    min/max in one long-format result.  The Spark plan computes EVERY
+    column's stats in ONE aggregation over ONE scan (the multi-distinct
+    Expand pipeline), then ``stack()`` pivots the wide stats row to the
+    long report — the oracle keeps the naive per-column UNION ALL,
+    which is 5 scans and exactly what this plan avoids (round-9 scan
+    audit: the UNION ALL form re-scanned lineitem once per column).  At
+    100 TB swap COUNT(DISTINCT) for approx_count_distinct (see
+    a_sketch_bounds) and the same single pass profiles every column."""
     register_views(spark, sf_dir, "lineitem")
-    return spark.sql(_PROFILE_SQL.format(t="dew_lineitem"))
+    return spark.sql(
+        """
+        WITH s AS (
+            SELECT COUNT(*) AS n,
+                   COUNT(l_orderkey) AS c1, COUNT(DISTINCT l_orderkey) AS d1,
+                   MIN(l_orderkey) AS mn1, MAX(l_orderkey) AS mx1,
+                   COUNT(l_quantity) AS c2, COUNT(DISTINCT l_quantity) AS d2,
+                   MIN(l_quantity) AS mn2, MAX(l_quantity) AS mx2,
+                   COUNT(l_extendedprice) AS c3,
+                   COUNT(DISTINCT l_extendedprice) AS d3,
+                   MIN(l_extendedprice) AS mn3, MAX(l_extendedprice) AS mx3,
+                   COUNT(l_returnflag) AS c4, COUNT(DISTINCT l_returnflag) AS d4,
+                   MIN(l_returnflag) AS mn4, MAX(l_returnflag) AS mx4,
+                   COUNT(l_linestatus) AS c5, COUNT(DISTINCT l_linestatus) AS d5,
+                   MIN(l_linestatus) AS mn5, MAX(l_linestatus) AS mx5
+            FROM dew_lineitem
+        )
+        SELECT stack(5,
+            'l_orderkey', n, n - c1, d1,
+                CAST(mn1 AS DOUBLE), CAST(mx1 AS DOUBLE),
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'l_quantity', n, n - c2, d2,
+                CAST(mn2 AS DOUBLE), CAST(mx2 AS DOUBLE),
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'l_extendedprice', n, n - c3, d3,
+                CAST(mn3 AS DOUBLE), CAST(mx3 AS DOUBLE),
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'l_returnflag', n, n - c4, d4,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn4, mx4,
+            'l_linestatus', n, n - c5, d5,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn5, mx5
+        ) AS (column_name, n, n_null, n_distinct,
+              min_num, max_num, min_str, max_str)
+        FROM s
+        """
+    )
 
 
 @query(
@@ -1102,6 +1158,155 @@ def g3_stack_inline_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'zip3', CAST(COUNT(*) AS BIGINT), CAST(SUM(pos) AS BIGINT)
         FROM zipped WHERE LENGTH(wd) = 3
+        """,
+    )
+
+
+@query(
+    "g4_posexplode_outer_breadth",
+    oracle="""
+        WITH arr AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> length(w) >= 7)
+                       AS longs
+            FROM documents
+        ),
+        ex AS (
+            SELECT doc_id,
+                   CAST(generate_subscripts(longs, 1) - 1 AS BIGINT) AS pos,
+                   unnest(longs) AS wd
+            FROM arr
+        )
+        SELECT a.doc_id, ex.pos, ex.wd, (ex.wd IS NULL) AS from_empty
+        FROM arr a LEFT JOIN ex ON a.doc_id = ex.doc_id
+    """,
+    tags=("extra", "G1", "generators", "outer"),
+)
+def g4_posexplode_outer_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER generator null preservation — the one explode variant a
+    real ETL user hits weekly and the generator family never pinned:
+    ``LATERAL VIEW OUTER posexplode`` keeps a parent row whose array is
+    EMPTY (null pos/word, from_empty=true) where the inner form would
+    silently drop it.  The long-word filter (length >= 7) makes ~1/5 of
+    documents genuinely empty at every test SF, so the null-preserving
+    rows are load-bearing in the hash.  DuckDB has no OUTER unnest —
+    the oracle writes the relational definition (LEFT JOIN of parents
+    onto the exploded rows).  Scale: the generator is row-local; the
+    one scan carries a 2-column projection."""
+    return _sql(
+        spark, sf_dir, ("documents",),
+        """
+        WITH arr AS (
+            SELECT doc_id, filter(split(text, ' '), w -> length(w) >= 7)
+                       AS longs
+            FROM dew_documents
+        )
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, wd,
+               (wd IS NULL) AS from_empty
+        FROM arr LATERAL VIEW OUTER posexplode(longs) AS pos, wd
+        """,
+    )
+
+
+@query(
+    "g5_explode_outer_map",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, LENGTH(text) AS chars,
+                   len(string_split(text, ' ')) AS words
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, 'chars' AS k, CAST(chars AS BIGINT) AS v
+            FROM base WHERE chars >= 400
+            UNION ALL
+            SELECT doc_id, 'words', CAST(words AS BIGINT)
+            FROM base WHERE words >= 60
+        )
+        SELECT b.doc_id, r.k, r.v FROM base b LEFT JOIN r ON b.doc_id = r.doc_id
+    """,
+    tags=("extra", "G2", "generators", "outer"),
+)
+def g5_explode_outer_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER explode over a MAP column: per-document size metrics that
+    exceed their thresholds become (key, value) rows via ``map_filter``
+    + ``LATERAL VIEW OUTER explode`` — a document exceeding neither
+    keeps one all-null row instead of vanishing (the null-preservation
+    contract, map flavor; g4 pins the array flavor).  Thresholds are
+    chosen so all three outcomes (0, 1, 2 surviving entries) occur at
+    every test SF.  The oracle is the relational definition: threshold
+    UNION branches LEFT JOINed back onto the parent set.  Scale: one
+    scan, map-side map_filter, row-local generator."""
+    return _sql(
+        spark, sf_dir, ("documents",),
+        """
+        WITH m AS (
+            SELECT doc_id,
+                   map_filter(
+                       map('chars', CAST(LENGTH(text) AS BIGINT),
+                           'words', CAST(size(split(text, ' ')) AS BIGINT)),
+                       (k, v) -> v >= CASE WHEN k = 'chars' THEN 400
+                                           ELSE 60 END) AS big
+            FROM dew_documents
+        )
+        SELECT doc_id, k, v FROM m LATERAL VIEW OUTER explode(big) AS k, v
+        """,
+    )
+
+
+@query(
+    "b_unpivot_sql_clause",
+    oracle="""
+        WITH wide AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 100, 0) AS BIGINT) END)
+                       AS c_click,
+                   MIN(CASE WHEN event_type = 'view'
+                            THEN CAST(round(value * 100, 0) AS BIGINT) END)
+                       AS c_view,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100, 0) AS BIGINT) END)
+                       AS c_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, 'c_click' AS metric, c_click AS min_cents FROM wide
+        UNION ALL
+        SELECT user_id, 'c_view', c_view FROM wide
+        UNION ALL
+        SELECT user_id, 'c_purchase', c_purchase FROM wide
+    """,
+    tags=("extra", "pivot", "outer"),
+)
+def b_unpivot_sql_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``UNPIVOT`` clause itself (b_unpivot_event_stats covers
+    the ``stack()`` spelling) with ``INCLUDE NULLS`` — the variant that
+    matters: per-user minimum cents per event type has real NULLs
+    (users without that type), and default UNPIVOT would silently drop
+    those rows where INCLUDE NULLS keeps the full user x metric grid.
+    The oracle is the UNION ALL expansion with no null filter.  Scale:
+    one grouped scan builds the wide row; UNPIVOT is a row-local
+    generator (constant 3x fan-out, no shuffle)."""
+    return _sql(
+        spark, sf_dir, ("events",),
+        """
+        SELECT user_id, metric, min_cents
+        FROM (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 100, 0) AS BIGINT) END)
+                       AS c_click,
+                   MIN(CASE WHEN event_type = 'view'
+                            THEN CAST(round(value * 100, 0) AS BIGINT) END)
+                       AS c_view,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100, 0) AS BIGINT) END)
+                       AS c_purchase
+            FROM dew_events GROUP BY user_id
+        )
+        UNPIVOT INCLUDE NULLS (
+            min_cents FOR metric IN (c_click, c_view, c_purchase)
+        )
         """,
     )
 

@@ -165,16 +165,21 @@ DRIVER_PREFIX = 50
 # ordering; each pre-proven in driver_sim EXTRA since r8 and swept at
 # sf0.1/sf1/hostile — green window ⇒ cumulative driver evidence hits
 # 234/234 oracle-paired, zero backlog) + 9 re-proof slots.  The re-proof
-# slots are spent deliberately: cp_bm25_search / t_tfidf_topk /
-# ws_medallion_gold / a17 ride the materialize() cache-keying refactor
-# (ADVICE r8) through the driver; a12 / sh_simhash / sim_cosine_topk /
-# vt_optimize_roundtrip / st_stream_dedup keep one live row per
-# determinism-sensitive family.  Rotated out (all r8-green, to
+# slots are spent on queries whose IMPLEMENTATION changed THIS round —
+# the eight round-9 scan-audit fixes (prof_column_stats single-pass,
+# t_rake_keywords / t_fuzzy_match_levenshtein / cp_mix_temperature /
+# cp_source_mix / e_mad_outliers materialized intermediates,
+# sim_embed_quantize array-HOF rewrite, ts_ewma_dyadic window-count) —
+# plus cp_bm25_search riding the materialize() cache-keying refactor
+# (ADVICE r8) through the driver.  Rotated out (all r8-green, to
 # driver_sim EXTRA): sd_semantic_dedup, w1_dedup_keep_latest,
 # d_exact_dedup_keep_first, tj_asof_click_view, j2_three_way_inner,
-# vt_history_time_travel, mm_audio_features.  New round-9 surface
-# (unpivot/melt, explode_outer breadth) is added BEHIND the rotation
-# and pre-proven in driver_sim EXTRA — the same discipline as r7/r8.
+# vt_history_time_travel, mm_audio_features, t_tfidf_topk,
+# ws_medallion_gold, a17_exact_median_twopass, a12_corr_covar,
+# sh_simhash_dup_pairs, sim_cosine_topk, vt_optimize_roundtrip,
+# st_stream_dedup.  New round-9 surface (unpivot/melt, explode_outer
+# breadth) is added BEHIND the rotation and pre-proven in driver_sim
+# EXTRA — the same discipline as r7/r8.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
     # §2 breadth composites (family anchors)
@@ -228,23 +233,28 @@ _PRIORITY: tuple[str, ...] = (
     "g3_stack_inline_breadth",
     "o5_null_ordering_breadth",
     # ---- 9 re-proof slots ----
-    # artifact paths changed by the r9 materialize-cache refactor
+    # implementation changed THIS round (the round-9 scan-audit fixes:
+    # single-pass profile, materialized RAKE/FastSS/doc-sizes/MAD
+    # artifacts, array-HOF quantization, window-count EWMA) — each
+    # needs a driver row AFTER its change per the rotation discipline
+    "prof_column_stats",
+    "t_rake_keywords",
+    "cp_mix_temperature",
+    "cp_source_mix",
+    "e_mad_outliers",
+    "sim_embed_quantize",
+    "t_fuzzy_match_levenshtein",
+    "ts_ewma_dyadic",
+    # artifact path changed by the r9 materialize-cache refactor
     "cp_bm25_search",
-    "t_tfidf_topk",
-    "ws_medallion_gold",
-    "a17_exact_median_twopass",
-    # determinism-sensitive family reps (r7 sf1-sweep fixes + DML/stream)
-    "a12_corr_covar",
-    "sh_simhash_dup_pairs",
-    "sim_cosine_topk",
-    "vt_optimize_roundtrip",
-    "st_stream_dedup",
 )
 # Rotated out for round 9 (all r8-green; their driver rows persist and
 # they stay exercised in driver_sim's EXTRA spot-check list):
 # sd_semantic_dedup, w1_dedup_keep_latest, d_exact_dedup_keep_first,
 # tj_asof_click_view, j2_three_way_inner, vt_history_time_travel,
-# mm_audio_features.
+# mm_audio_features, t_tfidf_topk, ws_medallion_gold,
+# a17_exact_median_twopass, a12_corr_covar, sh_simhash_dup_pairs,
+# sim_cosine_topk, vt_optimize_roundtrip, st_stream_dedup.
 # Rotated out for round 8 (the full 28-query r7 backlog, all first-time
 # green in CORRECTNESS_r07; their driver rows persist and they stay
 # exercised in driver_sim's EXTRA spot-check list):

@@ -451,43 +451,55 @@ def sd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-range scalar quantization of embeddings (per-vector min/max
     affine code, 0..255) with exact reconstruction SSE — the 4× storage
-    cut that makes a 100 TB embedding store scannable.  Pure map over
-    vectors: no shuffle except the per-vector explode/agg pair, which
-    stays within one exchange on vec_id.
+    cut that makes a 100 TB embedding store scannable.  The Spark plan
+    is a PURE MAP: per-vector min/max, the per-element code, and the
+    DECIMAL SSE fold are all array higher-order functions inside one
+    projection — ONE scan, ZERO shuffle, no join (round-9 scan audit:
+    the explode→groupBy→join-back form scanned embeddings twice and
+    shuffled dim× rows; the oracle keeps that relational form, which is
+    how DuckDB expresses it).
 
     FLOOR(x + 0.5) instead of ROUND keeps the code point identical in
     both engines (ROUND's half-even/half-up behavior differs on
     doubles); all arithmetic is single-rounding IEEE ops on identical
-    operand trees.
+    operand trees, and the SSE accumulates in DECIMAL(28,14) — exact,
+    so fold order is irrelevant.
     """
     register_views(spark, sf_dir, "embeddings")
     return spark.sql(
         """
-        WITH ex AS (
-            SELECT vec_id, CAST(v0 AS DOUBLE) AS v
-            FROM (SELECT vec_id, explode(embedding) AS v0 FROM dew_embeddings)
-        ),
-        mm AS (
-            SELECT vec_id, MIN(v) AS mn, MAX(v) AS mx,
-                   (MAX(v) - MIN(v)) / CAST(255 AS DOUBLE) AS scale
-            FROM ex GROUP BY vec_id
+        WITH coded AS (
+            SELECT vec_id,
+                   transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   array_min(transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+                   (array_max(transform(embedding, x -> CAST(x AS DOUBLE)))
+                    - array_min(transform(embedding, x -> CAST(x AS DOUBLE))))
+                       / CAST(255 AS DOUBLE) AS scale
+            FROM dew_embeddings
         ),
         q AS (
-            SELECT ex.vec_id, ex.v, mm.mn, mm.scale,
-                   CASE WHEN mm.scale = 0 THEN 0
-                        ELSE CAST(LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
-                             FLOOR((ex.v - mm.mn) / mm.scale + CAST(0.5 AS DOUBLE)))) AS INT)
-                   END AS qv
-            FROM ex JOIN mm ON ex.vec_id = mm.vec_id
+            SELECT vec_id, v, mn, scale,
+                   transform(v, x ->
+                       CASE WHEN scale = 0 THEN 0
+                            ELSE CAST(LEAST(CAST(255 AS DOUBLE),
+                                 GREATEST(CAST(0 AS DOUBLE),
+                                 FLOOR((x - mn) / scale + CAST(0.5 AS DOUBLE))))
+                                 AS INT)
+                       END) AS qv
+            FROM coded
         )
         SELECT vec_id,
-               COUNT(*) AS n_dims,
-               MIN(qv) AS q_min,
-               MAX(qv) AS q_max,
-               ROUND(CAST(SUM(CAST(
-                   (v - (mn + (qv * scale))) * (v - (mn + (qv * scale)))
-                   AS DECIMAL(28,14))) AS DOUBLE), 6) AS sse
-        FROM q GROUP BY vec_id
+               CAST(size(v) AS BIGINT) AS n_dims,
+               array_min(qv) AS q_min,
+               array_max(qv) AS q_max,
+               ROUND(CAST(aggregate(
+                   zip_with(v, qv, (x, c) ->
+                       (x - (mn + (c * scale))) * (x - (mn + (c * scale)))),
+                   CAST(0 AS DECIMAL(28,14)),
+                   (acc, d) -> CAST(acc + CAST(d AS DECIMAL(28,14))
+                               AS DECIMAL(28,14))
+               ) AS DOUBLE), 6) AS sse
+        FROM q
         """
     )
 

