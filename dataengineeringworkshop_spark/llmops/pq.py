@@ -354,6 +354,22 @@ def ann_topk_ivfpq(
         residual.alias("rvec"),
         F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("nrm"),
     )
+    if index_key:
+        # the residual projection (argmin over nlist centroids + vector
+        # subtraction) feeds m sequential KMeans fits — each of which
+        # re-evaluates its UNCACHED input once per iteration — plus the
+        # encode pass: left lazy, the projection recomputes ~m×iters
+        # times (round-9 sf1 sweep: 455 s, almost all of it here).
+        # Materialize it once: it IS the residual table an IVFADC build
+        # writes before codebook training.
+        from dataengineeringworkshop_spark.operators.materialize import materialize
+
+        residuals = materialize(
+            residuals,
+            label="ivfpq_residuals",
+            cache_key=f"{index_key}:ivfpq{nlist}:s{seed}:d{dim}"
+            f":v{vec_col}:id{id_col}:resid",
+        )
     books = train_codebooks(
         residuals, "rvec", dim, m, ksub, seed,
         cache_key=f"{index_key}:ivf{nlist}resid" if index_key else None,

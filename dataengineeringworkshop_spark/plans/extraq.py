@@ -629,37 +629,71 @@ def b_unpivot_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_id,
                    CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS k
             FROM events
+        ),
+        h1 AS (
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS n1
+            FROM keyed WHERE event_id % 2 = 0 GROUP BY k
+        ),
+        h2 AS (
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS n2
+            FROM keyed WHERE event_id % 2 = 1 GROUP BY k
         )
-        SELECT 'plain_eq' AS join_type, COUNT(*) AS n_pairs
-        FROM keyed a JOIN keyed b ON a.k = b.k AND a.event_id < b.event_id
+        SELECT 'plain_eq' AS join_type,
+               CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+               CAST(SUM(a.n1 * b.n2) AS BIGINT) AS n_row_pairs
+        FROM h1 a JOIN h2 b ON a.k = b.k
         UNION ALL
-        SELECT 'null_safe', COUNT(*)
-        FROM keyed a JOIN keyed b
-          ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
+        SELECT 'null_safe', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(a.n1 * b.n2) AS BIGINT)
+        FROM h1 a JOIN h2 b ON a.k IS NOT DISTINCT FROM b.k
     """,
     tags=("extra", "J1"),
 )
 def j7_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (Spark ``<=>`` ↔ ANSI IS NOT DISTINCT
-    FROM): a key column with planted NULLs self-joined both ways — the
-    plain equi join drops every NULL key, the null-safe join matches
-    NULL with NULL (all planted-NULL rows pair up).  The count gap IS
-    the semantic difference, hash-pinned.  Catalyst still plans ``<=>``
-    as a hash join (null-safe keys are hashable) — not a nested loop."""
+    FROM): a key column with planted NULLs (10% of rows), joined
+    even-half against odd-half both ways — the plain equi join drops
+    the NULL-key group entirely, the null-safe join matches NULL with
+    NULL, and ``n_row_pairs`` reports the row-level pair count each
+    join would produce (Σ n1·n2 over matched keys).  The gap between
+    the two rows IS the semantic difference, hash-pinned.  Catalyst
+    plans ``<=>`` as a hash join (null-safe keys are hashable) — not a
+    nested loop.
+
+    Scale lesson (round-9 sf1 sweep): the original form joined RAW
+    event rows null-safely — NULL is the ultimate skew key, so the
+    planted-NULL block alone produced (0.1·N)² join candidates (10¹⁰ at
+    sf1, 343 s; unrunnable at 100 TB).  Reducing to per-key counts
+    BEFORE the join bounds the join input at |keys| rows and carries
+    the row-pair arithmetic through SUM(n1·n2) — identical semantics,
+    linear cost."""
     e = load_table(spark, sf_dir, "events").selectExpr(
         "event_id",
         "CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS k",
     )
-    a, b = e.alias("a"), e.alias("b")
-    plain = a.join(
-        b, (F.col("a.k") == F.col("b.k")) & (F.col("a.event_id") < F.col("b.event_id"))
-    ).count()
-    nullsafe = a.join(
-        b, (F.col("a.k").eqNullSafe(F.col("b.k"))) & (F.col("a.event_id") < F.col("b.event_id"))
-    ).count()
-    return spark.createDataFrame(
-        [("plain_eq", plain), ("null_safe", nullsafe)],
-        "join_type STRING, n_pairs BIGINT",
+    h1 = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .groupBy("k").agg(F.count("*").cast("long").alias("n1"))
+        .alias("a")
+    )
+    h2 = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .groupBy("k").agg(F.count("*").cast("long").alias("n2"))
+        .alias("b")
+    )
+
+    def side(cond, label):
+        return (
+            h1.join(h2, cond)
+            .agg(
+                F.count("*").cast("long").alias("n_matched_keys"),
+                F.sum(F.col("a.n1") * F.col("b.n2")).cast("long").alias("n_row_pairs"),
+            )
+            .select(F.lit(label).alias("join_type"), "n_matched_keys", "n_row_pairs")
+        )
+
+    return side(F.col("a.k") == F.col("b.k"), "plain_eq").unionAll(
+        side(F.col("a.k").eqNullSafe(F.col("b.k")), "null_safe")
     )
 
 
