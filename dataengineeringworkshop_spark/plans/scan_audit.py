@@ -84,6 +84,7 @@ CLEARED: dict[str, str] = {
     "rb_setops_breadth": "INTERSECT/EXCEPT ALL branches re-slice the same table by design",
     "c4_correlated_scalar_subquery": "correlated scalar subquery: inner + outer customer scans",
     "j9_bloom_prefilter_semi": "bloom build side + exact probe side of lineitem",
+    "j7_null_safe_join": "even-half vs odd-half per-key count tables, each with its own pushed filter",
     "g3_stack_inline_breadth": "stack + inline branches union the same corpus slice",
     "t_collocation_dice": "bigram counts vs unigram margins of the token table",
 }
