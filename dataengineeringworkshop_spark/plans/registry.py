@@ -170,16 +170,18 @@ DRIVER_PREFIX = 50
 # t_rake_keywords / t_fuzzy_match_levenshtein / cp_mix_temperature /
 # cp_source_mix / e_mad_outliers materialized intermediates,
 # sim_embed_quantize array-HOF rewrite, ts_ewma_dyadic window-count) —
-# plus cp_bm25_search riding the materialize() cache-keying refactor
-# (ADVICE r8) through the driver.  Rotated out (all r8-green, to
-# driver_sim EXTRA): sd_semantic_dedup, w1_dedup_keep_latest,
-# d_exact_dedup_keep_first, tj_asof_click_view, j2_three_way_inner,
-# vt_history_time_travel, mm_audio_features, t_tfidf_topk,
-# ws_medallion_gold, a17_exact_median_twopass, a12_corr_covar,
-# sh_simhash_dup_pairs, sim_cosine_topk, vt_optimize_roundtrip,
-# st_stream_dedup.  New round-9 surface (unpivot/melt, explode_outer
-# breadth) is added BEHIND the rotation and pre-proven in driver_sim
-# EXTRA — the same discipline as r7/r8.
+# plus the two sf1-sweep scale fixes (j7_null_safe_join per-key-count
+# reduction, ann_ivfpq_fullprobe_exact residual materialization; the
+# latter takes st_session_eviction's second-row slot in the r7-pool
+# section).  Rotated out (all r8-green, to driver_sim EXTRA):
+# sd_semantic_dedup, w1_dedup_keep_latest, d_exact_dedup_keep_first,
+# tj_asof_click_view, j2_three_way_inner, vt_history_time_travel,
+# mm_audio_features, t_tfidf_topk, ws_medallion_gold,
+# a17_exact_median_twopass, a12_corr_covar, sh_simhash_dup_pairs,
+# sim_cosine_topk, vt_optimize_roundtrip, st_stream_dedup,
+# cp_bm25_search, st_session_eviction.  New round-9 surface
+# (unpivot/melt, explode_outer breadth) is added BEHIND the rotation
+# and pre-proven in driver_sim EXTRA — the same discipline as r7/r8.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
     # §2 breadth composites (family anchors)
@@ -222,7 +224,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_rolling_zscore_anomaly",
     "a19_exact_mode",
     "ts_m4_downsample",
-    "st_session_eviction",
+    "ann_ivfpq_fullprobe_exact",
     # ---- the 7-query round-8 pool: every remaining never-evidenced
     # query earns its first driver row here ----
     "rb_setops_breadth",
@@ -245,8 +247,10 @@ _PRIORITY: tuple[str, ...] = (
     "sim_embed_quantize",
     "t_fuzzy_match_levenshtein",
     "ts_ewma_dyadic",
-    # artifact path changed by the r9 materialize-cache refactor
-    "cp_bm25_search",
+    # sf1-sweep scale fixes, also impl-changed this round: the null-safe
+    # join's per-key-count reduction and the IVF-PQ residual-table
+    # materialization (exact-twin output, param-independent)
+    "j7_null_safe_join",
 )
 # Rotated out for round 9 (all r8-green; their driver rows persist and
 # they stay exercised in driver_sim's EXTRA spot-check list):

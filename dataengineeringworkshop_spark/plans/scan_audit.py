@@ -67,6 +67,7 @@ CLEARED: dict[str, str] = {
     # corpus-built structure, or an exact branch verifies a sketch
     "sim_knn_classify": "labeled anchors vs unlabeled probes, two slices of embeddings",
     "sim_cosine_topk": "query slice vs corpus slice of the same embeddings table",
+    "sim_matryoshka_overlap": "query slice vs corpus slice (full + truncated ranks share one pass)",
     "sim_cosine_neardup": "blocked self-join: two slices of the same embeddings table",
     "sim_label_centroid_dist": "per-label centroid pass + distance pass (stats join-back)",
     "sim_power_iteration_pc1": "power iteration reads the gram-vector table per step",

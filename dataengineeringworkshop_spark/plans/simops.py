@@ -434,3 +434,155 @@ def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "embeddings")
     return spark.sql(_POWER_ITER_SPARK)
+
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    nrm AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                             AS DECIMAL(28,14))) AS DOUBLE) AS nrm_full,
+               CAST(SUM(CASE WHEN i <= 32 THEN
+                        CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                             AS DECIMAL(28,14)) END) AS DOUBLE) AS nrm_trunc
+        FROM ex GROUP BY vec_id
+    ),
+    qsel AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY {{kb}}, vec_id
+        LIMIT 16
+    ),
+    qx AS (SELECT vec_id AS qid, i, v FROM ex
+           WHERE vec_id IN (SELECT vec_id FROM qsel)),
+    dot AS (
+        SELECT qx.qid, ex.vec_id AS nid,
+               CAST(SUM(CAST(CAST(qx.v AS DOUBLE) * CAST(ex.v AS DOUBLE)
+                             AS DECIMAL(28,14))) AS DOUBLE) AS dot_full,
+               CAST(SUM(CASE WHEN qx.i <= 32 THEN
+                        CAST(CAST(qx.v AS DOUBLE) * CAST(ex.v AS DOUBLE)
+                             AS DECIMAL(28,14)) END) AS DOUBLE) AS dot_trunc
+        FROM qx JOIN ex ON qx.i = ex.i AND qx.qid <> ex.vec_id
+        GROUP BY qx.qid, ex.vec_id
+    ),
+    scored AS (
+        SELECT dot.qid AS query_id, dot.nid AS neighbor_id,
+               ROUND(dot.dot_full / sqrt(n1.nrm_full * n2.nrm_full), 6)
+                   AS cos_full,
+               ROUND(dot.dot_trunc / sqrt(n1.nrm_trunc * n2.nrm_trunc), 6)
+                   AS cos_trunc
+        FROM dot JOIN nrm n1 ON dot.qid = n1.vec_id
+                 JOIN nrm n2 ON dot.nid = n2.vec_id
+    ),
+    rk AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_full DESC, neighbor_id ASC)
+                   AS r_full,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_trunc DESC, neighbor_id ASC)
+                   AS r_trunc
+        FROM scored
+    )
+    SELECT query_id,
+           CAST(COUNT(CASE WHEN r_full <= 10 AND r_trunc <= 10 THEN 1 END)
+                AS BIGINT) AS n_overlap,
+           CAST(MIN(CASE WHEN r_trunc = 1 THEN neighbor_id END) AS BIGINT)
+               AS trunc_top1,
+           MIN(CASE WHEN r_trunc = 1 THEN cos_trunc END) AS trunc_top1_cosine
+    FROM rk GROUP BY query_id
+"""
+
+
+@query(
+    "sim_matryoshka_overlap",
+    oracle=_MATRYOSHKA_ORACLE.format(
+        kb=kbucket("CAST(vec_id AS BIGINT)", 1000000007)
+    ),
+    tags=("ext-sim", "matryoshka"),
+)
+def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding retrieval quality: rank the same 16-query
+    top-10 twice — once on the full 64-dim vectors, once on the FIRST
+    32 dims renormalized (the MRL truncation an embedding store uses to
+    cut serving cost 2x) — and report per-query top-10 overlap plus the
+    truncated top-1 neighbor.  The measurement every
+    matryoshka-deployment decision needs: how much recall does the
+    cheap prefix buy?
+
+    Determinism: both dot products and both norms fold in
+    DECIMAL(28,14) in ONE pair pass (the truncated sums are the same
+    fold with i <= 32 — prefix sums of the full fold's terms); ranks
+    order by the ROUNDed cosine with neighbor-id tiebreak per the
+    repo contract; the overlap count and top-1 id are integers.
+
+    Scale: the query set is fixed (|Q| = 16 by the portable kbucket
+    hash), so the pair space is O(|Q| x N) streamed once with the
+    broadcast query set — both rankings come out of the SAME single
+    pass (no second scan for the truncated variant), then two window
+    ranks over |Q| x N scored rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("nrm_full"),
+        F.expr(_DOT.format(
+            a="slice(embedding, 1, 32)", b="slice(embedding, 1, 32)"
+        )).alias("nrm_trunc"),
+    )
+    q = (
+        e.orderBy(
+            F.expr(kbucket("CAST(vec_id AS BIGINT)", 1000000007)),
+            F.col("vec_id"),
+        )
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm_full").alias("q_nrm_full"),
+            F.col("nrm_trunc").alias("q_nrm_trunc"),
+        )
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(_DOT.format(a="q_emb", b="embedding"))
+                / F.sqrt(F.col("q_nrm_full") * F.col("nrm_full")),
+                6,
+            ).alias("cos_full"),
+            F.round(
+                F.expr(_DOT.format(
+                    a="slice(q_emb, 1, 32)", b="slice(embedding, 1, 32)"
+                ))
+                / F.sqrt(F.col("q_nrm_trunc") * F.col("nrm_trunc")),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id").asc()
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("neighbor_id").asc()
+    )
+    rk = scored.select(
+        "query_id", "neighbor_id", "cos_trunc",
+        F.row_number().over(w_full).alias("r_full"),
+        F.row_number().over(w_trunc).alias("r_trunc"),
+    )
+    return rk.groupBy("query_id").agg(
+        F.count(
+            F.when((F.col("r_full") <= 10) & (F.col("r_trunc") <= 10), 1)
+        ).cast("long").alias("n_overlap"),
+        F.min(F.when(F.col("r_trunc") == 1, F.col("neighbor_id")))
+        .cast("long").alias("trunc_top1"),
+        F.min(F.when(F.col("r_trunc") == 1, F.col("cos_trunc")))
+        .alias("trunc_top1_cosine"),
+    )

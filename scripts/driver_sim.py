@@ -31,6 +31,7 @@ EXTRA = [
     "g4_posexplode_outer_breadth",
     "g5_explode_outer_map",
     "b_unpivot_sql_clause",
+    "sim_matryoshka_overlap",
     # r8-green rows rotated OUT of the r9 prefix — keep them exercised
     # so a regression is caught before the judge's spot-check
     "sd_semantic_dedup",
@@ -48,6 +49,8 @@ EXTRA = [
     "sim_cosine_topk",
     "vt_optimize_roundtrip",
     "st_stream_dedup",
+    "cp_bm25_search",
+    "st_session_eviction",
     # the full 28-query r7 backlog rotated OUT of the r8 prefix (all
     # first-time green in CORRECTNESS_r07) — keep them exercised so a
     # regression is caught before the judge's spot-check
@@ -66,7 +69,6 @@ EXTRA = [
     "cp_pack_fill_report",
     "rb_array_hof_breadth",
     "c5_recursive_cte_hierarchy",
-    "j7_null_safe_join",
     "j8_lateral_topk_per_region",
     "w9_sliding_event_windows",
     "w10_ignore_nulls_window_breadth",
@@ -112,7 +114,6 @@ EXTRA = [
     # so a regression is caught before the judge's spot-check
     "d_dedup_survivors",
     "ann_pq_fullrerank_exact",
-    "ann_ivfpq_fullprobe_exact",
     "tj_sessionize_sql_script",
     "f13_size_split",
     "t_text_stats",
