@@ -39,12 +39,16 @@ _CACHE: dict[str, str] = {}
 #: EVERY call (~0.1-0.2 s per artifact on this VM) — for a memoized
 #: artifact consulted by a hot query that open cost dominates once the
 #: compute is cached away.  DataFrames are immutable plans, so reusing
-#: one across calls within the same session is sound.  Keyed by a WEAK
-#: reference to the session object: entries evict when the session is
-#: garbage-collected (no process-lifetime pinning of JVM state), and a
-#: new session never inherits a dead session's plans even if Python
-#: reuses the old object's id().  A stopped-but-live session is further
-#: guarded by an explicit liveness check at lookup time.
+#: one across calls within the same session is sound.  Keyed by the
+#: session object (weak-keyed dict) so a new session never inherits a
+#: dead session's plans even if Python reuses the old object's id().
+#: NOTE the weak keys alone cannot evict anything here: every cached
+#: DataFrame holds a strong reference back to its session
+#: (``DataFrame._session``), so the value dict keeps its own key alive.
+#: Eviction is therefore EAGER — ``_purge_inactive_sessions()`` drops
+#: every stopped session's entries on each cache-path ``materialize()``
+#: call — and a stopped-but-unpurged session is additionally refused at
+#: lookup time by ``_session_is_active``.
 _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
@@ -60,6 +64,17 @@ def _session_is_active(spark: "SparkSession") -> bool:
         return spark.sparkContext._jsc is not None  # noqa: SLF001
     except Exception:
         return False
+
+
+def _purge_inactive_sessions() -> None:
+    """Evict cache entries whose session has been stopped.
+
+    Must be eager (not GC-driven): the cached DataFrames reference
+    their session, so a stopped session would otherwise stay pinned —
+    plans, JVM handles and all — for process lifetime.  The dict holds
+    O(live sessions) keys, so the scan is trivial per call."""
+    for sess in [s for s in _DF_CACHE if not _session_is_active(s)]:
+        _DF_CACHE.pop(sess, None)
 
 
 def _cleanup() -> None:
@@ -90,6 +105,7 @@ def materialize(
     spark = df.sparkSession
     session_cache: dict[str, DataFrame] | None = None
     if cache_key is not None and _session_is_active(spark):
+        _purge_inactive_sessions()
         session_cache = _DF_CACHE.setdefault(spark, {})
         hit = session_cache.get(cache_key)
         if hit is not None:

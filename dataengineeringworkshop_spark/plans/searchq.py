@@ -464,6 +464,13 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles); all arithmetic is single-rounding IEEE ops on identical
     operand trees, and the SSE accumulates in DECIMAL(28,14) — exact,
     so fold order is irrelevant.
+
+    NULL/empty-vector contract (ADVICE r9): the oracle's relational
+    unnest form emits NO row for a NULL or zero-length embedding; the
+    pure-map form would emit an (n_dims=0, NULL min/max) row for it, so
+    the scan filters those vectors out explicitly to keep the output
+    row set identical.  The generator never produces them today — the
+    guard pins the contract against future data.
     """
     register_views(spark, sf_dir, "embeddings")
     return spark.sql(
@@ -476,6 +483,7 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - array_min(transform(embedding, x -> CAST(x AS DOUBLE))))
                        / CAST(255 AS DOUBLE) AS scale
             FROM dew_embeddings
+            WHERE embedding IS NOT NULL AND size(embedding) > 0
         ),
         q AS (
             SELECT vec_id, v, mn, scale,

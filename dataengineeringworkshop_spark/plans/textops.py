@@ -1138,13 +1138,29 @@ FROM (
 
 def _rake_combined_oracle(tok_cte: str, phrase_agg: str) -> str:
     """Single-statement PW+SCORE twin for the DuckDB oracle (DuckDB
-    evaluates each CTE once, so the combined form is fine there)."""
-    pw_part = _RAKE_PW_BODY.format(tok_cte=tok_cte, stops=_RAKE_STOPS).replace(
-        ")\nSELECT doc_id, phrase_id, pos, wd FROM seg WHERE is_stop = 0",
+    evaluates each CTE once, so the combined form is fine there).
+
+    Both rewrites below are exact-substring surgery on the shared
+    template bodies; a silent no-op (e.g. after a whitespace reformat
+    of the template) would produce malformed SQL that only fails at
+    sweep time, so each replacement is ASSERTED to have landed — the
+    failure then happens loudly at import time (ADVICE r9)."""
+    pw_src = _RAKE_PW_BODY.format(tok_cte=tok_cte, stops=_RAKE_STOPS)
+    pw_tail = ")\nSELECT doc_id, phrase_id, pos, wd FROM seg WHERE is_stop = 0"
+    assert pw_tail in pw_src, "_RAKE_PW_BODY tail drifted; fix the rewrite"
+    pw_part = pw_src.replace(
+        pw_tail,
         "),\npw AS (\n    SELECT doc_id, phrase_id, pos, wd "
         "FROM seg WHERE is_stop = 0\n)",
     )
+    assert "pw AS (" in pw_part
+    assert _RAKE_SCORE_BODY.startswith(
+        "\nWITH plen AS ("
+    ) or _RAKE_SCORE_BODY.startswith(
+        "WITH plen AS ("
+    ), "_RAKE_SCORE_BODY head drifted; fix the rewrite"
     score_part = _RAKE_SCORE_BODY.replace("WITH plen AS (", ", plen AS (", 1)
+    assert ", plen AS (" in score_part
     return pw_part + score_part.format(pw="pw", phrase_agg=phrase_agg)
 
 

@@ -83,16 +83,29 @@ def test_materialize_no_key_never_caches(spark, docs):
     assert _path(a) != _path(b)
 
 
-def test_df_cache_keeps_sessions_weakly(spark, docs):
-    """The opened-DataFrame cache must not pin sessions for process
-    lifetime: its keys are weak session references (ADVICE r8)."""
-    import weakref
+def test_df_cache_evicts_stopped_sessions(spark, docs):
+    """The opened-DataFrame cache must not pin stopped sessions for
+    process lifetime (ADVICE r8/r9).  Weak keys alone cannot evict —
+    cached DataFrames hold a strong reference back to their session —
+    so eviction is eager: the next cache-path materialize() purges
+    every entry whose session fails the liveness check."""
 
     from dataengineeringworkshop_spark.operators import materialize as mat
 
-    assert isinstance(mat._DF_CACHE, weakref.WeakKeyDictionary)
+    class _StoppedSession:
+        """Mimics a session whose SparkContext was stopped."""
+
+        @property
+        def sparkContext(self):  # noqa: D401 - property raises like a dead JVM handle
+            raise RuntimeError("SparkContext was shut down")
+
+    stopped = _StoppedSession()
+    mat._DF_CACHE[stopped] = {"k": None}
+    assert stopped in mat._DF_CACHE
+
     mat.materialize(docs, "t", cache_key=f"{_ns()}:weak")
-    assert spark in mat._DF_CACHE
+    assert stopped not in mat._DF_CACHE  # purged eagerly on the call
+    assert spark in mat._DF_CACHE  # live session entry survives
 
 
 # ---------------------------------------------------------------------------

@@ -587,3 +587,64 @@ def test_dlt_magic_line_inside_literal_survives(tmp_path):
     )
     p = pipeline_from_sql("mgl", str(tmp_path / "pl"), script)
     assert p.datasets["t"].comment == "notes:\n-- MAGIC demo"
+
+
+def test_embed_quantize_drops_null_and_empty_vectors(spark, tmp_path):
+    """sim_embed_quantize's pure-map form must match the oracle's
+    relational (unnest) form on NULL/empty embeddings: unnest emits no
+    row for them, so the Spark plan filters them out rather than
+    emitting an (n_dims=0, NULL min/max) row (ADVICE r9)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from dataengineeringworkshop_spark.plans.searchq import sim_embed_quantize
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    rows = [
+        (1, [0.0, 1.0, 2.0, 3.0], 0),
+        (2, None, 0),
+        (3, [], 0),
+    ]
+    sf_dir = str(tmp_path / "sf_tiny")
+    spark.createDataFrame(rows, schema).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    out = sim_embed_quantize(spark, sf_dir).collect()
+    assert [r.vec_id for r in out] == [1]
+    assert out[0].n_dims == 4 and out[0].q_min == 0 and out[0].q_max == 255
+    assert out[0].sse == 0.0  # 4 points quantize exactly onto 0..255
+
+
+def test_rake_combined_oracle_asserts_surgery_landed():
+    """The RAKE combined oracle is assembled by exact-substring surgery
+    on shared template bodies; the assembly must both succeed today and
+    fail LOUDLY (assert) if the templates drift (ADVICE r9)."""
+    from dataengineeringworkshop_spark.plans import textops
+
+    good = textops._rake_combined_oracle(
+        tok_cte="SELECT doc_id, 1 AS pos, 'w' AS wd FROM documents",
+        phrase_agg="string_agg(wd, ' ' ORDER BY pos)",
+    )
+    assert "pw AS (" in good and ", plen AS (" in good
+
+    original = textops._RAKE_PW_BODY
+    try:
+        textops._RAKE_PW_BODY = original.replace("FROM seg", "FROM  seg")
+        with pytest.raises(AssertionError, match="drifted"):
+            textops._rake_combined_oracle(
+                tok_cte="SELECT doc_id, 1 AS pos, 'w' AS wd FROM documents",
+                phrase_agg="string_agg(wd, ' ' ORDER BY pos)",
+            )
+    finally:
+        textops._RAKE_PW_BODY = original
