@@ -154,34 +154,30 @@ DRIVER_PREFIX = 50
 # singleton family that was green in r1–r3 keeps its cumulative evidence;
 # tests/test_registry_order.py enforces prefix ∪ past-green coverage).
 # All 50 rows are oracle-paired — no rows-only slots in the window.
-# Round-9 composition: flagship + 21 live family anchors (unchanged
-# from r8) + the 12-query round-7 pool retained for second rows (a
-# regression in any of them is caught the same round; several also
-# re-prove the round-9 materialize-cache refactor through their
-# artifact paths) + the ENTIRE 7-query round-8 pool (rb_setops,
-# pl_event_log_audit — the reference's N3 audit SQL run verbatim —
-# a20 HLL bounds, a21 weighted median, w13 value-range window with its
-# round-9 higher-cardinality partition fix, g3 stack/inline, o5 null
-# ordering; each pre-proven in driver_sim EXTRA since r8 and swept at
+# Round-10 composition: flagship + 21 live family anchors (unchanged
+# from r8/r9) + the 12-query round-7 pool retained for second rows + the
+# 7-query round-8 pool retained for second rows (all first-time green in
+# CORRECTNESS_r09) + the ENTIRE 4-query round-9 pool — the whole
+# remaining never-evidenced backlog: g4_posexplode_outer_breadth and
+# g5_explode_outer_map (outer-generator null preservation, the explode
+# semantics the r8 verdict asked for; reference shape
+# `2 Medaillon architecture.py:383-394`), b_unpivot_sql_clause (UNPIVOT
+# INCLUDE NULLS), sim_matryoshka_overlap (truncated-embedding retrieval
+# quality); each pre-proven in driver_sim EXTRA since r9 and swept at
 # sf0.1/sf1/hostile — green window ⇒ cumulative driver evidence hits
-# 234/234 oracle-paired, zero backlog) + 9 re-proof slots.  The re-proof
-# slots are spent on queries whose IMPLEMENTATION changed THIS round —
-# the eight round-9 scan-audit fixes (prof_column_stats single-pass,
-# t_rake_keywords / t_fuzzy_match_levenshtein / cp_mix_temperature /
-# cp_source_mix / e_mad_outliers materialized intermediates,
-# sim_embed_quantize array-HOF rewrite, ts_ewma_dyadic window-count) —
-# plus the two sf1-sweep scale fixes (j7_null_safe_join per-key-count
-# reduction, ann_ivfpq_fullprobe_exact residual materialization; the
-# latter takes st_session_eviction's second-row slot in the r7-pool
-# section).  Rotated out (all r8-green, to driver_sim EXTRA):
-# sd_semantic_dedup, w1_dedup_keep_latest, d_exact_dedup_keep_first,
-# tj_asof_click_view, j2_three_way_inner, vt_history_time_travel,
-# mm_audio_features, t_tfidf_topk, ws_medallion_gold,
-# a17_exact_median_twopass, a12_corr_covar, sh_simhash_dup_pairs,
-# sim_cosine_topk, vt_optimize_roundtrip, st_stream_dedup,
-# cp_bm25_search, st_session_eviction.  New round-9 surface
-# (unpivot/melt, explode_outer breadth) is added BEHIND the rotation
-# and pre-proven in driver_sim EXTRA — the same discipline as r7/r8.
+# 238/238 oracle-paired queries, ZERO backlog for the first time — + 5
+# re-proof slots.  One re-proof is spent on the query whose
+# IMPLEMENTATION changed THIS round (sim_embed_quantize: ADVICE-r9
+# NULL/empty-embedding guard added to the scan); the other four
+# (e_mad_outliers, t_fuzzy_match_levenshtein, ts_ewma_dyadic,
+# j7_null_safe_join) are the youngest r9 fixes kept for a second
+# consecutive green row.  Rotated out (all r9-green, to driver_sim
+# EXTRA): prof_column_stats, t_rake_keywords (its combined-oracle
+# assembly gained loud asserts this round but the emitted SQL is
+# byte-identical — verified by hash), cp_mix_temperature,
+# cp_source_mix.  New round-10 surface (SQL LATERAL clause,
+# stream-stream outer join with watermark) is added BEHIND the rotation
+# and pre-proven in driver_sim EXTRA — the same discipline as r7-r9.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
     # §2 breadth composites (family anchors)
@@ -225,8 +221,8 @@ _PRIORITY: tuple[str, ...] = (
     "a19_exact_mode",
     "ts_m4_downsample",
     "ann_ivfpq_fullprobe_exact",
-    # ---- the 7-query round-8 pool: every remaining never-evidenced
-    # query earns its first driver row here ----
+    # ---- the 7-query round-8 pool (second rows, first-time green in
+    # CORRECTNESS_r09) ----
     "rb_setops_breadth",
     "pl_event_log_audit",
     "a20_hll_distinct_bounds",
@@ -234,24 +230,28 @@ _PRIORITY: tuple[str, ...] = (
     "w13_value_range_window",
     "g3_stack_inline_breadth",
     "o5_null_ordering_breadth",
-    # ---- 9 re-proof slots ----
-    # implementation changed THIS round (the round-9 scan-audit fixes:
-    # single-pass profile, materialized RAKE/FastSS/doc-sizes/MAD
-    # artifacts, array-HOF quantization, window-count EWMA) — each
-    # needs a driver row AFTER its change per the rotation discipline
-    "prof_column_stats",
-    "t_rake_keywords",
-    "cp_mix_temperature",
-    "cp_source_mix",
-    "e_mad_outliers",
+    # ---- the 4-query round-9 pool: every remaining never-evidenced
+    # query earns its first driver row here (⇒ 238/238 cumulative) ----
+    "g4_posexplode_outer_breadth",
+    "g5_explode_outer_map",
+    "b_unpivot_sql_clause",
+    "sim_matryoshka_overlap",
+    # ---- 5 re-proof slots ----
+    # implementation changed THIS round: the ADVICE-r9 NULL/empty-
+    # embedding guard added to sim_embed_quantize's scan — it needs a
+    # driver row AFTER the change per the rotation discipline
     "sim_embed_quantize",
+    # youngest round-9 fixes kept for a second consecutive green row
+    # (materialized MAD/fuzzy artifacts, window-count EWMA, the
+    # null-safe join's per-key-count reduction)
+    "e_mad_outliers",
     "t_fuzzy_match_levenshtein",
     "ts_ewma_dyadic",
-    # sf1-sweep scale fixes, also impl-changed this round: the null-safe
-    # join's per-key-count reduction and the IVF-PQ residual-table
-    # materialization (exact-twin output, param-independent)
     "j7_null_safe_join",
 )
+# Rotated out for round 10 (all r9-green; their driver rows persist and
+# they stay exercised in driver_sim's EXTRA spot-check list):
+# prof_column_stats, t_rake_keywords, cp_mix_temperature, cp_source_mix.
 # Rotated out for round 9 (all r8-green; their driver rows persist and
 # they stay exercised in driver_sim's EXTRA spot-check list):
 # sd_semantic_dedup, w1_dedup_keep_latest, d_exact_dedup_keep_first,
