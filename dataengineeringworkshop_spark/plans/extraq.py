@@ -966,6 +966,66 @@ def j8_lateral_topk_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared OUTER-LATERAL body (Spark 4 and DuckDB parse it identically;
+# only the day-to-string expression is dialect-formatted — a raw
+# date/timestamp output canonicalizes differently in pandas).  The
+# correlated subquery is EMPTY for ~20% of customers at every SF
+# (per-customer order count is SF-invariant, so the urgent+price
+# filter's per-customer hit rate is too) — the row set proves LEFT JOIN
+# LATERAL's null-extension, not just the inner form j8 already covers.
+_OUTER_LATERAL_BODY = """
+    SELECT c.c_custkey, t.o_orderkey, t.order_day, t.price_cents
+    FROM {customer} c
+    LEFT JOIN LATERAL (
+        SELECT o.o_orderkey,
+               {dayexpr} AS order_day,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_totalprice >= 150000.0
+        ORDER BY o.o_orderdate DESC, o.o_orderkey ASC
+        LIMIT 2
+    ) t ON TRUE
+"""
+
+
+@query(
+    "j10_left_join_lateral",
+    oracle=_OUTER_LATERAL_BODY.format(
+        customer="customer",
+        orders="orders",
+        dayexpr="strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d')",
+    ),
+    tags=("extra", "J1", "J5", "O4"),
+)
+def j10_left_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER JOIN LATERAL — "each customer's 2 most recent big
+    urgent orders, keeping customers with none" — the null-extending
+    lateral form (j8_lateral_topk_per_region covers the inner form).
+    Same body text in both engines; an order-less customer contributes
+    one NULL-extended row, exactly SQL-standard outer-lateral
+    semantics.
+
+    Scale shape: Catalyst DECORRELATES the lateral — the per-customer
+    top-2 becomes a WindowGroupLimit pair (Partial BEFORE the shuffle:
+    each map task keeps ≤2 orders per customer, so the exchange carries
+    the top-k candidates, not every urgent order) and the outer join is
+    a plain LeftOuter equi-join on c_custkey, broadcast-able when the
+    filtered side is small — never a re-executed subquery per customer.
+    Determinism: (o_orderdate DESC, o_orderkey ASC) is a unique order;
+    price emitted as FLOOR-cents (2-decimal doubles, IEEE-identical);
+    the >= 150000.0 threshold compares exactly in both engines."""
+    return _sql(
+        spark, sf_dir, ("customer", "orders"),
+        _OUTER_LATERAL_BODY.format(
+            customer="dew_customer",
+            orders="dew_orders",
+            dayexpr="date_format(o.o_orderdate, 'yyyy-MM-dd')",
+        ),
+    )
+
+
 @query(
     "w10_ignore_nulls_window_breadth",
     oracle="""

@@ -261,6 +261,112 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_stream_stream_outer_join",
+    # matched part = the inner interval join; NULL-extended clicks are
+    # the ones the final watermark EVICTED from join state unmatched.
+    # Eviction is µs-exact and empirically pinned (see docstring):
+    # emit iff ceil((c_us + 10min)/1ms) < wm_ms, with wm_ms =
+    # min(floor(max_click_us/1000), floor(max_purchase_us/1000)) - 1h.
+    # Ceil via (x + 999) // 1000 (operands non-negative); an inclusive
+    # or ms-floored rule would misclassify sub-ms boundary clicks —
+    # tested at ±1 µs / ±1 ms around the boundary in
+    # tests/test_streaming_ext.py.
+    oracle="""
+        WITH c AS (
+            SELECT event_id, user_id, epoch_us(ts) AS t
+            FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+        ),
+        p AS (
+            SELECT event_id, user_id, epoch_us(ts) AS t
+            FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        ),
+        wm AS (
+            SELECT LEAST((SELECT MAX(t) // 1000 FROM c),
+                         (SELECT MAX(t) // 1000 FROM p)) - 3600000 AS wm_ms
+        )
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.user_id AS user_id,
+               CAST(p.t - c.t AS BIGINT) AS gap_us
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.t >= c.t AND p.t - c.t <= 600000000
+        UNION ALL
+        SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id,
+               CAST(NULL AS BIGINT)
+        FROM c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM p
+                          WHERE p.user_id = c.user_id
+                            AND p.t >= c.t AND p.t - c.t <= 600000000)
+          AND (c.t + 600000999) // 1000 < wm.wm_ms
+    """,
+    tags=("ext-streaming", "ext-temporal", "ST-join"),
+)
+def st_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — click→purchase
+    attribution that also EMITS the unconverted clicks (the semantics
+    users get wrong: a left-outer stream join cannot emit a NULL row
+    when the click arrives, only when the watermark PROVES no purchase
+    can still match, i.e. at state eviction).  Same two watermarked
+    sources and join condition as ``st_stream_stream_join``; the trailing
+    no-data micro-batch advances the watermark to its final value and
+    flushes every never-matched click whose match window closed.
+
+    The oracle reproduces the eviction boundary exactly, calibrated by
+    synthetic boundary probes (clicks planted at −1 ms/−1 µs/0/+1 µs/
+    +999 µs/+1 ms around the threshold): a click is flushed iff
+    ``ceil((c_us + 10 min)/1 ms) < wm_ms`` where each side's watermark
+    is ``floor(max_event_us/1000) − 1 h`` and the global watermark is
+    their MIN.  Clicks inside the final watermark horizon stay in state
+    (correct streaming behavior — a purchase could still arrive) and
+    are excluded by the same rule.
+
+    Scale: identical state-bound story to the inner variant — join
+    state is (watermark + interval) × per-side arrival rate keyed by
+    user_id, evicted continuously; RocksDB-backed on a cluster.  The
+    outer emission adds no state: unmatched rows flush from the same
+    keyed store the join already maintains."""
+    def _side(event_type: str, id_alias: str, user: str, ts: str):
+        return (
+            _events_stream(spark, sf_dir)
+            .filter((F.col("event_type") == event_type) & F.col("ts").isNotNull())
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user),
+                F.col("ts").alias(ts),
+            )
+            .withWatermark(ts, "1 hour")
+        )
+
+    clicks = _side("click", "click_id", "c_user", "c_ts")
+    purchases = _side("purchase", "purchase_id", "p_user", "p_ts")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("c_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+    name = f"st_ssoj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dew_st_ssoj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
     "st_apply_changes_latest",
     oracle="""
         SELECT user_id, event_id, event_type, value FROM (

@@ -25,6 +25,11 @@ TABLES = (
 # resolved from registry.DRIVER_PREFIX inside main() (importable only
 # after __spark_entry__ has put the repo on sys.path)
 EXTRA = [
+    # round-10 additions not yet in the evidence prefix (r11 rotation
+    # pool) — exercised here so they arrive at their rotation already
+    # proven
+    "j10_left_join_lateral",
+    "st_stream_stream_outer_join",
     # r9-green rows rotated OUT of the r10 prefix (their slots went to
     # the round-9 pool's first-time rows) — keep them exercised so a
     # regression is caught before the judge's spot-check

@@ -750,3 +750,71 @@ def test_session_tracker_correct_across_real_arrow_chunks(spark, tmp_path):
         assert got == want, (got ^ want, len(got), len(want))
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+
+
+def test_stream_stream_outer_join_eviction_boundary(spark, tmp_path):
+    """Pins the left-outer stream-stream join's unmatched-emission rule
+    that st_stream_stream_outer_join's oracle reproduces: a never-
+    matched click flushes iff ceil((c_us + 10 min)/1 ms) < wm_ms, with
+    wm_ms = min over sides of floor(max_event_us/1000) - 1 h.  Clicks
+    planted at -1 ms / -1 us / 0 / +1 us / +999 us / +1 ms around the
+    boundary prove both the strictness and the us->ms ceil."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    BASE = 1_700_000_000_000_000  # whole-ms epoch µs
+    H_US = 3_600_000_000
+    PMAX = BASE + 10 * H_US  # purchase side max == global watermark anchor
+    CMAX = BASE + 20 * H_US  # click side max far ahead => min() picks purchases
+    wm_ms = PMAX // 1000 - 3_600_000
+    bnd_us = (wm_ms - 600_000) * 1000  # c_us where c+10min lands ON wm_ms
+    rows = [
+        (1, 999, "purchase", PMAX),
+        (2, 998, "click", CMAX),
+        (10, 1, "click", bnd_us - 1000),  # -1 ms: flushed
+        (11, 2, "click", bnd_us),         # exact tie: held in state
+        (12, 3, "click", bnd_us + 1000),  # +1 ms: held
+        (13, 4, "click", bnd_us + 1),     # +1 µs: held (ceil, not floor)
+        (14, 5, "click", bnd_us + 999),   # +999 µs: held
+        (15, 6, "click", bnd_us - 1),     # -1 µs: held (ceil, not floor)
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+
+    from dataengineeringworkshop_spark.plans.streamq import (
+        st_stream_stream_outer_join,
+    )
+
+    out = st_stream_stream_outer_join(spark, str(tmp_path))
+    flushed = sorted(
+        r.click_id for r in out.filter("purchase_id IS NULL").collect()
+    )
+    assert flushed == [10], flushed
+
+    # and the oracle SQL reproduces the same set on the same parquet
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    from dataengineeringworkshop_spark.plans.registry import load_all
+
+    oracle = load_all()["st_stream_stream_outer_join"].oracle
+    got = sorted(
+        r[0]
+        for r in con.execute(oracle).fetchall()
+        if r[1] is None
+    )
+    assert got == [10], got
