@@ -87,3 +87,66 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """The same per-user accumulator through Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API
+    (StatefulProcessor + typed state handles + timers) that replaces
+    ``applyInPandasWithState``.  Semantics contract is identical to
+    :func:`running_user_totals`: exact integer-cents accumulation in
+    ValueState, division to double only at emit, so output equals the
+    batch DECIMAL(18,2) aggregate bit-for-bit under any micro-batching.
+
+    ENVIRONMENT SEAM: the TWS state-server protocol needs
+    ``google.protobuf`` on the Python workers, which this container
+    lacks (pip has no network route — same class as the delta-spark
+    seam, retried and logged per round in PROGRESS.jsonl).  The
+    operator raises ImportError eagerly when protobuf is absent;
+    tests/test_streaming_ext.py exercises it under
+    ``pytest.importorskip`` so it activates the moment the dependency
+    exists.  Also requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — set by the
+    caller, since provider choice is a session-level deployment
+    decision."""
+    import google.protobuf  # noqa: F401  - eager seam check (see docstring)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                "n_events BIGINT, total_cents BIGINT, last_event_id BIGINT",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, cents, last_id = self._state.get()
+            else:
+                n, cents, last_id = 0, 0, -1
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value"].mul(100).round().sum())
+                last_id = max(last_id, int(pdf["event_id"].max()))
+            self._state.update((n, cents, last_id))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                    "last_event_id": [last_id],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -818,3 +818,70 @@ def test_stream_stream_outer_join_eviction_boundary(spark, tmp_path):
         if r[1] is None
     )
     assert got == [10], got
+
+
+def test_transform_with_state_totals_matches_batch(spark, tmp_path):
+    """running_user_totals_tws (the Spark 4 transformWithStateInPandas
+    successor API) must equal the batch per-user aggregate, like its
+    applyInPandasWithState twin.  Skips when google.protobuf is absent
+    (the TWS state-server protocol needs it; this container's pip has
+    no network route — the skip IS the documented environment seam,
+    exactly like delta-spark's)."""
+    pytest.importorskip("google.protobuf")
+    import tempfile
+    import uuid
+
+    from dataengineeringworkshop_spark.plans.streamq import _events_stream
+    from dataengineeringworkshop_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _events_stream(spark, sf).select("user_id", "event_id", "value")
+        out = running_user_totals_tws(stream)
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dew_tws_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from pyspark.sql import Window
+
+        t = spark.table(name)
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        got = {
+            (r.user_id, r.n_events, r.total_value, r.last_event_id)
+            for r in t.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+            .collect()
+        }
+        want = {
+            (r.user_id, r.n_events, r.total_value, r.last_event_id)
+            for r in spark.read.parquet(f"{sf}/events.parquet")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                (
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                ).alias("total_value"),
+                F.max("event_id").alias("last_event_id"),
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
