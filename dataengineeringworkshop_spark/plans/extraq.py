@@ -984,10 +984,17 @@ _OUTER_LATERAL_BODY = """
         WHERE o.o_custkey = c.c_custkey
           AND o.o_orderpriority = '1-URGENT'
           AND o.o_totalprice >= 150000.0
-        ORDER BY o.o_orderdate DESC, o.o_orderkey ASC
+        ORDER BY order_day DESC, o.o_orderkey ASC
         LIMIT 2
     ) t ON TRUE
 """
+# ^ ORDER BY the SELECTED order_day alias, not raw o_orderdate: ordering
+# a lateral subquery by a column absent from its SELECT list makes
+# Catalyst keep a GLOBAL range sort and skip the WindowGroupLimit
+# rewrite (measured: rangepartitioning exchange + full Window).  The
+# ISO yyyy-MM-dd string orders identically to the date-granular
+# timestamp (asserted data-wide: every o_orderdate is midnight), and
+# tests/test_plan_quality.py pins the WindowGroupLimit plan.
 
 
 @query(

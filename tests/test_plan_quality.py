@@ -911,3 +911,19 @@ def test_full_registry_scan_audit_is_clean(spark):
     stale = sorted(set(CLEARED) - set(flagged))
     assert not new, f"NEW multi-scan plans needing audit: {new}"
     assert not stale, f"stale clearances: {stale}"
+
+
+def test_left_join_lateral_decorrelated_with_partial_topk(spark, registry):
+    """j10_left_join_lateral must stay DECORRELATED: the per-customer
+    top-2 runs as a WindowGroupLimit pair with the Partial stage BEFORE
+    the exchange (each map task forwards at most 2 orders per customer),
+    the outer join survives as a single LeftOuter hash join, and each
+    table is scanned exactly once — never a re-executed subquery per
+    outer row."""
+    plan = _plan(registry["j10_left_join_lateral"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert plan.count("customer.parquet") == 1, plan.count("customer.parquet")
+    assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
+    assert "WindowGroupLimit" in ops, ops
+    assert ", Partial" in plan, "map-side partial top-k missing"
+    assert "LeftOuter" in plan, "outer lateral must stay an outer join"
