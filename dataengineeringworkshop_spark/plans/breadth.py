@@ -305,6 +305,64 @@ def rb_json_funcs_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f19_variant_type_breadth",
+    oracle="""
+        WITH v AS (
+            SELECT event_id, props,
+                   '{"a":' || CAST(event_id % 100 AS VARCHAR)
+                       || ',"b":{"c":"' || event_type || '"},"arr":[1,'
+                       || CAST(user_id % 10 AS VARCHAR) || ']}' AS composed
+            FROM events
+        )
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               json_extract_string(composed, '$.b.c') AS c,
+               CAST(json_extract(composed, '$.arr[1]') AS BIGINT) AS arr1,
+               CAST(NULL AS BIGINT) AS missing,
+               'OBJECT<k: BIGINT>' AS vschema
+        FROM v
+    """,
+    tags=("F14", "F16", "F18", "variant"),
+)
+def f19_variant_type_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type family: parse_json into the shredded binary
+    VARIANT, typed path extraction with variant_get (top-level key,
+    nested object path, array index), try_variant_get's NULL on a
+    missing path, and schema_of_variant's inferred type string.  The
+    nested/array paths run against a JSON composed deterministically
+    from (event_id, event_type, user_id) so both engines parse
+    identical documents; the oracle re-extracts with DuckDB's JSON
+    operators and pins schema inference as the literal it must infer.
+
+    VARIANT is the 100 TB answer to semi-structured columns: parsed
+    once into a binary encoding, path access without re-parsing, and
+    (on storage that supports it) shredded stats for pushdown — versus
+    get_json_object re-parsing the string per call
+    (rb_json_funcs_breadth covers that legacy family).  Pure map, one
+    scan, no shuffle."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH v AS (
+            SELECT event_id, props,
+                   parse_json(concat('{"a":', CAST(event_id % 100 AS STRING),
+                       ',"b":{"c":"', event_type, '"},"arr":[1,',
+                       CAST(user_id % 10 AS STRING), ']}')) AS composed
+            FROM dew_events
+        )
+        SELECT event_id,
+               variant_get(parse_json(props), '$.k', 'bigint') AS k,
+               variant_get(composed, '$.b.c', 'string') AS c,
+               variant_get(composed, '$.arr[1]', 'bigint') AS arr1,
+               try_variant_get(parse_json(props), '$.missing', 'bigint')
+                   AS missing,
+               schema_of_variant(parse_json(props)) AS vschema
+        FROM v
+        """
+    )
+
+
+@query(
     "rb_explode_breadth",
     oracle="""
         WITH tok AS (
