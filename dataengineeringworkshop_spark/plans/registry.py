@@ -175,9 +175,10 @@ DRIVER_PREFIX = 50
 # EXTRA): prof_column_stats, t_rake_keywords (its combined-oracle
 # assembly gained loud asserts this round but the emitted SQL is
 # byte-identical — verified by hash), cp_mix_temperature,
-# cp_source_mix.  New round-10 surface (SQL LATERAL clause,
-# stream-stream outer join with watermark) is added BEHIND the rotation
-# and pre-proven in driver_sim EXTRA — the same discipline as r7-r9.
+# cp_source_mix.  New round-10 surface (LEFT JOIN LATERAL, stream-
+# stream outer join with watermark eviction, VARIANT type breadth) is
+# added BEHIND the rotation and pre-proven in driver_sim EXTRA — the
+# same discipline as r7-r9.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
     # §2 breadth composites (family anchors)
