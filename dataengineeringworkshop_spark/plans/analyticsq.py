@@ -807,3 +807,55 @@ def a21_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same collapse that makes a19's mode window near-free."""
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_WMEDIAN_BODY.format(lineitem="dew_lineitem"))
+
+
+@query(
+    "a22_listagg_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+                   AS prios_asc,
+               string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority DESC)
+                   AS prios_desc,
+               COUNT(DISTINCT o_orderpriority) AS n_prios
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("ext-analytics", "A4", "listagg"),
+)
+def a22_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 ``listagg`` (new in Spark 4.0) with the two modifiers
+    users actually combine: DISTINCT collapse plus a deterministic
+    ``WITHIN GROUP (ORDER BY …)`` — ascending with one delimiter,
+    descending with another — against DuckDB's equivalent
+    ``string_agg(DISTINCT … ORDER BY …)``.  Determinism contract:
+    string aggregation is only order-stable with an explicit WITHIN
+    GROUP order on the DISTINCT expression itself, which both engines
+    enforce; NULL inputs are skipped by both.  Planner-bug workaround,
+    pinned in tests/test_listagg_shapes.py: TWO ``listagg(DISTINCT …)``
+    aggregates with DIFFERENT WITHIN GROUP orders in one Aggregate trip
+    a Spark 4.1 ClassCastException (AttributeReference → SortOrder in
+    RewriteDistinctAggregates), so the asc leg runs as a plain listagg
+    over a pre-collapsed DISTINCT CTE and only the desc leg uses the
+    DISTINCT form — same semantics, one Aggregate, no double scan.
+    Scale note: listagg over an UNBOUNDED group is an anti-pattern at
+    100 TB (one string cell absorbs the group); this row aggregates a
+    low-cardinality DISTINCT domain (5 priorities), the shape that
+    stays safe — the DISTINCT collapse runs partial before the
+    shuffle."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH d AS (SELECT DISTINCT o_orderstatus, o_orderpriority
+                   FROM dew_orders
+                   WHERE o_orderpriority IS NOT NULL)
+        SELECT o_orderstatus,
+               listagg(o_orderpriority, '|')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS prios_asc,
+               listagg(DISTINCT o_orderpriority, ',')
+                   WITHIN GROUP (ORDER BY o_orderpriority DESC) AS prios_desc,
+               COUNT(*) AS n_prios
+        FROM d
+        GROUP BY o_orderstatus
+        """
+    )

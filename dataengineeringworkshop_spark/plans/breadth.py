@@ -666,3 +666,144 @@ def rb_setops_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     for br in branches[1:]:
         out = out.unionByName(br)
     return out
+
+
+@query(
+    "rb_group_by_all_breadth",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST((o_totalprice) AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    tags=("breadth", "A6", "group-by-all"),
+)
+def rb_group_by_all_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` — the SQL text is IDENTICAL
+    in Spark (3.4+/4.x) and DuckDB, which both resolve ALL to the
+    non-aggregate select-list columns (group) and the full select list
+    (order).  The one engine-twin row in the registry where the Spark
+    query and the oracle are byte-for-byte the same statement.  Scale:
+    compiles to exactly the explicit-column plan (one partial-agg
+    shuffle on the two group columns); ALL is pure resolution sugar,
+    so nothing changes at 100 TB versus spelling the columns out."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST((o_totalprice) AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
+        FROM dew_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "f20_try_arith_breadth",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 3 = 0 THEN NULL
+                    ELSE o_totalprice / CAST(o_custkey % 3 AS DOUBLE) END AS safe_ratio,
+               o_orderkey + 1000000 AS add_ok,
+               CASE WHEN o_orderkey <= 0 THEN 9223372036854775807 + o_orderkey
+                    ELSE NULL END AS add_overflow,
+               CAST(CASE WHEN CAST(o_orderkey AS HUGEINT) * 4611686018427387904
+                              BETWEEN -9223372036854775808 AND 9223372036854775807
+                         THEN CAST(o_orderkey AS HUGEINT) * 4611686018427387904
+                    END AS BIGINT) AS mul_overflow,
+               CAST(CASE WHEN CAST(-9223372036854775807 AS HUGEINT) - o_orderkey
+                              BETWEEN -9223372036854775808 AND 9223372036854775807
+                         THEN CAST(-9223372036854775807 AS HUGEINT) - o_orderkey
+                    END AS BIGINT) AS sub_overflow,
+               TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_head,
+               TRY_CAST(o_orderpriority AS INTEGER) AS prio_full,
+               list_extract(string_split(o_orderpriority, '-'), 1) AS first_part,
+               list_extract(string_split(o_orderpriority, '-'), 3) AS no_third
+        FROM orders
+    """,
+    tags=("breadth", "F", "ansi-safety"),
+)
+def f20_try_arith_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_`` error-safe expression family (Spark 3.2+/4.x):
+    try_divide (NULL on zero divisor — floating division, IEEE-exact in
+    both engines so the non-NULL doubles hash identically), try_add /
+    try_multiply / try_subtract (NULL on BIGINT overflow instead of the
+    ANSI runtime error; o_orderkey starts at 0, so each column carries
+    both a non-NULL witness and an overflowing row), try_cast (full
+    string fails -> NULL, leading digit parses), and try_element_at
+    (out-of-range list index -> NULL).  This is the ANSI-mode safety
+    surface a 100 TB batch job relies on: one malformed row must yield
+    NULL, not kill a 10-hour job at stage 40.  The oracle emulates
+    overflow detection in HUGEINT and divide-by-zero with CASE.  Pure
+    map over one scan, no shuffle; every expression stays inside
+    whole-stage codegen."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               try_divide(o_totalprice, CAST(o_custkey % 3 AS DOUBLE)) AS safe_ratio,
+               try_add(o_orderkey, 1000000) AS add_ok,
+               try_add(9223372036854775807, o_orderkey) AS add_overflow,
+               try_multiply(o_orderkey, 4611686018427387904) AS mul_overflow,
+               try_subtract(-9223372036854775807L, o_orderkey) AS sub_overflow,
+               try_cast(substring(o_orderpriority, 1, 1) AS INT) AS prio_head,
+               try_cast(o_orderpriority AS INT) AS prio_full,
+               try_element_at(split(o_orderpriority, '-'), 1) AS first_part,
+               try_element_at(split(o_orderpriority, '-'), 3) AS no_third
+        FROM dew_orders
+        """
+    )
+
+
+@query(
+    "ddl_sql_udf_variables",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(substring(o_orderpriority, 1, 1) AS INTEGER)) AS BIGINT)
+                   AS prio_rank_sum,
+               CAST(5000.0 AS DOUBLE) AS threshold_used
+        FROM orders
+        WHERE o_totalprice >= 5000.0
+          AND CAST(substring(o_orderpriority, 1, 1) AS INTEGER) <= 3
+        GROUP BY o_orderstatus
+    """,
+    tags=("breadth", "DDL", "sql-udf", "session-variables"),
+)
+def ddl_sql_udf_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scripting surface (Spark 4.x): a SQL-body scalar
+    UDF (``CREATE OR REPLACE TEMPORARY FUNCTION … RETURN expr`` — the
+    declarative replacement for the notebook-era Python UDF the
+    reference defines at `Utils/Define-Functions.py:12-22`), a session
+    variable (``DECLARE … SET VAR``) read directly inside the query
+    both as a predicate threshold and as an emitted column, and
+    ``EXECUTE IMMEDIATE … USING ?`` binding a positional parameter.
+    The oracle inlines the function body and the variable's value —
+    that inlining is exactly what Catalyst does too (SQL UDFs are
+    expression-substituted, NOT black boxes), which is why this beats a
+    Python UDF at 100 TB: the substituted expression stays inside
+    whole-stage codegen and its predicates still push down."""
+    register_views(spark, sf_dir, "orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dew_prio_rank(p STRING) "
+        "RETURNS INT RETURN CAST(substring(p, 1, 1) AS INT)"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE dew_min_total DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR dew_min_total = 5000.0")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderstatus,
+                COUNT(*) AS n_orders,
+                CAST(SUM(dew_prio_rank(o_orderpriority)) AS BIGINT) AS prio_rank_sum,
+                CAST(MIN(dew_min_total) AS DOUBLE) AS threshold_used
+         FROM dew_orders
+         WHERE o_totalprice >= dew_min_total AND dew_prio_rank(o_orderpriority) <= ?
+         GROUP BY o_orderstatus'
+        USING 3
+        """
+    )

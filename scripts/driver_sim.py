@@ -31,6 +31,10 @@ EXTRA = [
     "j10_left_join_lateral",
     "st_stream_stream_outer_join",
     "f19_variant_type_breadth",
+    "a22_listagg_distinct",
+    "f20_try_arith_breadth",
+    "rb_group_by_all_breadth",
+    "ddl_sql_udf_variables",
     # r9-green rows rotated OUT of the r10 prefix (their slots went to
     # the round-9 pool's first-time rows) — keep them exercised so a
     # regression is caught before the judge's spot-check
