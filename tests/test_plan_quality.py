@@ -927,3 +927,57 @@ def test_left_join_lateral_decorrelated_with_partial_topk(spark, registry):
     assert "WindowGroupLimit" in ops, ops
     assert ", Partial" in plan, "map-side partial top-k missing"
     assert "LeftOuter" in plan, "outer lateral must stay an outer join"
+
+
+# ---- round-10 continuation rows: plan pins for the new SQL-surface
+# queries (listagg, try_*, GROUP BY ALL, SQL UDF + session variables) ----
+
+
+def test_group_by_all_compiles_to_partial_agg(spark, registry):
+    """GROUP BY ALL must be pure resolution sugar: the plan is the
+    explicit-column shape — partial + final HashAggregate around one
+    hash exchange (plus the ORDER BY ALL range exchange), no join."""
+    ops = _ops(_plan(registry["rb_group_by_all_breadth"].fn(spark, SF_SMOKE)))
+    assert ops["HashAggregate"] == 2, ops
+    assert ops["Exchange"] == 2, ops  # agg hash + global-sort range
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert ops[j] == 0, (j, ops)
+
+
+def test_try_arith_is_pure_map_single_codegen(spark, registry):
+    """The try_* family must stay a map-only projection: one scan, one
+    Project inside whole-stage codegen, zero exchanges — NULL-on-error
+    semantics cost nothing at 100 TB."""
+    plan = _plan(registry["f20_try_arith_breadth"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops["Exchange"] == 0 and ops["Project"] == 1, ops
+    assert "codegen id" in plan  # the projection is whole-stage compiled
+    assert "EvalPython" not in plan
+
+
+def test_sql_udf_inlines_and_pushes_variable_threshold(spark, registry):
+    """The SQL-body UDF and the session-variable threshold must be
+    expression-substituted by Catalyst, NOT evaluated as a black box:
+    the variable's value appears as a pushed parquet filter and no
+    Python evaluation node exists anywhere in the plan."""
+    plan = _plan(registry["ddl_sql_udf_variables"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert re.search(
+        r"PushedFilters: \[.*GreaterThanOrEqual\(o_totalprice,5000\.0\)", plan
+    ), plan[:1200]
+    assert "EvalPython" not in plan
+    assert ops["HashAggregate"] == 2, ops  # partial + final
+
+
+def test_listagg_distinct_collapses_before_string_agg(spark, registry):
+    """a22's safety shape: the DISTINCT collapse (partial + final
+    HashAggregate) runs BEFORE the listagg ObjectHashAggregate pair, so
+    at most |distinct domain| strings per group ever cross the wire —
+    and the NULL guard is pushed to the scan."""
+    plan = _plan(registry["a22_listagg_distinct"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops["HashAggregate"] >= 2, ops  # distinct collapse partial+final
+    assert ops["ObjectHashAggregate"] >= 2, ops  # listagg partial+final
+    assert ops["Exchange"] == 2, ops  # one per aggregate, none extra
+    assert re.search(r"PushedFilters: \[.*IsNotNull\(o_orderpriority\)", plan)
