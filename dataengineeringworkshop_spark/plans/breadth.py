@@ -807,3 +807,50 @@ def ddl_sql_udf_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING 3
         """
     )
+
+
+@query(
+    "f21_xml_funcs_breadth",
+    oracle="""
+        SELECT event_id,
+               CAST(event_id % 100 AS BIGINT) AS k,
+               event_type AS t,
+               CAST(event_id % 100 AS INTEGER) AS k2,
+               CAST(user_id % 10 AS VARCHAR) AS uid,
+               'STRUCT<k: BIGINT, t: STRING>' AS xsch
+        FROM events
+    """,
+    tags=("breadth", "F", "xml"),
+)
+def f21_xml_funcs_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML function family (built into Spark 4 after the spark-xml
+    merge): from_xml with a DDL schema + struct field access, xpath
+    element extraction (string and typed int), xpath ATTRIBUTE
+    extraction (``@uid``), and schema_of_xml inference pinned as the
+    literal it must produce.  The documents are composed
+    deterministically from (event_id, event_type, user_id) — the
+    values survive a compose→parse roundtrip, so the oracle (DuckDB
+    has no XML support) re-derives each extracted value from the same
+    source columns: parse(compose(x)) == x is exactly the contract an
+    XML ingestion stage needs.  Pure map over one scan, no shuffle;
+    from_xml evaluates JVM-side (no Python boundary), unlike the UDF
+    detour pre-merge spark-xml users needed."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH x AS (
+            SELECT event_id, event_type, user_id,
+                   concat('<e><k>', CAST(event_id % 100 AS STRING),
+                          '</k><t>', event_type, '</t><u uid="',
+                          CAST(user_id % 10 AS STRING), '"/></e>') AS doc
+            FROM dew_events
+        )
+        SELECT event_id,
+               from_xml(doc, 'k BIGINT, t STRING').k AS k,
+               xpath_string(doc, '/e/t') AS t,
+               xpath_int(doc, '/e/k') AS k2,
+               xpath_string(doc, '/e/u/@uid') AS uid,
+               schema_of_xml('<e><k>1</k><t>x</t></e>') AS xsch
+        FROM x
+        """
+    )

@@ -597,6 +597,37 @@ def o3_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").limit(10)
 
 
+@query(
+    "o6_limit_offset_page",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+    """,
+    tags=("O3", "offset", "pagination"),
+)
+def o6_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIMIT … OFFSET`` pagination (Spark 3.4+) — page 3 of a
+    price-ranked listing, ordered by the unique o_orderkey tiebreaker
+    after the ranking column so both engines cut the identical page
+    even under value ties.  The SQL is byte-identical in Spark and
+    DuckDB.  Scale note: OFFSET compiles to a GlobalLimit(offset+k)
+    over partial per-partition TopK — fine for page-sized offsets;
+    deep pagination (OFFSET 10^9) must use keyset continuation
+    (WHERE key > last_seen) instead, which w2_topk_per_group's
+    WindowGroupLimit shape covers."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM dew_orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 CTEs / subqueries
 # ---------------------------------------------------------------------------

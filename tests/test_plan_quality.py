@@ -981,3 +981,20 @@ def test_listagg_distinct_collapses_before_string_agg(spark, registry):
     assert ops["ObjectHashAggregate"] >= 2, ops  # listagg partial+final
     assert ops["Exchange"] == 2, ops  # one per aggregate, none extra
     assert re.search(r"PushedFilters: \[.*IsNotNull\(o_orderpriority\)", plan)
+
+
+def test_xml_family_is_jvm_side_pure_map(spark, registry):
+    """from_xml/xpath must evaluate JVM-side (post spark-xml merge):
+    no Python eval node, no exchange — one scan, one projection."""
+    plan = _plan(registry["f21_xml_funcs_breadth"].fn(spark, SF_SMOKE))
+    assert "EvalPython" not in plan
+    assert _ops(plan)["Exchange"] == 0, _ops(plan)
+
+
+def test_limit_offset_compiles_to_take_ordered(spark, registry):
+    """LIMIT 20 OFFSET 40 must run as TakeOrderedAndProject(60) with
+    per-partition partial top-k — never a full global sort."""
+    plan = _plan(registry["o6_limit_offset_page"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert ops["TakeOrderedAndProject"] == 1, ops
+    assert ops["Sort"] == 0, ops  # no global sort node
