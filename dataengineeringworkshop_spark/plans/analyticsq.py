@@ -819,6 +819,7 @@ def a21_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS prios_desc,
                COUNT(DISTINCT o_orderpriority) AS n_prios
         FROM orders
+        WHERE o_orderpriority IS NOT NULL
         GROUP BY o_orderstatus
     """,
     tags=("ext-analytics", "A4", "listagg"),
@@ -831,7 +832,9 @@ def a22_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``string_agg(DISTINCT … ORDER BY …)``.  Determinism contract:
     string aggregation is only order-stable with an explicit WITHIN
     GROUP order on the DISTINCT expression itself, which both engines
-    enforce; NULL inputs are skipped by both.  Planner-bug workaround,
+    enforce; NULL priorities are excluded with the same WHERE guard on
+    both sides, so even a group whose priorities are ALL NULL behaves
+    identically (dropped) in both engines.  Planner-bug workaround,
     pinned in tests/test_listagg_shapes.py: TWO ``listagg(DISTINCT …)``
     aggregates with DIFFERENT WITHIN GROUP orders in one Aggregate trip
     a Spark 4.1 ClassCastException (AttributeReference → SortOrder in

@@ -814,7 +814,7 @@ def ddl_sql_udf_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                CAST(event_id % 100 AS BIGINT) AS k,
-               event_type AS t,
+               regexp_replace(event_type, '[&<>"'']', '_', 'g') AS t,
                CAST(event_id % 100 AS INTEGER) AS k2,
                CAST(user_id % 10 AS VARCHAR) AS uid,
                'STRUCT<k: BIGINT, t: STRING>' AS xsch
@@ -832,7 +832,10 @@ def f21_xml_funcs_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     values survive a compose→parse roundtrip, so the oracle (DuckDB
     has no XML support) re-derives each extracted value from the same
     source columns: parse(compose(x)) == x is exactly the contract an
-    XML ingestion stage needs.  Pure map over one scan, no shuffle;
+    XML ingestion stage needs.  XML metacharacters in event_type are
+    sanitized to '_' by the SAME regexp_replace on both sides, so the
+    roundtrip stays well-formed under ANY data, not just the current
+    fixture's clean domain.  Pure map over one scan, no shuffle;
     from_xml evaluates JVM-side (no Python boundary), unlike the UDF
     detour pre-merge spark-xml users needed."""
     register_views(spark, sf_dir, "events")
@@ -841,7 +844,9 @@ def f21_xml_funcs_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH x AS (
             SELECT event_id, event_type, user_id,
                    concat('<e><k>', CAST(event_id % 100 AS STRING),
-                          '</k><t>', event_type, '</t><u uid="',
+                          '</k><t>',
+                          regexp_replace(event_type, '[&<>"\\']', '_'),
+                          '</t><u uid="',
                           CAST(user_id % 10 AS STRING), '"/></e>') AS doc
             FROM dew_events
         )

@@ -80,7 +80,11 @@ def make_rolling_z_fn(
             # per chunk so the concat dtype is stable across pandas
             # versions (pandas>=2.1 FutureWarning: all-NA entries will
             # stop being excluded from result-dtype determination)
-            chunks = [c.astype({"value": "float64"}) for c in chunks]
+            chunks = [
+                c if c["value"].dtype == "float64"
+                else c.astype({"value": "float64"})
+                for c in chunks
+            ]
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for event_id, value in zip(pdf["event_id"], pdf["value"]):
                 is_null = value is None or pd.isna(value)
