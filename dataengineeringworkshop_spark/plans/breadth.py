@@ -859,3 +859,52 @@ def f21_xml_funcs_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM x
         """
     )
+
+
+@query(
+    "f22_timezone_convert_breadth",
+    oracle="""
+        SELECT event_id,
+               strftime(timezone('America/New_York', timezone('UTC', ts)),
+                        '%Y-%m-%d %H:%M:%S') AS ny_wall,
+               strftime(timezone('America/New_York', timezone('UTC', ts)),
+                        '%Y-%m-%d') AS ny_date,
+               strftime(timezone('Asia/Tokyo', timezone('UTC', ts)),
+                        '%Y-%m-%d %H:%M:%S') AS tokyo_wall,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_rt
+        FROM events
+    """,
+    tags=("breadth", "F", "timezone"),
+)
+def f22_timezone_convert_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-conversion family: from_utc_timestamp (UTC instant →
+    local wall clock, the display/partition-by-local-date operation),
+    convert_timezone (Spark 3.4+ three-arg form), and a
+    local→UTC→format roundtrip via to_utc_timestamp.  Cross-engine
+    hazard pinned here: Spark consults the JVM tz database, DuckDB its
+    bundled ICU — they agree on these zones/dates (both track IANA),
+    and UTC→local is ALWAYS unambiguous, so ny_wall/tokyo_wall hash
+    identically.  The roundtrip leg deliberately uses Asia/Tokyo (no
+    DST): a local→UTC conversion in a DST zone is ambiguous during the
+    fall-back fold hour, where engines may legally disagree — the
+    docstring IS the contract: never roundtrip through a DST zone's
+    local wall time in a cross-engine pipeline.  Pure map, one scan,
+    no shuffle; tz conversion is a per-row offset lookup that stays in
+    whole-stage codegen."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_id,
+               date_format(from_utc_timestamp(ts, 'America/New_York'),
+                           'yyyy-MM-dd HH:mm:ss') AS ny_wall,
+               date_format(from_utc_timestamp(ts, 'America/New_York'),
+                           'yyyy-MM-dd') AS ny_date,
+               date_format(convert_timezone('UTC', 'Asia/Tokyo', ts),
+                           'yyyy-MM-dd HH:mm:ss') AS tokyo_wall,
+               date_format(to_utc_timestamp(
+                               from_utc_timestamp(ts, 'Asia/Tokyo'),
+                               'Asia/Tokyo'),
+                           'yyyy-MM-dd HH:mm:ss') AS utc_rt
+        FROM dew_events
+        """
+    )

@@ -37,6 +37,7 @@ EXTRA = [
     "ddl_sql_udf_variables",
     "o6_limit_offset_page",
     "f21_xml_funcs_breadth",
+    "f22_timezone_convert_breadth",
     # r9-green rows rotated OUT of the r10 prefix (their slots went to
     # the round-9 pool's first-time rows) — keep them exercised so a
     # regression is caught before the judge's spot-check

@@ -998,3 +998,11 @@ def test_limit_offset_compiles_to_take_ordered(spark, registry):
     ops = _ops(plan)
     assert ops["TakeOrderedAndProject"] == 1, ops
     assert ops["Sort"] == 0, ops  # no global sort node
+
+
+def test_timezone_family_is_pure_map(spark, registry):
+    """from_utc_timestamp/convert_timezone are per-row offset lookups:
+    one scan, zero exchanges, no Python eval."""
+    plan = _plan(registry["f22_timezone_convert_breadth"].fn(spark, SF_SMOKE))
+    assert "EvalPython" not in plan
+    assert _ops(plan)["Exchange"] == 0, _ops(plan)
