@@ -21,6 +21,37 @@ from pyspark.sql import functions as F
 from dataengineeringworkshop_spark.plans.registry import davg, dsum, query
 from dataengineeringworkshop_spark.plans.tables import load_table, register_views
 
+# ---- f21 shared XML sanitizer (single source of truth; the hostile
+# probe in tests/test_xml_escape.py composes through these SAME
+# constants, so a sanitizer change cannot silently diverge from the
+# test).  The class strips every XML metacharacter PLUS the
+# XML-1.0-illegal C0 control range (0x00-0x08, 0x0b, 0x0c, 0x0e-0x1f —
+# everything below 0x20 except TAB/LF/CR, which are legal in content).
+XML_SANITIZE_PATTERN = r"""[&<>"'\x00-\x08\x0b\x0c\x0e-\x1f]"""
+
+
+def _lit_spark(s: str) -> str:
+    """Spark SQL single-quoted literal (backslash escapes active)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _lit_duck(s: str) -> str:
+    """DuckDB single-quoted literal (standard SQL: only '' is special)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+F21_SANITIZE_SPARK = (
+    f"regexp_replace(event_type, {_lit_spark(XML_SANITIZE_PATTERN)}, '_')"
+)
+F21_SANITIZE_DUCK = (
+    f"regexp_replace(event_type, {_lit_duck(XML_SANITIZE_PATTERN)}, '_', 'g')"
+)
+F21_COMPOSE_SPARK = (
+    "concat('<e><k>', CAST(event_id % 100 AS STRING), '</k><t>', "
+    + F21_SANITIZE_SPARK
+    + ", '</t><u uid=\"', CAST(user_id % 10 AS STRING), '\"/></e>')"
+)
+
 
 @query(
     "rb_projection_breadth",
@@ -811,10 +842,10 @@ def ddl_sql_udf_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f21_xml_funcs_breadth",
-    oracle="""
+    oracle=f"""
         SELECT event_id,
                CAST(event_id % 100 AS BIGINT) AS k,
-               regexp_replace(event_type, '[&<>"'']', '_', 'g') AS t,
+               {F21_SANITIZE_DUCK} AS t,
                CAST(event_id % 100 AS INTEGER) AS k2,
                CAST(user_id % 10 AS VARCHAR) AS uid,
                'STRUCT<k: BIGINT, t: STRING>' AS xsch
@@ -832,22 +863,20 @@ def f21_xml_funcs_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     values survive a compose→parse roundtrip, so the oracle (DuckDB
     has no XML support) re-derives each extracted value from the same
     source columns: parse(compose(x)) == x is exactly the contract an
-    XML ingestion stage needs.  XML metacharacters in event_type are
-    sanitized to '_' by the SAME regexp_replace on both sides, so the
-    roundtrip stays well-formed under ANY data, not just the current
-    fixture's clean domain.  Pure map over one scan, no shuffle;
-    from_xml evaluates JVM-side (no Python boundary), unlike the UDF
-    detour pre-merge spark-xml users needed."""
+    XML ingestion stage needs.  XML metacharacters AND the
+    XML-1.0-illegal C0 control range in event_type are sanitized to
+    '_' by the SAME shared pattern (``XML_SANITIZE_PATTERN``, module
+    top) on both engines, so the roundtrip stays well-formed under
+    arbitrary string data — every remaining character is legal XML
+    content.  Pure map over one scan, no shuffle; from_xml evaluates
+    JVM-side (no Python boundary), unlike the UDF detour pre-merge
+    spark-xml users needed."""
     register_views(spark, sf_dir, "events")
     return spark.sql(
-        """
+        f"""
         WITH x AS (
             SELECT event_id, event_type, user_id,
-                   concat('<e><k>', CAST(event_id % 100 AS STRING),
-                          '</k><t>',
-                          regexp_replace(event_type, '[&<>"\\']', '_'),
-                          '</t><u uid="',
-                          CAST(user_id % 10 AS STRING), '"/></e>') AS doc
+                   {F21_COMPOSE_SPARK} AS doc
             FROM dew_events
         )
         SELECT event_id,

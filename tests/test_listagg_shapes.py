@@ -37,22 +37,25 @@ def test_workaround_shape_plans_and_runs(spark):
     assert [tuple(r) for r in rows] == [(1, "x|y", "y,x", 2), (2, "z", "z", 1)]
 
 
-@pytest.mark.xfail(
-    reason="SPARK listagg planner defect: two DISTINCT listaggs with "
-    "different WITHIN GROUP orders crash RewriteDistinctAggregates "
-    "(ClassCastException AttributeReference -> SortOrder); an XPASS "
-    "here means the Spark upgrade fixed it and a22 can use the direct "
-    "form",
-    raises=Exception,
-    strict=True,
-)
 def test_two_distinct_orders_still_broken(spark):
+    """Narrow pin on the Spark 4.1 planner defect: the failure must be
+    THE known ClassCastException inside RewriteDistinctAggregates — an
+    analysis error, fixture problem, or unrelated regression raises a
+    different message and FAILS this test loudly instead of hiding
+    behind a broad xfail.  If Spark fixes the defect, ``pytest.raises``
+    reports DID NOT RAISE — the signal that a22_listagg_distinct can be
+    simplified back to the direct two-DISTINCT form."""
     spark.sql(_FOUR_ROWS).createOrReplaceTempView("listagg_probe")
-    spark.sql(
-        """
-        SELECT g,
-               listagg(DISTINCT s, '|') WITHIN GROUP (ORDER BY s) AS a,
-               listagg(DISTINCT s, ',') WITHIN GROUP (ORDER BY s DESC) AS b
-        FROM listagg_probe GROUP BY g
-        """
-    ).collect()
+    with pytest.raises(
+        Exception,
+        match=r"(?is)ClassCastException.*SortOrder"
+        r"|RewriteDistinctAggregates",
+    ):
+        spark.sql(
+            """
+            SELECT g,
+                   listagg(DISTINCT s, '|') WITHIN GROUP (ORDER BY s) AS a,
+                   listagg(DISTINCT s, ',') WITHIN GROUP (ORDER BY s DESC) AS b
+            FROM listagg_probe GROUP BY g
+            """
+        ).collect()
