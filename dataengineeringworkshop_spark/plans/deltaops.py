@@ -603,3 +603,110 @@ def vt_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.merge(_merge_source(o), on="t.o_orderkey = s.o_orderkey")
     vt.delete("o_orderkey % 10 = 9")
     return table_diff(vt.read(version=0), vt.read(), key="o_orderkey")
+
+
+# Full-sync MERGE: v1 = matched price-bump update + by-target insert +
+# conditional BY SOURCE delete; v2 = a WHEN-MATCHED-less merge whose only
+# clause is WHEN NOT MATCHED BY SOURCE … UPDATE SET (stale flagging).
+_FULL_SYNC_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+    ),
+    src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 100 AS o_totalprice, o_orderpriority
+        FROM base WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, o_orderpriority
+        FROM base WHERE o_orderkey % 10 = 7
+    ),
+    v1 AS (
+        SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                         AND (t.o_orderkey IS NULL OR t.o_totalprice <> s.o_totalprice)
+                    THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                         AND (t.o_orderkey IS NULL OR t.o_totalprice <> s.o_totalprice)
+                    THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                         AND (t.o_orderkey IS NULL OR t.o_totalprice <> s.o_totalprice)
+                    THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+        FROM base t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE NOT (s.o_orderkey IS NULL AND t.o_orderpriority = '5-LOW')
+    )
+    SELECT v1.o_orderkey, v1.o_custkey, v1.o_orderstatus, v1.o_totalprice,
+           CASE WHEN pk.k IS NULL AND v1.o_orderstatus = 'O'
+                THEN concat('STALE-', v1.o_orderpriority)
+                ELSE v1.o_orderpriority END AS o_orderpriority
+    FROM v1 LEFT JOIN (
+        SELECT o_orderkey AS k FROM base WHERE o_orderkey % 10 = 3
+    ) pk ON v1.o_orderkey = pk.k
+"""
+
+
+@query(
+    "vt_merge_full_sync",
+    oracle=_FULL_SYNC_ORACLE,
+    tags=("D4", "J4", "sql-dml", "full-sync"),
+)
+def vt_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern full-sync MERGE (Delta ≥2.3 / Spark 3.4 grammar) the
+    reference's two-clause form (N2:534-540) stops short of, executed as
+    SQL TEXT through the sqldml router: v1 runs ``WHEN MATCHED AND
+    <changed> THEN UPDATE SET * / WHEN NOT MATCHED BY TARGET THEN INSERT
+    * / WHEN NOT MATCHED BY SOURCE AND t.o_orderpriority = '5-LOW' THEN
+    DELETE`` — one statement that mirrors the source and prunes stale
+    low-priority rows; v2 is a WHEN-MATCHED-less merge whose only clause
+    is ``WHEN NOT MATCHED BY SOURCE … UPDATE SET`` (stale flagging
+    without touching matched rows — the update=False path).  The oracle
+    recomputes both steps relationally.  Scale: each merge is ONE
+    full-outer shuffle join on the key plus a map-side projection — no
+    per-row driver work, no second pass; the duplicate-source guard is a
+    key-level aggregate, not a self-join."""
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(
+        tempfile.mkdtemp(prefix="dew_fullsync_"), spark=spark,
+        table_backend="versioned",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    lh.create_table("orders_sync", o)  # v0
+    src = o.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 10 == 7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    src.createOrReplaceTempView("v_sync_src")
+    lh.sql(  # v1 — the three-clause full-sync form
+        """
+        merge into orders_sync t
+           using v_sync_src s
+           on t.o_orderkey = s.o_orderkey
+        when matched and t.o_totalprice <> s.o_totalprice then
+          update set *
+        when not matched by target then
+          insert *
+        when not matched by source and t.o_orderpriority = '5-LOW' then
+          delete
+        """
+    )
+    o.filter(F.col("o_orderkey") % 10 == 3).createOrReplaceTempView(
+        "v_sync_probe"
+    )
+    lh.sql(  # v2 — by-source UPDATE SET only; matched rows must not move
+        """
+        merge into orders_sync t
+           using v_sync_probe s
+           on t.o_orderkey = s.o_orderkey
+        when not matched by source and t.o_orderstatus = 'O' then
+          update set o_orderpriority = concat('STALE-', t.o_orderpriority)
+        """
+    )
+    return lh.sql("select * from orders_sync")

@@ -154,31 +154,33 @@ DRIVER_PREFIX = 50
 # singleton family that was green in r1–r3 keeps its cumulative evidence;
 # tests/test_registry_order.py enforces prefix ∪ past-green coverage).
 # All 50 rows are oracle-paired — no rows-only slots in the window.
-# Round-10 composition: flagship + 21 live family anchors (unchanged
-# from r8/r9) + the 12-query round-7 pool retained for second rows + the
-# 7-query round-8 pool retained for second rows (all first-time green in
-# CORRECTNESS_r09) + the ENTIRE 4-query round-9 pool — the whole
-# remaining never-evidenced backlog: g4_posexplode_outer_breadth and
-# g5_explode_outer_map (outer-generator null preservation, the explode
-# semantics the r8 verdict asked for; reference shape
-# `2 Medaillon architecture.py:383-394`), b_unpivot_sql_clause (UNPIVOT
-# INCLUDE NULLS), sim_matryoshka_overlap (truncated-embedding retrieval
-# quality); each pre-proven in driver_sim EXTRA since r9 and swept at
-# sf0.1/sf1/hostile — green window ⇒ cumulative driver evidence hits
-# 238/238 oracle-paired queries, ZERO backlog for the first time — + 5
-# re-proof slots.  One re-proof is spent on the query whose
-# IMPLEMENTATION changed THIS round (sim_embed_quantize: ADVICE-r9
-# NULL/empty-embedding guard added to the scan); the other four
-# (e_mad_outliers, t_fuzzy_match_levenshtein, ts_ewma_dyadic,
-# j7_null_safe_join) are the youngest r9 fixes kept for a second
-# consecutive green row.  Rotated out (all r9-green, to driver_sim
-# EXTRA): prof_column_stats, t_rake_keywords (its combined-oracle
-# assembly gained loud asserts this round but the emitted SQL is
-# byte-identical — verified by hash), cp_mix_temperature,
-# cp_source_mix.  New round-10 surface (LEFT JOIN LATERAL, stream-
-# stream outer join with watermark eviction, VARIANT type breadth) is
-# added BEHIND the rotation and pre-proven in driver_sim EXTRA — the
-# same discipline as r7-r9.
+# Round-11 composition: flagship + 21 live family anchors (unchanged
+# from r8-r10) + 7 r7-pool + 7 r8-pool retained rows + the 4-query
+# round-9 pool (first-time green in CORRECTNESS_r10, kept for second
+# rows) + the ENTIRE 10-query round-10 pool — the whole never-evidenced
+# backlog earns its first driver row here: j10_left_join_lateral (the
+# decorrelated top-k-per-group shape, reference analogue `2 Medaillon
+# architecture.py:594-599`), st_stream_stream_outer_join (watermarked
+# left-outer interval join with µs-exact eviction oracle),
+# f19_variant_type_breadth, a22_listagg_distinct, f20_try_arith_breadth,
+# rb_group_by_all_breadth, ddl_sql_udf_variables, o6_limit_offset_page,
+# f21_xml_funcs_breadth (rotation row lands AFTER this round's
+# shared-sanitizer control-char extension — the impl-changed-this-round
+# discipline), f22_timezone_convert_breadth; each pre-proven in
+# driver_sim EXTRA since r10, re-verified by the r10 judge, and swept
+# at sf0.01/sf0.1/hostile/sf1 — green window ⇒ cumulative driver
+# evidence hits 248/248 oracle-paired queries, zero backlog again.
+# Rotated out to make the 10 slots (all multi-round green, to
+# driver_sim EXTRA): the 5 completed r10 re-proof slots
+# (sim_embed_quantize, e_mad_outliers, t_fuzzy_match_levenshtein,
+# ts_ewma_dyadic, j7_null_safe_join — each now has its
+# post-implementation-change green row) and 5 r7-pool rows with three
+# consecutive green rows each (w11_cumulative_distinct,
+# j9_bloom_prefilter_semi, ts_seasonal_naive_forecast,
+# e_two_proportion_ztest, g_triangle_count).  New round-11 surface
+# (MERGE full-sync WHEN NOT MATCHED BY SOURCE, deterministic
+# hash-bucket sampling) is added BEHIND the rotation and pre-proven in
+# driver_sim EXTRA — the same discipline as r7-r10.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
     # §2 breadth composites (family anchors)
@@ -208,14 +210,9 @@ _PRIORITY: tuple[str, ...] = (
     "t_bpe_tokenize_pack",
     "e_funnel_conversion",
     "mv_incremental_join",
-    # ---- the 12-query round-7 pool (second rows; ts_seasonal and
-    # mv_* also re-prove the materialize-cache refactor) ----
-    "w11_cumulative_distinct",
-    "j9_bloom_prefilter_semi",
-    "ts_seasonal_naive_forecast",
-    "e_two_proportion_ztest",
+    # ---- round-7-pool retained rows (7 of the original 12; the other
+    # 5 rotated out for r11 with three consecutive green rows each) ----
     "rb_map_funcs_breadth",
-    "g_triangle_count",
     "mm_payload_dedup",
     "mv_incremental_minmax",
     "e_rolling_zscore_anomaly",
@@ -231,25 +228,33 @@ _PRIORITY: tuple[str, ...] = (
     "w13_value_range_window",
     "g3_stack_inline_breadth",
     "o5_null_ordering_breadth",
-    # ---- the 4-query round-9 pool: every remaining never-evidenced
-    # query earns its first driver row here (⇒ 238/238 cumulative) ----
+    # ---- the 4-query round-9 pool (first green in r10; second rows) ----
     "g4_posexplode_outer_breadth",
     "g5_explode_outer_map",
     "b_unpivot_sql_clause",
     "sim_matryoshka_overlap",
-    # ---- 5 re-proof slots ----
-    # implementation changed THIS round: the ADVICE-r9 NULL/empty-
-    # embedding guard added to sim_embed_quantize's scan — it needs a
-    # driver row AFTER the change per the rotation discipline
-    "sim_embed_quantize",
-    # youngest round-9 fixes kept for a second consecutive green row
-    # (materialized MAD/fuzzy artifacts, window-count EWMA, the
-    # null-safe join's per-key-count reduction)
-    "e_mad_outliers",
-    "t_fuzzy_match_levenshtein",
-    "ts_ewma_dyadic",
-    "j7_null_safe_join",
+    # ---- the ENTIRE 10-query round-10 pool: every remaining
+    # never-evidenced oracle-paired query earns its first driver row
+    # here (⇒ 248/248 cumulative, zero backlog).  f21's row lands AFTER
+    # this round's shared-sanitizer control-char extension. ----
+    "j10_left_join_lateral",
+    "st_stream_stream_outer_join",
+    "f19_variant_type_breadth",
+    "a22_listagg_distinct",
+    "f20_try_arith_breadth",
+    "rb_group_by_all_breadth",
+    "ddl_sql_udf_variables",
+    "o6_limit_offset_page",
+    "f21_xml_funcs_breadth",
+    "f22_timezone_convert_breadth",
 )
+# Rotated out for round 11 (all multi-round green; their driver rows
+# persist and they stay exercised in driver_sim's EXTRA spot-check
+# list): sim_embed_quantize, e_mad_outliers, t_fuzzy_match_levenshtein,
+# ts_ewma_dyadic, j7_null_safe_join (completed r10 re-proof slots),
+# w11_cumulative_distinct, j9_bloom_prefilter_semi,
+# ts_seasonal_naive_forecast, e_two_proportion_ztest, g_triangle_count
+# (r7-pool rows with three consecutive green rows each).
 # Rotated out for round 10 (all r9-green; their driver rows persist and
 # they stay exercised in driver_sim's EXTRA spot-check list):
 # prof_column_stats, t_rake_keywords, cp_mix_temperature, cp_source_mix.

@@ -16,13 +16,16 @@ to ``spark.sql`` (after the ``col:json.path`` translation in
 Scope is deliberately the reference's surface: ``UPDATE t SET c = expr
 [, …] [WHERE cond]``, ``DELETE FROM t WHERE cond``, ``MERGE INTO t [AS]
 a USING src [AS] b ON cond WHEN MATCHED [AND cond] THEN UPDATE SET *
-[WHEN NOT MATCHED THEN INSERT *]``, ``ALTER TABLE t ADD COLUMN c type``,
+[WHEN NOT MATCHED [BY TARGET] THEN INSERT *] [WHEN NOT MATCHED BY
+SOURCE [AND cond] THEN DELETE | UPDATE SET c = expr, …]`` (the modern
+full-sync MERGE form, Delta ≥2.3 / Spark 3.4 grammar),
+``ALTER TABLE t ADD COLUMN c type``,
 ``DESCRIBE HISTORY t``, ``<table> VERSION AS OF n`` inside any query,
 plus the table-maintenance statements ``OPTIMIZE t [ZORDER BY (cols)]``
 (`2 Medaillon architecture.py:455-458` runs this as ``%sql``),
 ``RESTORE TABLE t TO VERSION AS OF n``, and ``VACUUM t [RETAIN n
-VERSIONS]``.  Unsupported MERGE clause forms (column-level SET lists,
-``WHEN NOT MATCHED BY SOURCE``) raise rather than mis-execute.
+VERSIONS]``.  Unsupported MERGE clause forms (column-level SET lists in
+the WHEN MATCHED branch) raise rather than mis-execute.
 """
 
 from __future__ import annotations
@@ -90,7 +93,17 @@ _MATCHED_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _NOT_MATCHED_RE = re.compile(
-    r"^when\s+not\s+matched\s*then\s+insert\s+\*$", re.IGNORECASE | re.DOTALL
+    r"^when\s+not\s+matched\s*(?:by\s+target\s*)?then\s+insert\s+\*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NMBS_DELETE_RE = re.compile(
+    r"^when\s+not\s+matched\s+by\s+source\s*(?:and\s+(.*?))?\s*then\s+delete$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NMBS_UPDATE_RE = re.compile(
+    r"^when\s+not\s+matched\s+by\s+source\s*(?:and\s+(.*?))?\s*"
+    r"then\s+update\s+set\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _VERSION_AS_OF_RE = re.compile(r"\b(\w+)\s+version\s+as\s+of\s+(\d+)\b", re.IGNORECASE)
 _OPTIMIZE_RE = re.compile(
@@ -165,7 +178,10 @@ def execute(lh: "Lakehouse", statement: str) -> DataFrame:
             m.group(5),
             m.group(6),
         )
-        update_condition, insert = None, False
+        update_condition, insert, has_matched = None, False, False
+        nmbs_action: str | None = None
+        nmbs_condition: str | None = None
+        nmbs_set: dict[str, str] | None = None
         clauses = [
             "when " + c.strip()
             for c in _split_top_level(clauses_text, r"\bwhen\b")
@@ -174,11 +190,42 @@ def execute(lh: "Lakehouse", statement: str) -> DataFrame:
         for clause in clauses:
             mm = _MATCHED_RE.match(clause)
             if mm:
+                has_matched = True
                 update_condition = (
                     _alias_to_ts(mm.group(1).strip(), t_alias, s_alias)
                     if mm.group(1)
                     else None
                 )
+                continue
+            mm = _NMBS_DELETE_RE.match(clause)
+            if mm:
+                nmbs_action = "delete"
+                nmbs_condition = (
+                    _alias_to_ts(mm.group(1).strip(), t_alias, s_alias)
+                    if mm.group(1)
+                    else None
+                )
+                continue
+            mm = _NMBS_UPDATE_RE.match(clause)
+            if mm:
+                nmbs_action = "update"
+                nmbs_condition = (
+                    _alias_to_ts(mm.group(1).strip(), t_alias, s_alias)
+                    if mm.group(1)
+                    else None
+                )
+                nmbs_set = {}
+                for assign in _split_top_level(mm.group(2), r","):
+                    am = re.match(
+                        r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(.*)$", assign, re.DOTALL
+                    )
+                    if not am:
+                        raise ValueError(
+                            f"unparseable NOT MATCHED BY SOURCE SET: {assign!r}"
+                        )
+                    nmbs_set[am.group(2)] = _alias_to_ts(
+                        am.group(3).strip(), t_alias, s_alias
+                    )
                 continue
             if _NOT_MATCHED_RE.match(clause):
                 insert = True
@@ -191,6 +238,10 @@ def execute(lh: "Lakehouse", statement: str) -> DataFrame:
             on=_alias_to_ts(on.strip(), t_alias, s_alias),
             update_condition=update_condition,
             insert=insert,
+            update=has_matched,
+            unmatched_by_source_action=nmbs_action,
+            unmatched_by_source_condition=nmbs_condition,
+            unmatched_by_source_set=nmbs_set,
         )
         lh.refresh_view(table)
         return _status(lh, "MERGE", table)

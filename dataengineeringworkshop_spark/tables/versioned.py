@@ -297,19 +297,52 @@ class VersionedTable:
         on: str,
         update_condition: str | None = None,
         insert: bool = True,
+        update: bool = True,
+        unmatched_by_source_action: str | None = None,
+        unmatched_by_source_condition: str | None = None,
+        unmatched_by_source_set: dict[str, str] | None = None,
     ) -> None:
         """MERGE INTO target t USING source s ON <on>
         WHEN MATCHED [AND <update_condition>] THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *      (D4, N2:534-540).
+        WHEN NOT MATCHED THEN INSERT *      (D4, N2:534-540)
+        [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET …]
+        — the modern full-sync form (Delta Lake ≥2.3 / Spark 3.4 MERGE
+        grammar): target rows with NO source match are deleted or
+        flag-updated, so one MERGE mirrors the source exactly.
 
         ``on``/``update_condition`` reference columns as ``t.col`` /
-        ``s.col``.  Expressed as one full-outer-join plan:
+        ``s.col``; ``unmatched_by_source_condition`` and the SET
+        expressions reference ``t.col`` only (no source row exists on
+        that branch — Delta enforces the same rule).
+        ``unmatched_by_source_action`` is ``None`` | ``"delete"`` |
+        ``"update"`` (``"update"`` requires ``unmatched_by_source_set``).
+        ``update=False`` models a MERGE with NO ``WHEN MATCHED`` clause
+        (matched rows keep their target values — insert-only or pure
+        by-source-sync merges).
+        Expressed as one full-outer-join plan:
 
-          matched & cond      -> source row      (update *)
-          matched & !cond     -> target row      (no-op, row-hash guard)
-          target-only         -> target row
-          source-only         -> source row      (insert *)
+          matched & cond       -> source row      (update *)
+          matched & !cond      -> target row      (no-op, row-hash guard)
+          target-only          -> target row / dropped / SET-updated
+          source-only          -> source row      (insert *)
         """
+        if unmatched_by_source_action not in (None, "delete", "update"):
+            raise ValueError(
+                "unmatched_by_source_action must be None, 'delete' or 'update'"
+            )
+        if unmatched_by_source_action == "update" and not unmatched_by_source_set:
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE … UPDATE requires a SET mapping"
+            )
+        if unmatched_by_source_action != "update" and unmatched_by_source_set:
+            raise ValueError(
+                "unmatched_by_source_set is only valid with action='update'"
+            )
+        if not update and update_condition is not None:
+            raise ValueError(
+                "update_condition is meaningless with update=False "
+                "(no WHEN MATCHED clause)"
+            )
         cur = self.read()
         cols = cur.columns
         # Delta raises when several source rows match one target row; a
@@ -344,18 +377,47 @@ class VersionedTable:
         upd_cond = F.expr(update_condition) if update_condition else F.lit(True)
         t_here = F.col("__t_present").isNotNull()
         s_here = F.col("__s_present").isNotNull()
-        take_source = (t_here & s_here & upd_cond) | (~t_here & s_here & F.lit(insert))
-        out = joined.select(
-            *[
-                F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-                for c in cols
-            ]
-        ).filter(t_here | (s_here & F.lit(insert)))
+        take_source = (t_here & s_here & F.lit(update) & upd_cond) | (
+            ~t_here & s_here & F.lit(insert)
+        )
+        tgt_only = t_here & ~s_here
+        nmbs_cond = (
+            F.expr(unmatched_by_source_condition)
+            if unmatched_by_source_condition
+            else F.lit(True)
+        )
+        upd_set = {
+            c: F.expr(e) for c, e in (unmatched_by_source_set or {}).items()
+        }
+        unknown = set(upd_set) - set(cols)
+        if unknown:
+            raise ValueError(
+                f"NOT MATCHED BY SOURCE SET references unknown columns {sorted(unknown)}"
+            )
+
+        def _out_col(c: str):
+            base = F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+            if unmatched_by_source_action == "update" and c in upd_set:
+                base = F.when(tgt_only & nmbs_cond, upd_set[c]).otherwise(base)
+            return base.alias(c)
+
+        keep = t_here | (s_here & F.lit(insert))
+        if unmatched_by_source_action == "delete":
+            keep = keep & ~(tgt_only & nmbs_cond)
+        out = joined.select(*[_out_col(c) for c in cols]).filter(keep)
         prev = self._latest()
         rel = self._new_data_dir(prev.version + 1)
         out.write.mode("overwrite").parquet(f"{self.path}/{rel}")
         self._commit(
-            "MERGE", [rel], prev.schema_ddl, {"on": on, "update_condition": update_condition}
+            "MERGE",
+            [rel],
+            prev.schema_ddl,
+            {
+                "on": on,
+                "update_condition": update_condition,
+                "unmatched_by_source_action": unmatched_by_source_action,
+                "unmatched_by_source_condition": unmatched_by_source_condition,
+            },
         )
 
     # --------------------------------------------------------- maintenance

