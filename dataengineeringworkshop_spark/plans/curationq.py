@@ -265,3 +265,71 @@ def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) r WHERE rn <= 3
         """
     )
+
+
+# TABLESAMPLE parity, done the way that actually reproduces at scale.
+# Spark's `TABLESAMPLE (x PERCENT) REPEATABLE(seed)` draws its randoms
+# PER PARTITION in partition order — the selected set changes whenever
+# the file layout, split size, or cluster width changes, and no other
+# engine replays Spark's RNG, so a seeded TABLESAMPLE can never be
+# oracle-paired nor used for a stable train/eval split.  The portable
+# equivalent is HASH-TICKET sampling: ticket = md5(key) prefix, keep
+# rows whose ticket falls below the rate threshold.  Membership is a
+# pure function of the KEY — stable across engines, partitionings,
+# cluster sizes, and corpus growth (a document never migrates in or
+# out of the sample as data is appended — the property train/test
+# splits require).
+_HEX4_5PCT = "0ccd"  # 0x0ccd / 0x10000 = 3277/65536 ≈ 5.0% keep rate
+
+
+@query(
+    "cp_hash_sample_deterministic",
+    oracle=f"""
+        SELECT 'bernoulli' AS method, doc_id, source, n_chars,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS ticket
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_HEX4_5PCT}'
+        UNION ALL
+        SELECT 'system_block', doc_id, source, n_chars,
+               substr(md5(CAST(doc_id // 100 AS VARCHAR)), 1, 4)
+        FROM documents
+        WHERE substr(md5(CAST(doc_id // 100 AS VARCHAR)), 1, 4) < '{_HEX4_5PCT}'
+    """,
+    tags=("ext-corpus", "sampling", "tablesample"),
+)
+def cp_hash_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TABLESAMPLE twin — both flavors, no RNG: the
+    BERNOULLI row-level sample keeps documents whose md5(doc_id) hex
+    ticket lands under the 5% threshold; the SYSTEM block-level
+    analogue tickets the 100-key BLOCK (doc_id div 100) instead, so
+    whole contiguous key ranges are kept or dropped together —
+    reproducing SYSTEM's clustered-IO behavior (at real scale the
+    block key is the file/partition id) while staying a pure function
+    of the data.  Seeded ``TABLESAMPLE … REPEATABLE`` cannot do this:
+    Spark draws per-partition in layout order, so the sample mutates
+    under repartitioning and is unreproducible on any other engine
+    (see module-top note).  Extension surface: the reference notebooks
+    never sample, but a 100 TB curation pipeline cannot explore or
+    split without this.  Scale: ONE scan — both methods' tickets are
+    emitted per row by a ``stack`` generator and filtered map-side
+    (the oracle's UNION ALL form would scan the corpus twice); zero
+    shuffles, zero driver involvement; the ticket costs one md5 over
+    an 8-byte key, and sampling composes with appends (membership
+    never flips)."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        SELECT method, doc_id, source, n_chars, ticket
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   stack(2,
+                         'bernoulli',
+                         substr(md5(CAST(doc_id AS STRING)), 1, 4),
+                         'system_block',
+                         substr(md5(CAST(doc_id div 100 AS STRING)), 1, 4)
+                   ) AS (method, ticket)
+            FROM dew_documents
+        )
+        WHERE ticket < '{_HEX4_5PCT}'
+        """
+    )

@@ -1006,3 +1006,36 @@ def test_timezone_family_is_pure_map(spark, registry):
     plan = _plan(registry["f22_timezone_convert_breadth"].fn(spark, SF_SMOKE))
     assert "EvalPython" not in plan
     assert _ops(plan)["Exchange"] == 0, _ops(plan)
+
+
+# ---- round-11 rows: plan pins for the new surface (full-sync MERGE,
+# deterministic hash-ticket sampling) ----
+
+
+def test_hash_sample_single_scan_map_only(spark, registry):
+    """cp_hash_sample_deterministic must be ONE corpus scan feeding a
+    stack generator + map-side ticket filter: zero exchanges, zero
+    joins, no Python eval — the 100 TB sampling path is pure scan."""
+    plan = _plan(registry["cp_hash_sample_deterministic"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert plan.count("documents.parquet") == 1, plan.count("documents.parquet")
+    assert ops["Exchange"] == 0, ops
+    assert ops["Generate"] == 1, ops  # the stack() generator
+    assert "EvalPython" not in plan
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert ops[j] == 0, (j, ops)
+
+
+def test_merge_full_sync_result_single_snapshot_scan(spark, registry):
+    """vt_merge_full_sync's returned frame reads ONE materialized
+    snapshot — the two merges happened at write time, each as one
+    full-outer key join (pinned semantically in
+    tests/test_merge_full_sync.py); the read side must not re-join or
+    re-scan the base table."""
+    plan = _plan(registry["vt_merge_full_sync"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert plan.count("orders.parquet") == 0, "base table must not be re-read"
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert ops[j] == 0, (j, ops)
