@@ -14,12 +14,18 @@ metadata (DESCRIBE HISTORY parity) and the schema DDL (ADD COLUMN reads
 old files through the evolved schema with nulls).
 
 Scale posture: all data movement is Spark jobs — reads are parquet scans
-of the active directories (partition pruning/pushdown intact), UPDATE /
-MERGE / DELETE are copy-on-write full rewrites expressed as single
-DataFrame plans (at 100 TB real Delta prunes rewrite sets with file-level
-min/max stats; the API surface here is identical, the rewrite set is
-coarser — documented deviation).  The transaction log is tiny JSON
-driver-side metadata, like Delta's _delta_log.
+of the active units (partition pruning/pushdown intact), UPDATE / MERGE /
+DELETE are FILE-PRUNED copy-on-write (round 11): a probe pass finds the
+files that actually contain affected rows (itself pruned by commit-log
+min/max stats and parquet pushdown), ONLY those files are rewritten, and
+untouched files are carried forward by reference in the commit — the
+same rewrite-set pruning real Delta does, so a selective UPDATE on a
+100 TB table rewrites megabytes, not the table.  A commit's active set
+may therefore mix directory refs and individual file refs.  The probe's
+one driver-side ``collect`` is the DISTINCT FILE LIST (metadata-scale,
+bounded by file count — exactly what Delta's driver does when planning a
+rewrite), never row data.  The transaction log is tiny JSON driver-side
+metadata, like Delta's _delta_log.
 
 Single-writer semantics (commits are atomic via rename); the workshop's
 workloads are single-writer.
@@ -219,13 +225,19 @@ class VersionedTable:
         out: list[str] = []
         for d in c.data_dirs:
             base = self._abs(d)
-            for fn in sorted(os.listdir(base)):
-                if not fn.endswith(".parquet"):
+            if os.path.isdir(base):
+                for fn in sorted(os.listdir(base)):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = f"{d}/{fn}"
+                    if bounds and rel in stats and _stats_exclude(stats[rel], bounds):
+                        continue
+                    out.append(f"{base}/{fn}")
+            else:
+                # individual carried-forward file ref (file-pruned COW)
+                if bounds and d in stats and _stats_exclude(stats[d], bounds):
                     continue
-                rel = f"{d}/{fn}"
-                if bounds and rel in stats and _stats_exclude(stats[rel], bounds):
-                    continue
-                out.append(f"{base}/{fn}")
+                out.append(base)
         return out
 
     def read(self, version: int | None = None, where: str | None = None) -> DataFrame:
@@ -251,20 +263,114 @@ class VersionedTable:
                 return self.spark.createDataFrame([], committed)
         else:
             paths = [self._abs(d) for d in c.data_dirs]
+        out = self._evolved(paths, c)
+        return out.filter(F.expr(where)) if where else out
+
+    def _evolved(self, paths: list[str], c: Commit) -> DataFrame:
+        """Scan ``paths`` (dirs and/or files) evolved to the commit's
+        schema: missing columns (pre-ADD COLUMN files) surface as nulls,
+        column order is the committed order."""
+        from pyspark.sql.types import StructType
+
+        committed = StructType.fromDDL(_ddl_of(c.schema_ddl))
+        if not paths:
+            return self.spark.createDataFrame([], committed)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        # evolve to the committed schema (ADD COLUMN fills nulls)
         for field in committed.fields:
             if field.name not in df.columns:
                 df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
-        out = df.select(*[f.name for f in committed.fields])
-        return out.filter(F.expr(where)) if where else out
+        return df.select(*[f.name for f in committed.fields])
+
+    # -------------------------------------------------- file-pruned COW
+
+    def _active_refs(self, c: Commit) -> list[str]:
+        """The commit's active data set exploded to individual FILE refs
+        (relative to the table root when inside it, absolute otherwise —
+        shallow clones).  Directory refs expand to their parquet files."""
+        refs: list[str] = []
+        for d in c.data_dirs:
+            base = self._abs(d)
+            if os.path.isdir(base):
+                refs.extend(
+                    f"{d}/{fn}"
+                    for fn in sorted(os.listdir(base))
+                    if fn.endswith(".parquet")
+                )
+            else:
+                refs.append(d)
+        return refs
+
+    def _refs_of_probe(self, probe: DataFrame) -> set[str]:
+        """DISTINCT file refs containing probe rows.  ``probe`` must
+        carry ``__dew_file`` = input_file_name().  The collect here is
+        the distinct FILE LIST — metadata-scale (bounded by file count,
+        like Delta's driver-side rewrite planning), never row data."""
+        from urllib.parse import unquote, urlparse
+
+        root = self.path + "/"
+        out: set[str] = set()
+        for (name,) in probe.select("__dew_file").distinct().collect():
+            p = unquote(urlparse(name).path)
+            out.add(p[len(root):] if p.startswith(root) else p)
+        return out
+
+    def _touched_untouched(
+        self, condition: str, c: Commit
+    ) -> tuple[list[str], list[str]]:
+        """Split the active file set into (touched, untouched) for a
+        row-level predicate: touched files contain ≥1 row where the
+        condition is TRUE.  The probe scan is pruned by commit-log
+        min/max stats AND parquet predicate pushdown before any row is
+        read, so a stats-excluded file costs nothing."""
+        candidates = self.scan_files(c.version, condition)
+        touched: set[str] = set()
+        if candidates:
+            probe = (
+                self._evolved(candidates, c)
+                .withColumn("__dew_file", F.input_file_name())
+                .filter(F.expr(condition).eqNullSafe(F.lit(True)))
+            )
+            touched = self._refs_of_probe(probe)
+        all_refs = self._active_refs(c)
+        # stats-pruned candidates are untouched by construction
+        untouched = [r for r in all_refs if r not in touched]
+        touched_ordered = [r for r in all_refs if r in touched]
+        assert set(touched_ordered) == touched, (
+            "probe returned files outside the active set"
+        )
+        return touched_ordered, untouched
+
+    def _carried_stats(self, prev: Commit, untouched: list[str]) -> dict:
+        """File stats survive for carried-forward files (data skipping
+        keeps working on the untouched part after a selective DML)."""
+        stats = prev.file_stats or {}
+        return {r: stats[r] for r in untouched if r in stats}
 
     # ------------------------------------------------------------------ DML
 
     def update(self, set_exprs: dict[str, str], condition: str | None = None) -> None:
-        """UPDATE … SET … [WHERE …] (D1-D3) — whole-table conditional
-        rewrite as one Spark plan (CASE WHEN per updated column)."""
-        cur = self.read()
+        """UPDATE … SET … [WHERE …] (D1-D3) — FILE-PRUNED copy-on-write:
+        a stats+pushdown-pruned probe finds the files containing rows
+        where the condition is TRUE, only those are rewritten (CASE WHEN
+        per updated column), untouched files carry forward by reference.
+        An unconditional UPDATE rewrites everything (every file is
+        touched by definition)."""
+        prev = self._latest()
+        if condition is not None:
+            touched, untouched = self._touched_untouched(condition, prev)
+            if not touched:
+                # no row matches: metadata-only commit, like Delta
+                self._commit(
+                    "UPDATE", prev.data_dirs, prev.schema_ddl,
+                    {"condition": condition, "set": set_exprs},
+                    metrics={"files_rewritten": 0},
+                    file_stats=prev.file_stats or {},
+                )
+                return
+            cur = self._evolved([self._abs(r) for r in touched], prev)
+        else:
+            touched, untouched = self._active_refs(prev), []
+            cur = self.read()
         cond = F.expr(condition) if condition else F.lit(True)
         out = cur.select(
             *[
@@ -274,22 +380,44 @@ class VersionedTable:
                 for c in cur.columns
             ]
         )
-        prev = self._latest()
         rel = self._new_data_dir(prev.version + 1)
         out.write.mode("overwrite").parquet(f"{self.path}/{rel}")
         self._commit(
-            "UPDATE", [rel], prev.schema_ddl, {"condition": condition, "set": set_exprs}
+            "UPDATE", untouched + [rel], prev.schema_ddl,
+            {"condition": condition, "set": set_exprs},
+            metrics={"files_rewritten": len(touched),
+                     "files_carried": len(untouched)},
+            file_stats=self._carried_stats(prev, untouched),
         )
 
     def delete(self, condition: str) -> None:
-        """DELETE WHERE — copy-on-write anti-filter.  SQL three-valued
-        semantics: only rows where the condition is TRUE are deleted;
-        NULL-evaluating rows are KEPT (plain ``~cond`` would drop them)."""
-        cur = self.read().filter(~F.expr(condition).eqNullSafe(F.lit(True)))
+        """DELETE WHERE — FILE-PRUNED copy-on-write anti-filter: only
+        files containing a to-be-deleted row are rewritten.  SQL
+        three-valued semantics: only rows where the condition is TRUE
+        are deleted; NULL-evaluating rows are KEPT (plain ``~cond``
+        would drop them)."""
         prev = self._latest()
+        touched, untouched = self._touched_untouched(condition, prev)
+        if not touched:
+            self._commit(
+                "DELETE", prev.data_dirs, prev.schema_ddl,
+                {"condition": condition},
+                metrics={"files_rewritten": 0},
+                file_stats=prev.file_stats or {},
+            )
+            return
+        cur = self._evolved([self._abs(r) for r in touched], prev).filter(
+            ~F.expr(condition).eqNullSafe(F.lit(True))
+        )
         rel = self._new_data_dir(prev.version + 1)
         cur.write.mode("overwrite").parquet(f"{self.path}/{rel}")
-        self._commit("DELETE", [rel], prev.schema_ddl, {"condition": condition})
+        self._commit(
+            "DELETE", untouched + [rel], prev.schema_ddl,
+            {"condition": condition},
+            metrics={"files_rewritten": len(touched),
+                     "files_carried": len(untouched)},
+            file_stats=self._carried_stats(prev, untouched),
+        )
 
     def merge(
         self,
@@ -343,6 +471,7 @@ class VersionedTable:
                 "update_condition is meaningless with update=False "
                 "(no WHEN MATCHED clause)"
             )
+        prev = self._latest()
         cur = self.read()
         cols = cur.columns
         # Delta raises when several source rows match one target row; a
@@ -353,7 +482,8 @@ class VersionedTable:
         terms = [t.strip() for t in re.split(r"(?i)\s+AND\s+", on.strip())]
         pair_re = re.compile(r"^(?:t\.(\w+)\s*=\s*s\.(\w+)|s\.(\w+)\s*=\s*t\.(\w+))$")
         matches = [pair_re.match(t) for t in terms]
-        if all(matches):
+        conj_eq = bool(matches) and all(matches)
+        if conj_eq:
             pairs = [
                 ((m.group(1) or m.group(4)), (m.group(2) or m.group(3)))
                 for m in matches
@@ -368,6 +498,30 @@ class VersionedTable:
                     f"MERGE source has multiple rows per join key {s_keys} that "
                     "match one target row — Delta semantics forbid this"
                 )
+        # File-pruned copy-on-write (Delta's rewrite-set pruning): when
+        # no BY SOURCE clause is present, only files containing a
+        # MATCHED target row can change — probe them with a left-semi
+        # join on the ON condition (second source pass, like Delta's own
+        # find-touched-files scan) and carry every other file forward by
+        # reference.  A BY SOURCE clause can touch any target row, so it
+        # keeps the full rewrite; non-conjunctive-equality ON forms skip
+        # pruning to keep the probe an equi-join.
+        untouched: list[str] = []
+        touched_n: int | None = None
+        if unmatched_by_source_action is None and conj_eq:
+            all_paths = self.scan_files(prev.version)
+            probe = (
+                self._evolved(all_paths, prev)
+                .withColumn("__dew_file", F.input_file_name())
+                .alias("t")
+                .join(source.alias("s"), F.expr(on), "left_semi")
+            )
+            touched_set = self._refs_of_probe(probe)
+            refs = self._active_refs(prev)
+            touched = [r for r in refs if r in touched_set]
+            untouched = [r for r in refs if r not in touched_set]
+            touched_n = len(touched)
+            cur = self._evolved([self._abs(r) for r in touched], prev)
         src = source.alias("s")
         joined = (
             cur.withColumn("__t_present", F.lit(True))
@@ -405,14 +559,20 @@ class VersionedTable:
         if unmatched_by_source_action == "delete":
             keep = keep & ~(tgt_only & nmbs_cond)
         out = joined.select(*[_out_col(c) for c in cols]).filter(keep)
-        prev = self._latest()
         rel = self._new_data_dir(prev.version + 1)
         out.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        metrics = (
+            {"files_rewritten": touched_n, "files_carried": len(untouched)}
+            if touched_n is not None
+            else {}
+        )
         self._commit(
             "MERGE",
-            [rel],
+            untouched + [rel],
             prev.schema_ddl,
-            {
+            metrics=metrics,
+            file_stats=self._carried_stats(prev, untouched),
+            params={
                 "on": on,
                 "update_condition": update_condition,
                 "unmatched_by_source_action": unmatched_by_source_action,
@@ -507,7 +667,11 @@ class VersionedTable:
             raise ValueError("retain_last must be >= 1")
         keep: set[str] = set()
         for c in commits[-retain_last:]:
-            keep.update(c.data_dirs)
+            for d in c.data_dirs:
+                # a carried-forward FILE ref keeps its containing
+                # directory alive (conservative: partially-referenced
+                # dirs are kept whole — ours vacuums at dir granularity)
+                keep.add(d if os.path.isabs(d) else d.split("/", 1)[0])
         removed = []
         for entry in sorted(os.listdir(self.path)):
             full = f"{self.path}/{entry}"

@@ -189,6 +189,9 @@ def test_restore_is_metadata_only_new_commit(spark, tmp_path):
 
 
 def test_vacuum_removes_unreferenced_dirs_only(spark, tmp_path):
+    """File-pruned COW interplay: a selective DML carries untouched v0
+    FILES forward by reference, so v0's directory stays alive under
+    vacuum until a full rewrite (OPTIMIZE) drops the last reference."""
     import os
 
     from dataengineeringworkshop_spark.tables.versioned import VersionedTable
@@ -196,15 +199,20 @@ def test_vacuum_removes_unreferenced_dirs_only(spark, tmp_path):
     path = str(tmp_path / "t")
     t = VersionedTable(spark, path)
     t.write(spark.range(10).withColumnRenamed("id", "v"))         # v0
-    t.update({"v": "v + 1"}, condition="v < 3")                   # v1
-    t.delete("v >= 8")                                            # v2
-    removed = t.vacuum(retain_last=2)                             # keeps v1+v2 dirs
-    assert len(removed) == 1                                      # v0's dir
+    t.update({"v": "v + 1"}, condition="v < 3")                   # v1 carries v0 files
+    t.delete("v >= 8")                                            # v2 carries more
+    removed = t.vacuum(retain_last=1)                             # v3
+    # the live snapshot still references carried v0/v1 files — nothing
+    # may be deleted even at retain_last=1
+    assert removed == []
+    assert t.read().count() == 8
+    t.optimize()                                                  # v4: full rewrite
+    removed = t.vacuum(retain_last=1)                             # v5
+    assert len(removed) >= 2                                      # v0+v1(+v2) dirs
     ops = [r.operation for r in t.history().orderBy("version").collect()]
     assert ops[-1] == "VACUUM"
-    # latest still reads; vacuumed version raises
+    # latest still reads; vacuumed versions raise
     assert t.read().count() == 8
-    assert t.read(version=1).count() == 10
     import pytest as _pytest
 
     with _pytest.raises(Exception):
