@@ -710,3 +710,83 @@ def vt_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return lh.sql("select * from orders_sync")
+
+
+# MERGE WITH SCHEMA EVOLUTION: the source carries a column the target
+# lacks (sync_src); evolution adds it — updated/inserted rows take the
+# source value, every pre-existing row reads NULL.
+_SCHEMA_EVOLUTION_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+    ),
+    src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 100 AS o_totalprice, o_orderpriority,
+               'batch7' AS sync_src
+        FROM base WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+               o_orderpriority, 'batch7'
+        FROM base WHERE o_orderkey % 10 = 7
+    )
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+                ELSE t.o_orderpriority END AS o_orderpriority,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.sync_src
+                ELSE CAST(NULL AS VARCHAR) END AS sync_src
+    FROM base t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+"""
+
+
+@query(
+    "vt_merge_schema_evolution",
+    oracle=_SCHEMA_EVOLUTION_ORACLE,
+    tags=("D4", "S10", "sql-dml", "schema-evolution"),
+)
+def vt_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE WITH SCHEMA EVOLUTION`` (Delta ≥3.2 grammar), as SQL TEXT
+    through the sqldml router: the source carries a lineage column
+    (``sync_src``) the target lacks; evolution adds it to the table
+    schema — updated and inserted rows take the source value, every
+    pre-existing row reads back NULL (the same read path ADD COLUMN
+    uses: old files surface the new column as NULL, no rewrite of
+    untouched data).  The reference's MERGE (N2:534-540) predates this
+    form; it is the variant a lakehouse hits the first time an upstream
+    producer adds a field.  Scale: identical plan to the two-clause
+    MERGE — one full-outer key join; schema evolution is a
+    METADATA-only change for untouched files."""
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(
+        tempfile.mkdtemp(prefix="dew_schemaevo_"), spark=spark,
+        table_backend="versioned",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    lh.create_table("orders_evo", o)  # v0
+    src = o.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 10 == 7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    ).withColumn("sync_src", F.lit("batch7"))
+    src.createOrReplaceTempView("v_evo_src")
+    lh.sql(
+        """
+        merge with schema evolution into orders_evo t
+           using v_evo_src s
+           on t.o_orderkey = s.o_orderkey
+        when matched then update set *
+        when not matched then insert *
+        """
+    )
+    return lh.sql("select * from orders_evo")

@@ -178,9 +178,10 @@ DRIVER_PREFIX = 50
 # consecutive green rows each (w11_cumulative_distinct,
 # j9_bloom_prefilter_semi, ts_seasonal_naive_forecast,
 # e_two_proportion_ztest, g_triangle_count).  New round-11 surface
-# (MERGE full-sync WHEN NOT MATCHED BY SOURCE, deterministic
-# hash-bucket sampling) is added BEHIND the rotation and pre-proven in
-# driver_sim EXTRA — the same discipline as r7-r10.
+# (MERGE full-sync WHEN NOT MATCHED BY SOURCE, MERGE WITH SCHEMA
+# EVOLUTION, deterministic hash-bucket sampling) is added BEHIND the
+# rotation and pre-proven in driver_sim EXTRA — the same discipline as
+# r7-r10.
 _PRIORITY: tuple[str, ...] = (
     "flagship_region_month_revenue",
     # §2 breadth composites (family anchors)

@@ -14,7 +14,8 @@ to ``spark.sql`` (after the ``col:json.path`` translation in
 ``sqlcompat``).
 
 Scope is deliberately the reference's surface: ``UPDATE t SET c = expr
-[, …] [WHERE cond]``, ``DELETE FROM t WHERE cond``, ``MERGE INTO t [AS]
+[, …] [WHERE cond]``, ``DELETE FROM t WHERE cond``, ``MERGE [WITH
+SCHEMA EVOLUTION] INTO t [AS]
 a USING src [AS] b ON cond WHEN MATCHED [AND cond] THEN UPDATE SET *
 [WHEN NOT MATCHED [BY TARGET] THEN INSERT *] [WHEN NOT MATCHED BY
 SOURCE [AND cond] THEN DELETE | UPDATE SET c = expr, …]`` (the modern
@@ -82,7 +83,7 @@ _ALTER_RE = re.compile(
 )
 _HISTORY_RE = re.compile(r"^describe\s+history\s+(\w+)$", re.IGNORECASE)
 _MERGE_RE = re.compile(
-    r"^merge\s+into\s+(\w+)(?:\s+as)?(?:\s+(\w+))?\s+"
+    r"^merge\s+(with\s+schema\s+evolution\s+)?into\s+(\w+)(?:\s+as)?(?:\s+(\w+))?\s+"
     r"using\s+(\w+)(?:\s+as)?(?:\s+(\w+))?\s+"
     r"on\s+(.*?)\s*"
     r"(when\s+.*)$",
@@ -170,13 +171,14 @@ def execute(lh: "Lakehouse", statement: str) -> DataFrame:
 
     m = _MERGE_RE.match(sql)
     if m:
+        schema_evolution = bool(m.group(1))
         table, t_alias, source, s_alias, on, clauses_text = (
-            m.group(1),
-            m.group(2) or m.group(1),
-            m.group(3),
-            m.group(4) or m.group(3),
-            m.group(5),
+            m.group(2),
+            m.group(3) or m.group(2),
+            m.group(4),
+            m.group(5) or m.group(4),
             m.group(6),
+            m.group(7),
         )
         update_condition, insert, has_matched = None, False, False
         nmbs_action: str | None = None
@@ -242,6 +244,7 @@ def execute(lh: "Lakehouse", statement: str) -> DataFrame:
             unmatched_by_source_action=nmbs_action,
             unmatched_by_source_condition=nmbs_condition,
             unmatched_by_source_set=nmbs_set,
+            schema_evolution=schema_evolution,
         )
         lh.refresh_view(table)
         return _status(lh, "MERGE", table)

@@ -429,14 +429,23 @@ class VersionedTable:
         unmatched_by_source_action: str | None = None,
         unmatched_by_source_condition: str | None = None,
         unmatched_by_source_set: dict[str, str] | None = None,
+        schema_evolution: bool = False,
     ) -> None:
-        """MERGE INTO target t USING source s ON <on>
+        """MERGE [WITH SCHEMA EVOLUTION] INTO target t USING source s ON <on>
         WHEN MATCHED [AND <update_condition>] THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *      (D4, N2:534-540)
         [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET …]
         — the modern full-sync form (Delta Lake ≥2.3 / Spark 3.4 MERGE
         grammar): target rows with NO source match are deleted or
         flag-updated, so one MERGE mirrors the source exactly.
+
+        ``schema_evolution=True`` (Delta's ``MERGE WITH SCHEMA
+        EVOLUTION``, Delta ≥3.2 grammar): source columns absent from the
+        target are ADDED to the table schema; pre-existing rows and
+        non-updated rows read NULL for them, updated/inserted rows take
+        the source value.  A type conflict on a SHARED column raises
+        (same as append's schema merge) — evolution adds columns, never
+        mutates types.
 
         ``on``/``update_condition`` reference columns as ``t.col`` /
         ``s.col``; ``unmatched_by_source_condition`` and the SET
@@ -474,6 +483,20 @@ class VersionedTable:
         prev = self._latest()
         cur = self.read()
         cols = cur.columns
+        # WITH SCHEMA EVOLUTION: collect source-only columns to add
+        new_fields = []
+        if schema_evolution:
+            have = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+            for f in source.schema.fields:
+                if f.name in have:
+                    got = f.dataType.simpleString()
+                    if have[f.name] != got:
+                        raise ValueError(
+                            f"MERGE schema evolution conflict on {f.name!r}: "
+                            f"table has {have[f.name]}, source has {got}"
+                        )
+                else:
+                    new_fields.append(f)
         # Delta raises when several source rows match one target row; a
         # full-outer join would silently DUPLICATE the target instead.
         # Checkable only for the pure conjunctive-equality ON form; the
@@ -543,14 +566,22 @@ class VersionedTable:
         upd_set = {
             c: F.expr(e) for c, e in (unmatched_by_source_set or {}).items()
         }
-        unknown = set(upd_set) - set(cols)
+        all_cols = cols + [f.name for f in new_fields]
+        unknown = set(upd_set) - set(all_cols)
         if unknown:
             raise ValueError(
                 f"NOT MATCHED BY SOURCE SET references unknown columns {sorted(unknown)}"
             )
+        new_types = {f.name: f.dataType for f in new_fields}
 
         def _out_col(c: str):
-            base = F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+            if c in new_types:
+                # evolution-added column: no target-side value exists
+                base = F.when(take_source, F.col(f"s.{c}")).otherwise(
+                    F.lit(None).cast(new_types[c])
+                )
+            else:
+                base = F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
             if unmatched_by_source_action == "update" and c in upd_set:
                 base = F.when(tgt_only & nmbs_cond, upd_set[c]).otherwise(base)
             return base.alias(c)
@@ -558,7 +589,16 @@ class VersionedTable:
         keep = t_here | (s_here & F.lit(insert))
         if unmatched_by_source_action == "delete":
             keep = keep & ~(tgt_only & nmbs_cond)
-        out = joined.select(*[_out_col(c) for c in cols]).filter(keep)
+        out = joined.select(*[_out_col(c) for c in all_cols]).filter(keep)
+        if new_fields:
+            from pyspark.sql.types import StructType
+
+            old_schema = StructType.fromDDL(_ddl_of(prev.schema_ddl))
+            schema_ddl = StructType(
+                list(old_schema.fields) + new_fields
+            ).simpleString()
+        else:
+            schema_ddl = prev.schema_ddl
         rel = self._new_data_dir(prev.version + 1)
         out.write.mode("overwrite").parquet(f"{self.path}/{rel}")
         metrics = (
@@ -569,7 +609,7 @@ class VersionedTable:
         self._commit(
             "MERGE",
             untouched + [rel],
-            prev.schema_ddl,
+            schema_ddl,
             metrics=metrics,
             file_stats=self._carried_stats(prev, untouched),
             params={

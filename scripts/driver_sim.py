@@ -29,6 +29,7 @@ EXTRA = [
     # pool) — exercised here so they arrive at their rotation already
     # proven
     "vt_merge_full_sync",
+    "vt_merge_schema_evolution",
     "cp_hash_sample_deterministic",
     # multi-round-green rows rotated OUT of the r11 prefix (their slots
     # went to the round-10 pool's first-time rows) — keep them

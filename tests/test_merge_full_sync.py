@@ -166,3 +166,57 @@ def test_sql_by_source_update_set_routes(spark, tmp_path):
         3: ("STALE-stale-high", 31),
         4: ("matched-nochange", 40),
     }
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """WITH SCHEMA EVOLUTION: source-only column lands in the schema;
+    matched-updated and inserted rows take the source value, untouched
+    rows read NULL; time travel to v0 still shows the old schema."""
+    vt, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "updated", 11, "b7"), (9, "fresh", 90, "b7")],
+        "k BIGINT, label STRING, v BIGINT, tag STRING",
+    )
+    vt.merge(src, on="t.k = s.k", schema_evolution=True)
+    got = {r.k: (r.label, r.v, r.tag) for r in vt.read().collect()}
+    assert got == {
+        1: ("updated", 11, "b7"),
+        2: ("stale-low", 20, None),
+        3: ("stale-high", 30, None),
+        4: ("matched-nochange", 40, None),
+        9: ("fresh", 90, "b7"),
+    }
+    assert "tag" not in vt.read(version=0).columns
+
+
+def test_merge_schema_evolution_type_conflict_raises(spark, tmp_path):
+    vt, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(1, "x", "not-a-bigint")], "k BIGINT, label STRING, v STRING")
+    with pytest.raises(ValueError, match="schema evolution conflict"):
+        vt.merge(src, on="t.k = s.k", schema_evolution=True)
+
+
+def test_merge_without_evolution_ignores_extra_source_columns(spark, tmp_path):
+    vt, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "updated", 11, "b7")], "k BIGINT, label STRING, v BIGINT, tag STRING"
+    )
+    vt.merge(src, on="t.k = s.k", insert=False)
+    assert "tag" not in vt.read().columns
+    assert {r.k: r.label for r in vt.read().collect()}[1] == "updated"
+
+
+def test_sql_merge_with_schema_evolution_routes(spark, tmp_path):
+    lh = Lakehouse(str(tmp_path / "lake3"), spark=spark, table_backend="versioned")
+    lh.create_table("evo_t", spark.createDataFrame(_TARGET, _SCHEMA))
+    spark.createDataFrame(
+        [(1, "updated", 11, "b7")], "k BIGINT, label STRING, v BIGINT, tag STRING"
+    ).createOrReplaceTempView("evo_s")
+    lh.sql(
+        """
+        merge with schema evolution into evo_t t using evo_s s on t.k = s.k
+        when matched then update set *
+        """
+    )
+    got = {r.k: (r.label, r.tag) for r in lh.sql("select * from evo_t").collect()}
+    assert got[1] == ("updated", "b7") and got[2] == ("stale-low", None)

@@ -1039,3 +1039,14 @@ def test_merge_full_sync_result_single_snapshot_scan(spark, registry):
     for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert ops[j] == 0, (j, ops)
+
+
+def test_merge_schema_evolution_result_single_snapshot_scan(spark, registry):
+    """vt_merge_schema_evolution reads ONE materialized snapshot with
+    the evolved schema; no base-table re-scan, no join on the read."""
+    plan = _plan(registry["vt_merge_schema_evolution"].fn(spark, SF_SMOKE))
+    ops = _ops(plan)
+    assert plan.count("orders.parquet") == 0
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert ops[j] == 0, (j, ops)
