@@ -532,7 +532,24 @@ class VersionedTable:
         untouched: list[str] = []
         touched_n: int | None = None
         if unmatched_by_source_action is None and conj_eq:
-            all_paths = self.scan_files(prev.version)
+            # Delta's join-key file skipping: bound the probe's target
+            # scan by the SOURCE's key range (one 1-row aggregate) so
+            # commit-log min/max stats drop non-overlapping files before
+            # the semi-join reads a row.  Numeric single-key form only —
+            # the conservative fallback is the full candidate set.
+            probe_where = None
+            if len(pairs) == 1:
+                t_key, s_key = pairs[0]
+                row = source.selectExpr(
+                    f"min({s_key})", f"max({s_key})"
+                ).collect()[0]
+                if (
+                    row[0] is not None
+                    and isinstance(row[0], (int, float))
+                    and not isinstance(row[0], bool)
+                ):
+                    probe_where = f"{t_key} >= {row[0]} AND {t_key} <= {row[1]}"
+            all_paths = self.scan_files(prev.version, probe_where)
             probe = (
                 self._evolved(all_paths, prev)
                 .withColumn("__dew_file", F.input_file_name())

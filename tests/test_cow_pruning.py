@@ -159,3 +159,46 @@ def test_pruned_dml_equals_full_state_recompute(spark, tmp_path, cond):
     keys = {int(x) for x in _re.findall(r"\d+", cond)}
     expect = {k: (v * 10 if k in keys else v) for k, v in before.items()}
     assert got == expect
+
+
+def test_merge_probe_uses_source_key_range_file_skipping(spark, tmp_path):
+    """Delta's join-key file skipping: on a stats-bearing (post-ZORDER)
+    table, the MERGE probe's candidate set is bounded by the SOURCE key
+    range before any row is read."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(k, k) for k in range(400)], "k INT, v INT"))
+    t.optimize(zorder_by=["k"], target_files=4)
+    src = spark.createDataFrame([(k, k * 100) for k in range(10, 20)], "k INT, v INT")
+    calls = []
+    orig = t.scan_files
+
+    def spy(version=None, where=None):
+        res = orig(version, where)
+        calls.append((where, len(res)))
+        return res
+
+    t.scan_files = spy
+    t.merge(src, on="t.k = s.k")
+    t.scan_files = orig
+    probe_calls = [c for c in calls if c[0] is not None]
+    assert probe_calls, "merge probe must pass a key-range predicate"
+    assert probe_calls[0][1] < 4, "stats must drop non-overlapping files"
+    c = t._commits()[-1]
+    assert c.metrics["files_rewritten"] == 1
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {k: (k * 100 if 10 <= k < 20 else k) for k in range(400)}
+
+
+def test_merge_source_disjoint_from_stats_ranges_inserts_only(spark, tmp_path):
+    """Source keys entirely OUTSIDE every file's min/max: the probe's
+    candidate set is empty and the merge degrades to pure insert with
+    every file carried."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(k, k) for k in range(400)], "k INT, v INT"))
+    t.optimize(zorder_by=["k"], target_files=4)
+    src = spark.createDataFrame([(9000, 1), (9001, 2)], "k INT, v INT")
+    t.merge(src, on="t.k = s.k")
+    c = t._commits()[-1]
+    assert c.metrics["files_rewritten"] == 0
+    assert c.metrics["files_carried"] == 4
+    assert t.read().count() == 402
