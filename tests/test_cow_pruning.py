@@ -202,3 +202,16 @@ def test_merge_source_disjoint_from_stats_ranges_inserts_only(spark, tmp_path):
     assert c.metrics["files_rewritten"] == 0
     assert c.metrics["files_carried"] == 4
     assert t.read().count() == 402
+
+
+def test_shallow_clone_of_cow_table_with_carried_file_refs(spark, tmp_path):
+    """A shallow clone taken AFTER selective DML references the source's
+    mixed dir+file active set by absolute path; reads match and clone
+    DML never mutates the source (snapshot isolation across tables)."""
+    t = _mk_four_file_table(spark, tmp_path)
+    t.update({"v": "v + 1000"}, condition="k >= 100 AND k < 200")
+    clone = t.shallow_clone(str(tmp_path / "clone"))
+    assert _state(clone) == _state(t)
+    clone.update({"v": "9999"}, condition="k = 1")
+    assert _state(clone)[1] == 9999
+    assert _state(t)[1] == 1, "clone DML must never mutate the source"
