@@ -50,6 +50,11 @@ class TableBackend(Protocol):
         on: str,
         update_condition: str | None = None,
         insert: bool = True,
+        update: bool = True,
+        unmatched_by_source_action: str | None = None,
+        unmatched_by_source_condition: str | None = None,
+        unmatched_by_source_set: dict[str, str] | None = None,
+        schema_evolution: bool = False,
     ) -> None: ...
 
     def optimize(self, zorder_by: list[str] | None = None, target_files: int = 4) -> None: ...
@@ -125,15 +130,36 @@ class DeltaBackend:
         on: str,
         update_condition: str | None = None,
         insert: bool = True,
+        update: bool = True,
+        unmatched_by_source_action: str | None = None,
+        unmatched_by_source_condition: str | None = None,
+        unmatched_by_source_set: dict[str, str] | None = None,
+        schema_evolution: bool = False,
     ) -> None:
-        m = (
-            self._dt()
-            .alias("t")
-            .merge(source.alias("s"), on)
-            .whenMatchedUpdateAll(condition=update_condition)
-        )
+        # Full MERGE surface, same signature as VersionedTable.merge —
+        # the SQL dispatcher (sqldml.py) always passes every kwarg, so
+        # this adapter must accept them all or every SQL MERGE breaks
+        # on a delta-spark deployment.
+        if unmatched_by_source_action not in (None, "delete", "update"):
+            raise ValueError(
+                "unmatched_by_source_action must be None, 'delete' or 'update'"
+            )
+        m = self._dt().alias("t").merge(source.alias("s"), on)
+        if schema_evolution:
+            m = m.withSchemaEvolution()
+        if update:
+            m = m.whenMatchedUpdateAll(condition=update_condition)
         if insert:
             m = m.whenNotMatchedInsertAll()
+        if unmatched_by_source_action == "delete":
+            m = m.whenNotMatchedBySourceDelete(
+                condition=unmatched_by_source_condition
+            )
+        elif unmatched_by_source_action == "update":
+            m = m.whenNotMatchedBySourceUpdate(
+                condition=unmatched_by_source_condition,
+                set=unmatched_by_source_set,
+            )
         m.execute()
 
     def optimize(self, zorder_by: list[str] | None = None, target_files: int = 4) -> None:

@@ -71,7 +71,14 @@ class VersionedTable:
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.path = path.rstrip("/")
+        p = path.rstrip("/")
+        # The COW probe relativizes input_file_name() URIs (always
+        # absolute) against this root; a RELATIVE root would never
+        # match, so every probe ref would silently fall outside the
+        # active set.  Normalize local paths to absolute up front.
+        if "://" not in p:
+            p = os.path.abspath(p)
+        self.path = p
 
     # ------------------------------------------------------------------ log
 
@@ -335,9 +342,14 @@ class VersionedTable:
         # stats-pruned candidates are untouched by construction
         untouched = [r for r in all_refs if r not in touched]
         touched_ordered = [r for r in all_refs if r in touched]
-        assert set(touched_ordered) == touched, (
-            "probe returned files outside the active set"
-        )
+        if set(touched_ordered) != touched:
+            # data-integrity invariant — a mismatch means matched rows
+            # would be silently dropped from the rewrite set, so this
+            # must survive ``python -O`` (never a bare assert)
+            raise RuntimeError(
+                "COW probe returned files outside the active set: "
+                f"{sorted(touched - set(touched_ordered))!r}"
+            )
         return touched_ordered, untouched
 
     def _carried_stats(self, prev: Commit, untouched: list[str]) -> dict:
@@ -450,7 +462,8 @@ class VersionedTable:
         ``on``/``update_condition`` reference columns as ``t.col`` /
         ``s.col``; ``unmatched_by_source_condition`` and the SET
         expressions reference ``t.col`` only (no source row exists on
-        that branch — Delta enforces the same rule).
+        that branch — Delta raises an analysis error there, and so do
+        we: an ``s.``-qualified reference is rejected up front).
         ``unmatched_by_source_action`` is ``None`` | ``"delete"`` |
         ``"update"`` (``"update"`` requires ``unmatched_by_source_set``).
         ``update=False`` models a MERGE with NO ``WHEN MATCHED`` clause
@@ -480,6 +493,24 @@ class VersionedTable:
                 "update_condition is meaningless with update=False "
                 "(no WHEN MATCHED clause)"
             )
+        # NOT MATCHED BY SOURCE clauses run where no source row exists:
+        # an s.col reference there would silently evaluate to NULL on
+        # the full-outer join's target-only branch.  Delta raises an
+        # analysis error for this — reject it up front (t.col only).
+        s_ref = re.compile(r"(?<![\w.'\"])s\.\w+")
+        for label, expr in [
+            ("unmatched_by_source_condition", unmatched_by_source_condition),
+            *[
+                (f"unmatched_by_source_set[{c!r}]", e)
+                for c, e in (unmatched_by_source_set or {}).items()
+            ],
+        ]:
+            if expr and s_ref.search(expr):
+                raise ValueError(
+                    f"{label} may reference target columns (t.col) only — "
+                    "no source row exists on the NOT MATCHED BY SOURCE "
+                    f"branch (got: {expr!r})"
+                )
         prev = self._latest()
         cur = self.read()
         cols = cur.columns
@@ -558,6 +589,16 @@ class VersionedTable:
             )
             touched_set = self._refs_of_probe(probe)
             refs = self._active_refs(prev)
+            stray = touched_set - set(refs)
+            if stray:
+                # same invariant as _touched_untouched: a probe ref
+                # outside the active set means matched target files
+                # would be carried forward unchanged while the join
+                # re-inserts their rows — silent duplicates
+                raise RuntimeError(
+                    "MERGE probe returned files outside the active set: "
+                    f"{sorted(stray)!r}"
+                )
             touched = [r for r in refs if r in touched_set]
             untouched = [r for r in refs if r not in touched_set]
             touched_n = len(touched)

@@ -130,3 +130,20 @@ def test_delta_backend_contract(spark, tmp_path):  # pragma: no cover
     t.add_column("extra_col", "string")
     assert "extra_col" in t.read().columns
     assert t.history().count() >= 5
+
+
+def test_delta_backend_merge_signature_matches_versioned():
+    """r11 ADVICE: sqldml always passes the full MERGE kwarg set, so the
+    DeltaBackend adapter must accept exactly the same signature as
+    VersionedTable.merge — otherwise every SQL MERGE on a delta-spark
+    deployment dies with TypeError before reaching Delta."""
+    import inspect
+
+    from dataengineeringworkshop_spark.tables.backend import DeltaBackend
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    d = inspect.signature(DeltaBackend.merge).parameters
+    v = inspect.signature(VersionedTable.merge).parameters
+    assert list(d) == list(v)
+    for name in v:
+        assert d[name].default == v[name].default, name

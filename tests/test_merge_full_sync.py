@@ -220,3 +220,69 @@ def test_sql_merge_with_schema_evolution_routes(spark, tmp_path):
     )
     got = {r.k: (r.label, r.tag) for r in lh.sql("select * from evo_t").collect()}
     assert got[1] == ("updated", "b7") and got[2] == ("stale-low", None)
+
+
+def test_unmatched_by_source_rejects_source_refs(spark, tmp_path):
+    """r11 ADVICE: an s.col reference on the BY SOURCE branch would
+    silently evaluate to NULL (no source row exists there) — Delta
+    raises an analysis error; so do we."""
+    vt, src = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="t.col.*only"):
+        vt.merge(
+            src,
+            on="t.k = s.k",
+            unmatched_by_source_action="delete",
+            unmatched_by_source_condition="t.v <= s.v",
+        )
+    with pytest.raises(ValueError, match="t.col.*only"):
+        vt.merge(
+            src,
+            on="t.k = s.k",
+            unmatched_by_source_action="update",
+            unmatched_by_source_set={"label": "s.label"},
+        )
+    # t.-qualified and unqualified refs stay legal
+    vt.merge(
+        src,
+        on="t.k = s.k",
+        unmatched_by_source_action="update",
+        unmatched_by_source_set={"label": "concat(t.label, '!')"},
+    )
+    assert {r.k: r.label for r in vt.read().collect()}[2] == "stale-low!"
+
+
+def test_merge_on_relative_table_path(spark, tmp_path, monkeypatch):
+    """r11 ADVICE: a relative table root used to make every probe ref
+    fall outside the active set — matched files were carried forward
+    unchanged while the join re-inserted their rows (silent
+    duplicates).  The root is now normalized to absolute."""
+    monkeypatch.chdir(tmp_path)
+    vt = VersionedTable(spark, "rel_tbl")
+    vt.write(spark.createDataFrame(_TARGET, _SCHEMA))
+    src = spark.createDataFrame(_SOURCE, _SCHEMA)
+    vt.merge(src, on="t.k = s.k")
+    got = {r.k: (r.label, r.v) for r in vt.read().collect()}
+    assert got == {
+        1: ("updated", 11),
+        2: ("stale-low", 20),
+        3: ("stale-high", 30),
+        4: ("matched-nochange", 40),
+        9: ("fresh", 90),
+    }
+    # and the commit actually pruned: only the touched file was rewritten
+    hist = {r.operation: r for r in vt.history().collect()}
+    assert "MERGE" in hist
+
+
+def test_merge_probe_outside_active_set_raises(spark, tmp_path, monkeypatch):
+    """The probe/active-set invariant is a RuntimeError (survives
+    ``python -O``), not a bare assert, in BOTH merge() and
+    _touched_untouched()."""
+    vt, src = _mk(spark, tmp_path)
+    monkeypatch.setattr(
+        VersionedTable, "_refs_of_probe", lambda self, probe: {"bogus/ref.parquet"}
+    )
+    with pytest.raises(RuntimeError, match="outside the active set"):
+        vt.merge(src, on="t.k = s.k")
+    with pytest.raises(RuntimeError, match="outside the active set"):
+        vt.update({"v": "v + 1"}, condition="k = 1")
