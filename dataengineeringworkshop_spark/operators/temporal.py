@@ -148,13 +148,19 @@ def global_session_intervals(
        gap rule, so the result is row-identical to a single-pass
        sessionize, including the 1-based start-order session numbering.
 
-    The merge pass IS a single-partition window — but over summaries,
-    whose count is bounded by the TIME RANGE, not the data: distinct
-    local sessions in one band are separated by > gap_seconds, so a
-    band holds <= band_seconds/gap_seconds + 1 of them (7 at the 1h/10min
-    defaults) — a year of timeline is <= ~61k summary rows whether the
-    events are 60k or 60 billion.  Requires band_seconds > gap_seconds
-    (defaults to max(6*gap, 3600))."""
+    The one single-partition window in the plan folds ONLY the
+    band-BOUNDARY sessions (first/last per band, <= 2 per band =
+    O(#bands) rows regardless of gap_seconds): an interior session is
+    preceded and followed by a > gap_seconds silence inside its own
+    band, so it can never merge across a band edge — only boundary
+    sessions can.  (Boundary-only folding is also exact in the other
+    direction: between a band's first and last session every
+    intervening gap exceeds gap_seconds, so the fold's coarser
+    first-end → last-start distance exceeds it too and never wrongly
+    merges them.)  The final 1-based start-order numbering is a
+    two-level rank — per-band row_number + an O(#bands) cumulative
+    offset — so no per-session single-partition pass runs either.
+    Requires band_seconds > gap_seconds (defaults to max(6*gap, 3600))."""
     if band_seconds is None:
         band_seconds = max(gap_seconds * 6, 3600)
     if band_seconds <= gap_seconds:
@@ -175,6 +181,21 @@ def global_session_intervals(
         .agg(F.min("__tus").alias("start_us"), F.max("__tus").alias("end_us"))
     )
 
+    # split local sessions into band-boundary (first/last of their
+    # band, <= 2 per band) and interior rows: only boundary sessions
+    # can merge across a band edge, so the single-partition fold below
+    # sees O(#bands) rows however small gap_seconds is
+    w_band = Window.partitionBy("__band").orderBy("start_us", "end_us")
+    w_band_desc = Window.partitionBy("__band").orderBy(
+        F.col("start_us").desc(), F.col("end_us").desc()
+    )
+    marked = local.withColumn(
+        "__is_bnd",
+        (F.row_number().over(w_band) == 1) | (F.row_number().over(w_band_desc) == 1),
+    )
+    interior = marked.filter(~F.col("__is_bnd")).select("start_us", "end_us")
+    boundary = marked.filter(F.col("__is_bnd")).select("start_us", "end_us")
+
     # session intervals are pairwise disjoint, so start_us is a strict
     # total order (end_us tiebreak is belt-and-braces only)
     w2 = Window.orderBy("start_us", "end_us")
@@ -183,11 +204,38 @@ def global_session_intervals(
     new_glob = F.when(
         prev_end.isNull() | ((F.col("start_us") - prev_end) > gap_us), 1
     ).otherwise(0)
-    return (
-        local.withColumn("__new", new_glob)
-        .withColumn("session_id", F.sum("__new").over(w2_run))
-        .groupBy("session_id")
+    merged = (
+        boundary.withColumn("__new", new_glob)
+        .withColumn("__g", F.sum("__new").over(w2_run))
+        .groupBy("__g")
         .agg(F.min("start_us").alias("start_us"), F.max("end_us").alias("end_us"))
+        .drop("__g")
+    )
+
+    # 1-based start-order numbering without a per-session global pass:
+    # rank within the start band, then add a cumulative per-band offset
+    # (O(#bands) rows through the ordered window)
+    finals = merged.unionByName(interior).withColumn(
+        "__band", F.floor(F.col("start_us") / F.lit(band_us))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("__band").orderBy("start_us", "end_us")
+    )
+    counts = finals.groupBy("__band").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__band", "__off")
+    return (
+        finals.withColumn("__rn", rn)
+        .join(F.broadcast(offsets), "__band")
+        .select(
+            (F.col("__off") + F.col("__rn")).alias("session_id"),
+            "start_us",
+            "end_us",
+        )
     )
 
 

@@ -177,6 +177,33 @@ def vt_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vt_zorder_multi_skipping",
+    oracle="""
+        SELECT o.*, TRUE AS files_pruned
+        FROM orders o
+        WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+    """,
+    tags=("D7",),
+)
+def vt_zorder_multi_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column ZORDER point-lookup skipping on the SECOND zorder
+    column (`2 Medaillon architecture.py:455-458` motivates ZORDER for
+    exactly this).  OPTIMIZE Morton-interleaves the (o_custkey,
+    o_orderkey) quantile-bucket bits — a lexicographic sort would leave
+    every file spanning o_orderkey's full range and prune nothing here.
+    ``files_pruned`` is computed from the actual scan-file lists, so
+    the oracle's TRUE literal FAILS the hash check if second-column
+    skipping ever regresses to the lexicographic behavior."""
+    vt, _ = _orders_table(spark, sf_dir)
+    vt.optimize(zorder_by=["o_custkey", "o_orderkey"], target_files=8)
+    mn = vt.read().agg(F.min("o_orderkey")).collect()[0][0]
+    pruned = len(vt.scan_files(where=f"o_orderkey = {mn}")) < len(vt.scan_files())
+    return vt.read(where=f"o_orderkey = {mn}").withColumn(
+        "files_pruned", F.lit(bool(pruned))
+    )
+
+
+@query(
     "vt_delete_where",
     # NULL-correct DELETE semantics: rows where the condition is not TRUE survive
     oracle="SELECT * FROM orders WHERE o_orderstatus IS NULL OR NOT (o_orderstatus = 'P')",

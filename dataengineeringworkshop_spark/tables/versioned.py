@@ -682,11 +682,27 @@ class VersionedTable:
 
     def optimize(self, zorder_by: list[str] | None = None, target_files: int = 4) -> None:
         """OPTIMIZE [ZORDER BY cols] (D7, N2:455-458): compact to
-        ``target_files`` files; with ``zorder_by``, range-partition + sort
-        on those columns so parquet row-group min/max stats give the same
-        data-skipping effect Z-ordering buys in Delta."""
+        ``target_files`` files.
+
+        One zorder column: range-partition + sort on it — identical
+        skipping to Delta's single-column ZORDER.  Several columns:
+        Morton-interleave the columns' quantile-bucket bits and
+        range-partition on the interleaved key (what Delta's ZORDER
+        actually does), so every file keeps a TIGHT min/max range on
+        EVERY zorder column — a lexicographic multi-column sort leaves
+        each file spanning the full range of the second column, and
+        point lookups there skip nothing.  Columns the quantizer can't
+        bucket (non-numeric/date/timestamp) fall back to the
+        lexicographic sort."""
         cur = self.read()
-        if zorder_by:
+        if zorder_by and len(zorder_by) > 1 and (zkey := _morton_key(cur, zorder_by)) is not None:
+            out = (
+                cur.withColumn("__dew_z", zkey)
+                .repartitionByRange(target_files, "__dew_z")
+                .sortWithinPartitions("__dew_z")
+                .drop("__dew_z")
+            )
+        elif zorder_by:
             out = cur.repartitionByRange(target_files, *zorder_by).sortWithinPartitions(
                 *zorder_by
             )
@@ -866,6 +882,64 @@ class VersionedTable:
             rows,
             "version long, timestamp_ms long, operation string, operation_params string, n_data_dirs int",
         )
+
+
+#: bits per zorder column in the Morton key (256 rank buckets — same
+#: order of magnitude as Delta's ~1000 range-partition ids)
+_Z_BITS = 8
+
+
+def _morton_key(df: DataFrame, cols: list[str]):
+    """Morton (Z-curve) key for multi-column OPTIMIZE ZORDER.
+
+    Each column is quantized to ``2**_Z_BITS`` rank buckets via
+    approxQuantile boundaries — ONE extra scan, and the driver holds
+    only <=255 boundary doubles per column (metadata-scale, the same
+    sampling Delta's ``range_partition_id`` does).  The bucket bits are
+    then interleaved (bit j of column i lands at position ``j*k + i``)
+    so that range-partitioning on the key gives every file a tight
+    min/max range on EVERY zorder column.  Bucket assignment is a
+    JVM-side higher-order function over the literal boundary array —
+    no Python UDF, fully distributed.
+
+    Returns ``None`` when any column is not numeric/date/timestamp
+    (the caller falls back to the lexicographic sort).
+    """
+    from functools import reduce
+
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    nums = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, NumericType):
+            nums.append(F.col(c).cast("double"))
+        elif isinstance(dt, (DateType, TimestampType)):
+            nums.append(F.unix_micros(F.col(c).cast("timestamp")).cast("double"))
+        else:
+            return None
+    proj = df.select(*[n.alias(f"__z{i}") for i, n in enumerate(nums)])
+    probs = [i / (1 << _Z_BITS) for i in range(1, 1 << _Z_BITS)]
+    quantiles = proj.approxQuantile(
+        [f"__z{i}" for i in range(len(nums))], probs, 0.001
+    )
+    k = len(cols)
+    bit_parts = []
+    for i, (num, qs) in enumerate(zip(nums, quantiles)):
+        bnds = sorted(set(qs))  # skew dedups boundaries; constant col -> []
+        arr = F.array(*[F.lit(float(b)) for b in bnds])
+        # NB: the lambda must be 1-arg (a 2-arg lambda makes F.filter
+        # pass (element, index)); it is invoked eagerly here, so the
+        # loop-variable closure is safe
+        bucket = F.size(F.filter(arr, lambda b: num > b)).cast("long")
+        bucket = F.when(num.isNull(), F.lit(0).cast("long")).otherwise(bucket)
+        for j in range(_Z_BITS):
+            bit_parts.append(
+                F.shiftleft(
+                    F.shiftright(bucket, j).bitwiseAND(F.lit(1)), j * k + i
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), bit_parts)
 
 
 def _footer_stats(abs_dir: str, rel_dir: str, columns: list[str]) -> dict:

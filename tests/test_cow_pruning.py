@@ -215,3 +215,51 @@ def test_shallow_clone_of_cow_table_with_carried_file_refs(spark, tmp_path):
     clone.update({"v": "9999"}, condition="k = 1")
     assert _state(clone)[1] == 9999
     assert _state(t)[1] == 1, "clone DML must never mutate the source"
+
+
+def test_multicolumn_zorder_prunes_on_second_column(spark, tmp_path):
+    """r11 VERDICT: multi-column ZORDER must Morton-interleave, not
+    lexicographic-sort — under a lexicographic (a, b) sort every file
+    spans b's FULL range (4096 rows / 16 files = 4 a-values x all 64
+    b-values each), so a point lookup on b prunes nothing.  The Morton
+    key gives each file a tight range on BOTH columns."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "mz"))
+    # 64x64 full grid: a and b independent by construction
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    )
+    t.write(df)
+    t.optimize(zorder_by=["a", "b"], target_files=16)
+    n_all = len(t.scan_files())
+    assert n_all > 1
+    # second zorder column: the lexicographic plan prunes 0 files here
+    pruned_b = len(t.scan_files(where="b = 5"))
+    assert pruned_b <= n_all // 2, (
+        f"b-point-lookup scanned {pruned_b}/{n_all} files — no interleave?"
+    )
+    # first column skipping must survive the interleave too
+    pruned_a = len(t.scan_files(where="a = 5"))
+    assert pruned_a <= n_all // 2
+    # and the row set is exactly preserved
+    assert t.read(where="b = 5").count() == 64
+    assert t.read(where="a = 5").count() == 64
+    assert t.read().count() == 4096
+
+
+def test_multicolumn_zorder_nonnumeric_falls_back_lexicographic(spark, tmp_path):
+    """A string zorder column can't be rank-bucketed — optimize must
+    still succeed via the lexicographic fallback, with stats on the
+    leading column."""
+    t = VersionedTable(spark, str(tmp_path / "sz"))
+    df = spark.createDataFrame(
+        [(k, f"s{k % 7}", k) for k in range(400)], "k INT, s STRING, v INT"
+    )
+    t.write(df)
+    t.optimize(zorder_by=["k", "s"], target_files=4)
+    n_all = len(t.scan_files())
+    assert t.read().count() == 400
+    assert len(t.scan_files(where="k = 3")) < n_all

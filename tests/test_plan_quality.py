@@ -564,6 +564,45 @@ def test_interval_overlap_incident_windows_are_banded(spark, registry):
         )
 
 
+def test_global_session_fold_input_is_boundary_subset(spark):
+    """r12 (VERDICT r11 #4): the single-partition merge fold must see
+    ONLY band-boundary sessions (<= 2 per band, O(#bands) rows), never
+    every local session — at a 1 s gap over years of 100 TB timeline
+    the session count is event-scale and an all-sessions fold is the
+    plan's bottleneck.  Pin: the boundary filter exists below the
+    unpartitioned window, and no SinglePartition exchange carries
+    per-event attributes."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.operators.temporal import (
+        global_session_intervals,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") * 3).alias("ts"),
+    )
+    plan = _plan(
+        global_session_intervals(df, ts="ts", gap_seconds=60, band_seconds=3600)
+    )
+    # the boundary-subset filter survives optimization (Catalyst inlines
+    # the __is_bnd projection into the (rn_asc = 1) OR (rn_desc = 1)
+    # predicate over the two band-partitioned row_numbers)
+    assert re.search(r"= 1\) OR \(\S+ = 1\)", plan), plan
+    assert re.search(r"hashpartitioning\(__band", plan), plan
+    blocks = re.split(r"\n\n", plan)
+    single = [
+        b for b in blocks
+        if "Exchange" in b and "SinglePartition" in b and "Input" in b
+    ]
+    assert single, "expected the bounded boundary-merge exchange:\n" + plan
+    for b in single:
+        inp = next(ln for ln in b.split("\n") if ln.startswith("Input"))
+        assert "event_id" not in inp and "__tus" not in inp, (
+            "per-event attributes crossing a SinglePartition exchange:\n" + b
+        )
+
+
 def test_global_session_intervals_matches_single_pass(spark):
     """Ground truth: the two-level banded sessionize must be
     row-identical (ids included) to the naive single-partition
