@@ -204,6 +204,54 @@ def vt_zorder_multi_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vt_history_rewrite_metrics",
+    oracle="""
+        WITH span AS (
+            SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders
+        )
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+               o.o_totalprice + 100.0 AS o_totalprice,
+               TRUE AS pruned_rewrite, TRUE AS bytes_accounted
+        FROM orders o, span
+        WHERE o.o_orderkey <= span.mn + (span.mx - span.mn) / 16.0
+    """,
+    tags=("D5", "D7"),
+)
+def vt_history_rewrite_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY rewrite accounting (D5, N1:196-198 + N2:455-458):
+    after OPTIMIZE ZORDER, a 1/16-key-span UPDATE is stats-pruned to a
+    strict subset of files, and the UPDATE commit's ``history()`` row
+    carries the Delta ``numTargetFiles/BytesRemoved``-parity counters
+    proving it — files/bytes rewritten strictly below the table total,
+    with the written-side (files_added/bytes_added) accounted too.  The
+    booleans are computed from the ACTUAL history metrics, so the
+    oracle's TRUE literals fail the hash if pruned rewrite accounting
+    ever regresses to full-rewrite or stops being recorded."""
+    vt, _ = _orders_table(spark, sf_dir)
+    vt.optimize(zorder_by=["o_orderkey"], target_files=8)
+    row = vt.read().agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    thr = row[0] + (row[1] - row[0]) / 16.0
+    vt.update({"o_totalprice": "o_totalprice + 100.0"}, f"o_orderkey <= {thr!r}")
+    upd = [r for r in vt.history().collect() if r.operation == "UPDATE"][-1]
+    pruned = (
+        upd.files_rewritten is not None
+        and 1 <= upd.files_rewritten < upd.files_rewritten + upd.files_carried
+    )
+    bytes_ok = (
+        upd.bytes_rewritten is not None
+        and 0 < upd.bytes_rewritten < upd.bytes_rewritten + upd.bytes_carried
+        and upd.files_added >= 1
+        and upd.bytes_added > 0
+    )
+    return (
+        vt.read(where=f"o_orderkey <= {thr!r}")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .withColumn("pruned_rewrite", F.lit(bool(pruned)))
+        .withColumn("bytes_accounted", F.lit(bool(bytes_ok)))
+    )
+
+
+@query(
     "vt_delete_where",
     # NULL-correct DELETE semantics: rows where the condition is not TRUE survive
     oracle="SELECT * FROM orders WHERE o_orderstatus IS NULL OR NOT (o_orderstatus = 'P')",

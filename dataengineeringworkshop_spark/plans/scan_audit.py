@@ -48,7 +48,6 @@ CLEARED: dict[str, str] = {
     "tj_asof_click_view": "as-of union reads clicks and views from the same events table",
     "tj_range_click_purchase": "range join: two event-type slices of one table",
     "tj_range_sql_script": "range join, SQL-script form",
-    "tj_interval_overlap": "self-overlap join: two interval slices of events",
     "ts_spine_gapfill": "spine bounds scan + fill scan, both pruned",
     "e_chi_square_independence": "observed cells vs expected margins of one table",
     "e_retention_cohorts": "first-seen cohort pass + activity pass, both pruned",

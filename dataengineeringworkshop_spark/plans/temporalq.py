@@ -463,7 +463,8 @@ def tj_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     errs = e.filter(F.col("event_type") == "error")
     incidents = global_session_intervals(
-        errs, ts="ts", gap_seconds=600, order_tiebreak="event_id"
+        errs, ts="ts", gap_seconds=600, order_tiebreak="event_id",
+        artifact_key=f"gsi_err_incidents:{sf_dir}",
     ).select(
         F.col("session_id").alias("incident_id"),
         F.col("start_us").alias("i_start_us"),

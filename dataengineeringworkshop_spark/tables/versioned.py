@@ -358,6 +358,50 @@ class VersionedTable:
         stats = prev.file_stats or {}
         return {r: stats[r] for r in untouched if r in stats}
 
+    def _bytes_of_refs(self, refs: list[str]) -> int:
+        """Total on-disk parquet bytes of file/dir refs — driver-side
+        metadata op bounded by file count (the same footprint as Delta's
+        commit-planning stat collection, never row data)."""
+        total = 0
+        for r in refs:
+            p = self._abs(r)
+            if os.path.isdir(p):
+                total += sum(
+                    os.path.getsize(os.path.join(p, fn))
+                    for fn in os.listdir(p)
+                    if fn.endswith(".parquet")
+                )
+            elif os.path.exists(p):
+                total += os.path.getsize(p)
+        return total
+
+    def _written_metrics(self, rel: str) -> dict:
+        """files/bytes added by a freshly written data dir (Delta's
+        ``numTargetFilesAdded`` / ``numTargetBytesAdded`` parity)."""
+        base = f"{self.path}/{rel}"
+        parts = [fn for fn in os.listdir(base) if fn.endswith(".parquet")]
+        return {
+            "files_added": len(parts),
+            "bytes_added": sum(os.path.getsize(os.path.join(base, fn)) for fn in parts),
+        }
+
+    def _rewrite_metrics(self, rel: str, touched: list[str], untouched: list[str]) -> dict:
+        """Per-DML rewrite accounting surfaced via ``history()``:
+        ``files_rewritten``/``bytes_rewritten`` are the INPUT files a
+        full (unpruned) copy-on-write would also have rewritten but a
+        pruned one actually did (Delta ``numTargetFilesRemoved`` /
+        ``numTargetBytesRemoved``), ``files_carried``/``bytes_carried``
+        the untouched files carried forward by reference — the ratio
+        (carried+rewritten)/rewritten is exactly the "N× less IO than a
+        full rewrite" number a selective DML earns from stats pruning."""
+        return {
+            "files_rewritten": len(touched),
+            "files_carried": len(untouched),
+            "bytes_rewritten": self._bytes_of_refs(touched),
+            "bytes_carried": self._bytes_of_refs(untouched),
+            **self._written_metrics(rel),
+        }
+
     # ------------------------------------------------------------------ DML
 
     def update(self, set_exprs: dict[str, str], condition: str | None = None) -> None:
@@ -375,7 +419,8 @@ class VersionedTable:
                 self._commit(
                     "UPDATE", prev.data_dirs, prev.schema_ddl,
                     {"condition": condition, "set": set_exprs},
-                    metrics={"files_rewritten": 0},
+                    metrics={"files_rewritten": 0, "bytes_rewritten": 0,
+                             "files_carried": len(self._active_refs(prev))},
                     file_stats=prev.file_stats or {},
                 )
                 return
@@ -397,8 +442,7 @@ class VersionedTable:
         self._commit(
             "UPDATE", untouched + [rel], prev.schema_ddl,
             {"condition": condition, "set": set_exprs},
-            metrics={"files_rewritten": len(touched),
-                     "files_carried": len(untouched)},
+            metrics=self._rewrite_metrics(rel, touched, untouched),
             file_stats=self._carried_stats(prev, untouched),
         )
 
@@ -414,7 +458,8 @@ class VersionedTable:
             self._commit(
                 "DELETE", prev.data_dirs, prev.schema_ddl,
                 {"condition": condition},
-                metrics={"files_rewritten": 0},
+                metrics={"files_rewritten": 0, "bytes_rewritten": 0,
+                         "files_carried": len(self._active_refs(prev))},
                 file_stats=prev.file_stats or {},
             )
             return
@@ -426,8 +471,7 @@ class VersionedTable:
         self._commit(
             "DELETE", untouched + [rel], prev.schema_ddl,
             {"condition": condition},
-            metrics={"files_rewritten": len(touched),
-                     "files_carried": len(untouched)},
+            metrics=self._rewrite_metrics(rel, touched, untouched),
             file_stats=self._carried_stats(prev, untouched),
         )
 
@@ -561,7 +605,7 @@ class VersionedTable:
         # keeps the full rewrite; non-conjunctive-equality ON forms skip
         # pruning to keep the probe an equi-join.
         untouched: list[str] = []
-        touched_n: int | None = None
+        touched_list: list[str] | None = None
         if unmatched_by_source_action is None and conj_eq:
             # Delta's join-key file skipping: bound the probe's target
             # scan by the SOURCE's key range (one 1-row aggregate) so
@@ -601,7 +645,7 @@ class VersionedTable:
                 )
             touched = [r for r in refs if r in touched_set]
             untouched = [r for r in refs if r not in touched_set]
-            touched_n = len(touched)
+            touched_list = touched
             cur = self._evolved([self._abs(r) for r in touched], prev)
         src = source.alias("s")
         joined = (
@@ -659,10 +703,13 @@ class VersionedTable:
             schema_ddl = prev.schema_ddl
         rel = self._new_data_dir(prev.version + 1)
         out.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        # unpruned MERGE (BY SOURCE / non-equi ON) intentionally records
+        # no files_rewritten — a full rewrite has no pruning story to
+        # account for; the write-side numbers are still surfaced
         metrics = (
-            {"files_rewritten": touched_n, "files_carried": len(untouched)}
-            if touched_n is not None
-            else {}
+            self._rewrite_metrics(rel, touched_list, untouched)
+            if touched_list is not None
+            else self._written_metrics(rel)
         )
         self._commit(
             "MERGE",
@@ -867,7 +914,13 @@ class VersionedTable:
     # -------------------------------------------------------------- history
 
     def history(self) -> DataFrame:
-        """DESCRIBE HISTORY parity (D5, N1:196-198)."""
+        """DESCRIBE HISTORY parity (D5, N1:196-198).
+
+        ``operation_metrics`` columns mirror Delta's
+        ``numTargetFilesRemoved/Added`` + byte counters: per DML commit,
+        how many files (and bytes) the copy-on-write actually rewrote vs
+        carried forward by reference — NULL for commits where the notion
+        doesn't apply (CTAS, unpruned MERGE)."""
         rows = [
             (
                 c.version,
@@ -875,12 +928,20 @@ class VersionedTable:
                 c.operation,
                 json.dumps(c.operation_params, sort_keys=True),
                 len(c.data_dirs),
+                c.metrics.get("files_rewritten"),
+                c.metrics.get("files_carried"),
+                c.metrics.get("files_added"),
+                c.metrics.get("bytes_rewritten"),
+                c.metrics.get("bytes_carried"),
+                c.metrics.get("bytes_added"),
             )
             for c in self._commits()
         ]
         return self.spark.createDataFrame(
             rows,
-            "version long, timestamp_ms long, operation string, operation_params string, n_data_dirs int",
+            "version long, timestamp_ms long, operation string, operation_params string, "
+            "n_data_dirs int, files_rewritten long, files_carried long, files_added long, "
+            "bytes_rewritten long, bytes_carried long, bytes_added long",
         )
 
 
