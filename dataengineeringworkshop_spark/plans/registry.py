@@ -154,6 +154,15 @@ DRIVER_PREFIX = 50
 # singleton family that was green in r1–r3 keeps its cumulative evidence;
 # tests/test_registry_order.py enforces prefix ∪ past-green coverage).
 # All 50 rows are oracle-paired — no rows-only slots in the window.
+# Round-12 composition: identical to round-11 except THREE slots — the
+# round-11 backlog (vt_merge_full_sync, vt_merge_schema_evolution,
+# cp_hash_sample_deterministic — the only oracle-paired rows without a
+# driver row, each pre-proven in driver_sim EXTRA since r11 and
+# re-verified by the r11 judge) replaces rb_map_funcs_breadth,
+# mm_payload_dedup, mv_incremental_minmax (four consecutive green rows
+# each, r08-r11; they stay exercised in driver_sim EXTRA).  New r12
+# surface (vt_zorder_multi_skipping, vt_history_rewrite_metrics) is
+# added BEHIND the rotation in driver_sim EXTRA, same as every round.
 # Round-11 composition: flagship + 21 live family anchors (unchanged
 # from r8-r10) + 7 r7-pool + 7 r8-pool retained rows + the 4-query
 # round-9 pool (first-time green in CORRECTNESS_r10, kept for second
@@ -211,15 +220,22 @@ _PRIORITY: tuple[str, ...] = (
     "t_bpe_tokenize_pack",
     "e_funnel_conversion",
     "mv_incremental_join",
-    # ---- round-7-pool retained rows (7 of the original 12; the other
-    # 5 rotated out for r11 with three consecutive green rows each) ----
-    "rb_map_funcs_breadth",
-    "mm_payload_dedup",
-    "mv_incremental_minmax",
+    # ---- round-7-pool retained rows (4 remain; rb_map_funcs_breadth,
+    # mm_payload_dedup and mv_incremental_minmax rotated out for r12
+    # with FOUR consecutive green rows each — their slots carry the
+    # round-11 backlog below) ----
     "e_rolling_zscore_anomaly",
     "a19_exact_mode",
     "ts_m4_downsample",
     "ann_ivfpq_fullprobe_exact",
+    # ---- round-11 backlog: the only oracle-paired rows without driver
+    # evidence (pre-proven in driver_sim EXTRA since r11, judge
+    # re-verified at sf0.01).  Green window => 251/251 oracle-paired
+    # queries driver-evidenced, zero backlog.  MERGE full-sync /
+    # schema-evolution ref: `2 Medaillon architecture.py:534-540`. ----
+    "vt_merge_full_sync",
+    "vt_merge_schema_evolution",
+    "cp_hash_sample_deterministic",
     # ---- the 7-query round-8 pool (second rows, first-time green in
     # CORRECTNESS_r09) ----
     "rb_setops_breadth",

@@ -263,3 +263,54 @@ def test_multicolumn_zorder_nonnumeric_falls_back_lexicographic(spark, tmp_path)
     n_all = len(t.scan_files())
     assert t.read().count() == 400
     assert len(t.scan_files(where="k = 3")) < n_all
+
+
+def test_dml_commit_records_rewrite_bytes_and_history_surfaces_them(spark, tmp_path):
+    """r12 (VERDICT r11 #5): every pruned DML commit carries Delta
+    ``numTargetFiles/BytesRemoved``-parity counters, and history()
+    exposes them as typed columns — the '<N>× less IO than a full
+    rewrite' claim must be queryable from the table itself."""
+    t = _mk_four_file_table(spark, tmp_path)
+    t.update({"v": "v + 1000"}, condition="k >= 100 AND k < 200")
+    c = t._commits()[-1]
+    assert c.metrics["files_rewritten"] == 1
+    assert c.metrics["files_carried"] == 3
+    assert c.metrics["bytes_rewritten"] > 0
+    assert c.metrics["bytes_carried"] > 0
+    # 1 of 4 equal-size files touched: the carried side must dominate
+    assert c.metrics["bytes_carried"] > c.metrics["bytes_rewritten"]
+    assert c.metrics["files_added"] >= 1
+    assert c.metrics["bytes_added"] > 0
+    h = {r.version: r for r in t.history().collect()}
+    u = h[c.version]
+    assert (u.files_rewritten, u.files_carried) == (1, 3)
+    assert u.bytes_rewritten == c.metrics["bytes_rewritten"]
+    assert u.bytes_carried == c.metrics["bytes_carried"]
+    assert u.bytes_added == c.metrics["bytes_added"]
+    # CTAS (v0) has no rewrite notion -> NULLs, not zeros
+    assert h[0].files_rewritten is None and h[0].bytes_rewritten is None
+
+
+def test_merge_pruned_commit_records_bytes(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    src = spark.createDataFrame([(100, 9999), (101, 9999)], "k INT, v INT")
+    t.merge(src, on="t.k = s.k")
+    c = t._commits()[-1]
+    assert c.operation == "MERGE"
+    assert c.metrics["files_rewritten"] == 1
+    assert c.metrics["bytes_rewritten"] > 0
+    assert c.metrics["bytes_carried"] > c.metrics["bytes_rewritten"]
+    assert c.metrics["files_added"] >= 1
+
+
+def test_unpruned_merge_still_records_write_side_only(spark, tmp_path):
+    """A BY SOURCE merge is a full rewrite: no files_rewritten claim,
+    but the written side (files_added/bytes_added) is still accounted."""
+    t = _mk_four_file_table(spark, tmp_path)
+    src = spark.createDataFrame([(100, 9999)], "k INT, v INT")
+    t.merge(src, on="t.k = s.k", unmatched_by_source_action="delete",
+            unmatched_by_source_condition="t.k >= 300")
+    c = t._commits()[-1]
+    assert "files_rewritten" not in c.metrics
+    assert c.metrics["files_added"] >= 1
+    assert c.metrics["bytes_added"] > 0
