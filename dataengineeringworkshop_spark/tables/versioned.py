@@ -197,7 +197,10 @@ class VersionedTable:
         else:
             dirs = [rel]
             op = "CREATE TABLE AS SELECT" if prev is None else "WRITE OVERWRITE"
-        self._commit(op, dirs, schema_ddl, {"mode": mode})
+        self._commit(
+            op, dirs, schema_ddl, {"mode": mode},
+            metrics=self._written_metrics(rel),
+        )
         return self
 
     # ----------------------------------------------------------------- read
@@ -766,6 +769,7 @@ class VersionedTable:
         )
         self._commit(
             "OPTIMIZE", [rel], prev.schema_ddl, {"zorder_by": zorder_by or []},
+            metrics=self._written_metrics(rel),
             file_stats=stats,
         )
 
