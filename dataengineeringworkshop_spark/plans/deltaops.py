@@ -265,6 +265,40 @@ def vt_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vt_delete_mor",
+    # identical visible semantics to the COW delete, PLUS booleans
+    # computed from the actual commit proving NO data file was touched
+    oracle="""
+        SELECT o.*, TRUE AS merge_on_read, TRUE AS dv_recorded
+        FROM orders o
+        WHERE o.o_orderstatus IS NULL OR NOT (o.o_orderstatus = 'P')
+    """,
+    tags=("D1", "D5"),
+)
+def vt_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via a deletion vector (Delta
+    ``enableDeletionVectors`` parity; DML shape `1 Data
+    ingestion.py:151-172`): the matching (file, row-position) pairs go
+    to a KB-scale parquet sidecar, data files stay untouched, and reads
+    anti-join the sidecar out.  ``merge_on_read`` pins that the commit's
+    active file set is IDENTICAL to the pre-delete set with zero files
+    rewritten; ``dv_recorded`` that exactly one DV sidecar with >0 rows
+    was added.  The oracle's TRUE literals fail the hash if the MOR path
+    ever degrades to a rewrite or stops deleting."""
+    vt, _ = _orders_table(spark, sf_dir)
+    before_dirs = vt._commits()[-1].data_dirs
+    vt.delete("o_orderstatus = 'P'", mode="mor")
+    c = vt._commits()[-1]
+    mor = c.data_dirs == before_dirs and c.metrics["files_rewritten"] == 0
+    dv_ok = c.metrics["dv_files_added"] == 1 and c.metrics["rows_deleted"] > 0
+    return (
+        vt.read()
+        .withColumn("merge_on_read", F.lit(bool(mor)))
+        .withColumn("dv_recorded", F.lit(bool(dv_ok)))
+    )
+
+
+@query(
     "vt_update_json_path",
     oracle="""
         SELECT event_id, event_type,

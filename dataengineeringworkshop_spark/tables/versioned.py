@@ -64,6 +64,12 @@ class Commit:
     # {rel_file: {col: [min, max]}} — recorded by OPTIMIZE for the
     # zorder columns; empty for other commits (older logs load fine).
     file_stats: dict = None
+    # deletion-vector sidecar dirs (Delta deletion-vector parity):
+    # parquet dirs of (file_ref, pos) rows marking soft-deleted row
+    # positions in still-active data files — applied as an anti-join on
+    # every snapshot read.  Relative to the table root (absolute for
+    # shallow clones, like data_dirs); empty/missing on older logs.
+    dv_dirs: list = None
 
 
 class VersionedTable:
@@ -114,9 +120,18 @@ class VersionedTable:
         params: dict | None = None,
         metrics: dict | None = None,
         file_stats: dict | None = None,
+        dv_dirs: list[str] | None = None,
     ) -> Commit:
         prev = self._latest()
         version = 0 if prev is None else prev.version + 1
+        if dv_dirs is None:
+            # deletion vectors CARRY FORWARD by default: a metadata-only
+            # or partial-rewrite commit that forgot to carry them would
+            # silently RESURRECT soft-deleted rows, while carrying a
+            # stale entry (its file no longer active) can never match a
+            # scan — so inherit unless the caller explicitly clears
+            # (full rewrites pass dv_dirs=[]).
+            dv_dirs = list(prev.dv_dirs or []) if prev is not None else []
         c = Commit(
             version=version,
             timestamp_ms=int(time.time() * 1000),
@@ -126,6 +141,7 @@ class VersionedTable:
             schema_ddl=schema_ddl,
             metrics=metrics or {},
             file_stats=file_stats or {},
+            dv_dirs=dv_dirs,
         )
         os.makedirs(f"{self.path}/{_LOG_DIR}", exist_ok=True)
         tmp = self._log_path(version) + f".tmp-{uuid.uuid4().hex}"
@@ -200,6 +216,9 @@ class VersionedTable:
         self._commit(
             op, dirs, schema_ddl, {"mode": mode},
             metrics=self._written_metrics(rel),
+            # overwrite replaces the data set wholesale; append's new
+            # files have no DV entries, existing ones keep theirs
+            dv_dirs=None if mode == "append" else [],
         )
         return self
 
@@ -276,20 +295,62 @@ class VersionedTable:
         out = self._evolved(paths, c)
         return out.filter(F.expr(where)) if where else out
 
-    def _evolved(self, paths: list[str], c: Commit) -> DataFrame:
+    # scan-side file identity: `_metadata.file_path` with the URI scheme
+    # stripped.  Deletion-vector refs are RECORDED with this same
+    # expression, so the anti-join compares symmetric representations —
+    # encoding quirks cancel out.  Robust through joins, unlike
+    # input_file_name() (documented to be unreliable post-join).
+    @staticmethod
+    def _scan_ref() -> F.Column:
+        return F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+
+    def _evolved(self, paths: list[str], c: Commit, lineage: bool = False) -> DataFrame:
         """Scan ``paths`` (dirs and/or files) evolved to the commit's
         schema: missing columns (pre-ADD COLUMN files) surface as nulls,
-        column order is the committed order."""
+        column order is the committed order.
+
+        If the commit carries deletion vectors, soft-deleted (file, pos)
+        rows are removed with an anti-join against the DV sidecar —
+        Delta's merge-on-read DELETE read path.  The DV side is tiny
+        relative to the data (OPTIMIZE compacts it away, like Delta),
+        so AQE plans the anti-join as a broadcast: the data side never
+        shuffles.  Zero plan overhead when no DVs exist.
+
+        ``lineage=True`` appends ``__dew_ref`` (absolute file path) and
+        ``__dew_pos`` (row position in that file) for DML probes."""
         from pyspark.sql.types import StructType
 
         committed = StructType.fromDDL(_ddl_of(c.schema_ddl))
         if not paths:
-            return self.spark.createDataFrame([], committed)
+            empty = self.spark.createDataFrame([], committed)
+            if lineage:
+                empty = empty.withColumn(
+                    "__dew_ref", F.lit(None).cast("string")
+                ).withColumn("__dew_pos", F.lit(None).cast("long"))
+            return empty
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        dv_paths = [self._abs(d) for d in (c.dv_dirs or [])]
+        if dv_paths or lineage:
+            df = df.withColumn("__dew_ref", self._scan_ref()).withColumn(
+                "__dew_pos", F.col("_metadata.row_index")
+            )
+        if dv_paths:
+            dv = self.spark.read.parquet(*dv_paths).select(
+                F.col("file_ref").alias("__dv_ref"), F.col("pos").alias("__dv_pos")
+            )
+            df = df.join(
+                dv,
+                (F.col("__dew_ref") == F.col("__dv_ref"))
+                & (F.col("__dew_pos") == F.col("__dv_pos")),
+                "left_anti",
+            )
         for field in committed.fields:
             if field.name not in df.columns:
                 df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
-        return df.select(*[f.name for f in committed.fields])
+        cols = [f.name for f in committed.fields]
+        if lineage:
+            cols += ["__dew_ref", "__dew_pos"]
+        return df.select(*cols)
 
     # -------------------------------------------------- file-pruned COW
 
@@ -335,9 +396,13 @@ class VersionedTable:
         candidates = self.scan_files(c.version, condition)
         touched: set[str] = set()
         if candidates:
+            # lineage=True: file identity from _metadata (survives the
+            # DV anti-join; input_file_name() is unreliable post-join),
+            # and the scan is DV-applied so a condition matching only
+            # soft-deleted rows does not mark their file touched
             probe = (
-                self._evolved(candidates, c)
-                .withColumn("__dew_file", F.input_file_name())
+                self._evolved(candidates, c, lineage=True)
+                .withColumnRenamed("__dew_ref", "__dew_file")
                 .filter(F.expr(condition).eqNullSafe(F.lit(True)))
             )
             touched = self._refs_of_probe(probe)
@@ -447,14 +512,32 @@ class VersionedTable:
             {"condition": condition, "set": set_exprs},
             metrics=self._rewrite_metrics(rel, touched, untouched),
             file_stats=self._carried_stats(prev, untouched),
+            # unconditional UPDATE rewrote everything from the
+            # DV-applied read — deletion vectors are compacted away
+            dv_dirs=None if condition is not None else [],
         )
 
-    def delete(self, condition: str) -> None:
-        """DELETE WHERE — FILE-PRUNED copy-on-write anti-filter: only
-        files containing a to-be-deleted row are rewritten.  SQL
-        three-valued semantics: only rows where the condition is TRUE
-        are deleted; NULL-evaluating rows are KEPT (plain ``~cond``
-        would drop them)."""
+    def delete(self, condition: str, mode: str = "cow") -> None:
+        """DELETE WHERE — SQL three-valued semantics: only rows where
+        the condition is TRUE are deleted; NULL-evaluating rows are
+        KEPT (plain ``~cond`` would drop them).
+
+        ``mode="cow"``: FILE-PRUNED copy-on-write anti-filter — only
+        files containing a to-be-deleted row are rewritten.
+
+        ``mode="mor"``: merge-on-read via a DELETION VECTOR (Delta's
+        ``delta.enableDeletionVectors`` write path): NO data file is
+        touched — the matching (file, row-position) pairs are written
+        to a tiny parquet sidecar and every subsequent read anti-joins
+        it out.  At 100 TB this turns a one-row-per-file DELETE from a
+        full-table rewrite into a KB-scale write; OPTIMIZE (or any full
+        rewrite) compacts the vectors away, exactly as Delta compacts
+        DVs."""
+        if mode == "mor":
+            self._delete_mor(condition)
+            return
+        if mode != "cow":
+            raise ValueError(f"delete mode must be 'cow' or 'mor', got {mode!r}")
         prev = self._latest()
         touched, untouched = self._touched_untouched(condition, prev)
         if not touched:
@@ -476,6 +559,63 @@ class VersionedTable:
             {"condition": condition},
             metrics=self._rewrite_metrics(rel, touched, untouched),
             file_stats=self._carried_stats(prev, untouched),
+        )
+
+    def _delete_mor(self, condition: str) -> None:
+        """Merge-on-read DELETE: record (file, row-position) of matching
+        rows in a deletion-vector sidecar; data files are untouched.
+
+        The probe is the same stats+pushdown-pruned scan as the COW
+        path, already DV-applied (re-deleting a soft-deleted row records
+        nothing).  File identity uses the symmetric ``_scan_ref()``
+        representation, so clone reads match too.  File stats carry
+        unchanged — min/max ranges stay conservative over deleted rows,
+        which only costs skipped-file opportunities, never wrong rows."""
+        prev = self._latest()
+        candidates = self.scan_files(prev.version, condition)
+        rel_dv = None
+        n_deleted = 0
+        if candidates:
+            hits = (
+                self._evolved(candidates, prev, lineage=True)
+                .filter(F.expr(condition).eqNullSafe(F.lit(True)))
+                .select(
+                    F.col("__dew_ref").alias("file_ref"),
+                    F.col("__dew_pos").alias("pos"),
+                )
+            )
+            rel_dv = f"v{prev.version + 1:08d}-dv-{uuid.uuid4().hex[:8]}"
+            # a DV is metadata-scale by contract (Delta compacts tables
+            # whose DVs grow); one file keeps the read-side join input
+            # a single broadcastable artifact
+            hits.coalesce(1).write.mode("overwrite").parquet(
+                f"{self.path}/{rel_dv}"
+            )
+            n_deleted = self.spark.read.parquet(f"{self.path}/{rel_dv}").count()
+            if n_deleted == 0:
+                import shutil
+
+                shutil.rmtree(f"{self.path}/{rel_dv}", ignore_errors=True)
+                rel_dv = None
+        dv_metrics = (
+            {**self._written_metrics(rel_dv), "dv_files_added": 1}
+            if rel_dv
+            else {"dv_files_added": 0}
+        )
+        self._commit(
+            "DELETE",
+            prev.data_dirs,
+            prev.schema_ddl,
+            {"condition": condition, "mode": "merge-on-read"},
+            metrics={
+                "files_rewritten": 0,
+                "bytes_rewritten": 0,
+                "files_carried": len(self._active_refs(prev)),
+                "rows_deleted": n_deleted,
+                **dv_metrics,
+            },
+            file_stats=prev.file_stats or {},
+            dv_dirs=(list(prev.dv_dirs or []) + [rel_dv]) if rel_dv else None,
         )
 
     def merge(
@@ -629,8 +769,9 @@ class VersionedTable:
                     probe_where = f"{t_key} >= {row[0]} AND {t_key} <= {row[1]}"
             all_paths = self.scan_files(prev.version, probe_where)
             probe = (
-                self._evolved(all_paths, prev)
-                .withColumn("__dew_file", F.input_file_name())
+                self._evolved(all_paths, prev, lineage=True)
+                .withColumnRenamed("__dew_ref", "__dew_file")
+                .drop("__dew_pos")
                 .alias("t")
                 .join(source.alias("s"), F.expr(on), "left_semi")
             )
@@ -719,6 +860,9 @@ class VersionedTable:
             untouched + [rel],
             schema_ddl,
             metrics=metrics,
+            # pruned merge carries DVs for the untouched files; the
+            # unpruned form rewrote everything from the DV-applied read
+            dv_dirs=None if touched_list is not None else [],
             file_stats=self._carried_stats(prev, untouched),
             params={
                 "on": on,
@@ -771,6 +915,7 @@ class VersionedTable:
             "OPTIMIZE", [rel], prev.schema_ddl, {"zorder_by": zorder_by or []},
             metrics=self._written_metrics(rel),
             file_stats=stats,
+            dv_dirs=[],  # full rewrite compacts deletion vectors away
         )
 
     def restore(self, version: int) -> None:
@@ -785,6 +930,9 @@ class VersionedTable:
             target.schema_ddl,
             {"restored_version": version},
             file_stats=target.file_stats or {},
+            # the restored snapshot's OWN deletion vectors, not the
+            # latest commit's (whose entries may hit carried files)
+            dv_dirs=list(target.dv_dirs or []),
         )
 
     def shallow_clone(self, target_path: str, version: int | None = None) -> "VersionedTable":
@@ -812,6 +960,10 @@ class VersionedTable:
             src.schema_ddl,
             {"source": self.path, "source_version": src.version,
              "clone_type": "SHALLOW"},
+            # source deletion vectors carry by absolute ref — their
+            # file_ref contents are absolute paths, so they keep
+            # matching the source files the clone reads
+            dv_dirs=[self._abs(d) for d in (src.dv_dirs or [])],
             file_stats=stats,
         )
         return target
@@ -832,7 +984,7 @@ class VersionedTable:
             raise ValueError("retain_last must be >= 1")
         keep: set[str] = set()
         for c in commits[-retain_last:]:
-            for d in c.data_dirs:
+            for d in list(c.data_dirs) + list(c.dv_dirs or []):
                 # a carried-forward FILE ref keeps its containing
                 # directory alive (conservative: partially-referenced
                 # dirs are kept whole — ours vacuums at dir granularity)
@@ -842,7 +994,10 @@ class VersionedTable:
             full = f"{self.path}/{entry}"
             if entry == _LOG_DIR or not os.path.isdir(full):
                 continue
-            if re.match(r"^v\d{8}-[0-9a-f]{8}$", entry) and entry not in keep:
+            if (
+                re.match(r"^v\d{8}-(dv-)?[0-9a-f]{8}$", entry)
+                and entry not in keep
+            ):
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(entry)
         latest = commits[-1]
@@ -938,6 +1093,8 @@ class VersionedTable:
                 c.metrics.get("bytes_rewritten"),
                 c.metrics.get("bytes_carried"),
                 c.metrics.get("bytes_added"),
+                c.metrics.get("rows_deleted"),
+                c.metrics.get("dv_files_added"),
             )
             for c in self._commits()
         ]
@@ -945,7 +1102,8 @@ class VersionedTable:
             rows,
             "version long, timestamp_ms long, operation string, operation_params string, "
             "n_data_dirs int, files_rewritten long, files_carried long, files_added long, "
-            "bytes_rewritten long, bytes_carried long, bytes_added long",
+            "bytes_rewritten long, bytes_carried long, bytes_added long, "
+            "rows_deleted long, dv_files_added long",
         )
 
 

@@ -1,0 +1,147 @@
+"""Merge-on-read DELETE via deletion vectors (round 12): Delta's
+``delta.enableDeletionVectors`` write path on the parquet-backed
+versioned table.  A selective DELETE records (file, row-position) pairs
+in a tiny parquet sidecar instead of rewriting data files; every
+snapshot read anti-joins the sidecar out.  At 100 TB this turns a
+one-row-per-file DELETE from a full-table rewrite into a KB-scale
+write.  Reference DELETE shape: `1 Data ingestion.py:151-172` (DML on
+the managed table); DVs are the modern Databricks default for exactly
+these tables."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+
+def _mk_four_file_table(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(k, k) for k in range(i * 100, i * 100 + 5)], "k INT, v INT"
+        ).coalesce(1)
+        t.write(df, mode="overwrite" if i == 0 else "append")
+    return t
+
+
+def test_mor_delete_touches_no_data_file(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    before = t._commits()[-1].data_dirs
+    t.delete("k >= 100 AND k < 102", mode="mor")
+    c = t._commits()[-1]
+    assert c.operation == "DELETE"
+    assert c.operation_params["mode"] == "merge-on-read"
+    assert c.data_dirs == before, "data files must be untouched"
+    assert c.metrics["files_rewritten"] == 0
+    assert c.metrics["rows_deleted"] == 2
+    assert c.metrics["dv_files_added"] == 1
+    assert len(c.dv_dirs) == 1
+    got = sorted(r.k for r in t.read().collect())
+    assert 100 not in got and 101 not in got and len(got) == 18
+
+
+def test_mor_delete_respects_three_valued_logic(spark, tmp_path):
+    """NULL-evaluating rows are KEPT — same contract as the COW path."""
+    t = VersionedTable(spark, str(tmp_path / "n"))
+    t.write(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "k INT, v INT"
+        )
+    )
+    t.delete("v > 15", mode="mor")
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+
+
+def test_mor_deletes_stack_and_rededelete_is_noop(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    t.delete("k >= 100 AND k < 102", mode="mor")
+    t.delete("k = 300", mode="mor")
+    assert t.read().count() == 17
+    assert len(t._commits()[-1].dv_dirs) == 2
+    # the probe reads THROUGH existing DVs: re-deleting records nothing
+    t.delete("k = 300", mode="mor")
+    c = t._commits()[-1]
+    assert c.metrics["rows_deleted"] == 0
+    assert c.metrics["dv_files_added"] == 0
+    assert len(c.dv_dirs) == 2, "an empty DV must not be referenced"
+
+
+def test_time_travel_and_where_read_apply_version_dvs(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    t.delete("k >= 100 AND k < 102", mode="mor")
+    assert t.read(version=3).count() == 20, "pre-delete snapshot intact"
+    assert t.read(where="k >= 100 AND k < 200").count() == 3
+
+
+def test_cow_dml_after_mor_delete_does_not_resurrect(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    t.delete("k >= 100 AND k < 102", mode="mor")
+    t.update({"v": "v + 1000"}, condition="k >= 100 AND k < 200")
+    vals = {r.k: r.v for r in t.read().collect()}
+    assert 100 not in vals and 101 not in vals
+    assert vals[102] == 1102
+    # a condition matching ONLY soft-deleted rows is a no-op commit,
+    # not a pointless file rewrite
+    t.update({"v": "0"}, condition="k = 100")
+    assert t._commits()[-1].metrics["files_rewritten"] == 0
+
+
+def test_full_rewrites_compact_dvs_away(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    t.delete("k = 300", mode="mor")
+    t.optimize()
+    c = t._commits()[-1]
+    assert c.dv_dirs == []
+    assert t.read().count() == 19
+    # the deleted row is physically gone from the compacted files
+    t2 = VersionedTable(spark, t.path)
+    assert t2.read(where="k = 300").count() == 0
+
+
+def test_restore_and_clone_carry_the_right_dv_set(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    t.delete("k = 300", mode="mor")  # v4
+    clone = t.shallow_clone(str(tmp_path / "clone"))
+    assert clone.read().count() == 19, "clone must see the soft delete"
+    t.restore(3)
+    assert t.read().count() == 20 and t._commits()[-1].dv_dirs == []
+    t.restore(4)
+    assert t.read().count() == 19 and len(t._commits()[-1].dv_dirs) == 1
+
+
+def test_vacuum_keeps_live_dv_dirs(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    t.delete("k = 300", mode="mor")
+    t.update({"v": "v + 1"}, condition="k = 0")  # extra version on top
+    t.vacuum(retain_last=2)
+    assert t.read().count() == 19, "DV sidecar must survive vacuum"
+    # after optimize, a further vacuum may remove the now-unreferenced DV
+    t.optimize()
+    t.vacuum(retain_last=1)
+    assert t.read().count() == 19
+
+
+def test_history_surfaces_dv_metrics(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    t.delete("k >= 100 AND k < 103", mode="mor")
+    h = {r.version: r for r in t.history().collect()}
+    mor = h[max(h)]
+    assert mor.rows_deleted == 3
+    assert mor.dv_files_added == 1
+    assert mor.files_rewritten == 0
+    assert mor.bytes_added > 0, "the DV sidecar bytes are accounted"
+
+
+def test_mor_no_match_is_metadata_only(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    t.delete("k > 999999", mode="mor")
+    c = t._commits()[-1]
+    assert c.metrics["rows_deleted"] == 0
+    assert c.dv_dirs in ([], None) or len(c.dv_dirs) == 0
+
+
+def test_bad_mode_rejected(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="cow.*mor|mor.*cow"):
+        t.delete("k = 1", mode="purge")
