@@ -299,6 +299,45 @@ def vt_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vt_update_mor",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+               CASE WHEN o.o_orderstatus = 'P'
+                    THEN o.o_totalprice + 100.0 ELSE o.o_totalprice END
+                   AS o_totalprice,
+               o.o_orderdate, o.o_orderpriority,
+               TRUE AS merge_on_read
+        FROM orders o
+    """,
+    tags=("D1", "D2", "D5"),
+)
+def vt_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (Delta deletion-vector UPDATE; DML shape
+    `1 Data ingestion.py:151-172`): matched rows' old versions are
+    soft-deleted via a DV sidecar and ONLY the updated rows are
+    appended — write volume O(matched rows), zero files rewritten.
+    ``merge_on_read`` pins, from the actual commit, that the pre-update
+    file set carried untouched with exactly one appended dir and one
+    DV; the hash fails if the MOR path degrades to a rewrite, drops, or
+    duplicates rows."""
+    vt, _ = _orders_table(spark, sf_dir)
+    before_dirs = vt._commits()[-1].data_dirs
+    vt.update(
+        {"o_totalprice": "o_totalprice + 100.0"},
+        condition="o_orderstatus = 'P'",
+        mode="mor",
+    )
+    c = vt._commits()[-1]
+    mor = (
+        c.metrics["files_rewritten"] == 0
+        and c.data_dirs[:-1] == before_dirs
+        and c.metrics["rows_updated"] > 0
+        and c.metrics["dv_files_added"] == 1
+    )
+    return vt.read().withColumn("merge_on_read", F.lit(bool(mor)))
+
+
+@query(
     "vt_update_json_path",
     oracle="""
         SELECT event_id, event_type,

@@ -472,13 +472,32 @@ class VersionedTable:
 
     # ------------------------------------------------------------------ DML
 
-    def update(self, set_exprs: dict[str, str], condition: str | None = None) -> None:
-        """UPDATE … SET … [WHERE …] (D1-D3) — FILE-PRUNED copy-on-write:
-        a stats+pushdown-pruned probe finds the files containing rows
-        where the condition is TRUE, only those are rewritten (CASE WHEN
-        per updated column), untouched files carry forward by reference.
-        An unconditional UPDATE rewrites everything (every file is
-        touched by definition)."""
+    def update(
+        self,
+        set_exprs: dict[str, str],
+        condition: str | None = None,
+        mode: str = "cow",
+    ) -> None:
+        """UPDATE … SET … [WHERE …] (D1-D3).
+
+        ``mode="cow"`` — FILE-PRUNED copy-on-write: a stats+pushdown-
+        pruned probe finds the files containing rows where the condition
+        is TRUE, only those are rewritten (CASE WHEN per updated
+        column), untouched files carry forward by reference.  An
+        unconditional UPDATE rewrites everything (every file is touched
+        by definition).
+
+        ``mode="mor"`` — merge-on-read (Delta's deletion-vector UPDATE):
+        the matched rows' old versions are soft-deleted via a DV sidecar
+        and ONLY the updated rows are appended as a new file.  Write
+        volume is O(matched rows), not O(touched files) — at 100 TB a
+        ten-row UPDATE writes kilobytes either way on the DV path, where
+        even a pruned COW rewrites whole files."""
+        if mode == "mor":
+            self._update_mor(set_exprs, condition)
+            return
+        if mode != "cow":
+            raise ValueError(f"update mode must be 'cow' or 'mor', got {mode!r}")
         prev = self._latest()
         if condition is not None:
             touched, untouched = self._touched_untouched(condition, prev)
@@ -515,6 +534,73 @@ class VersionedTable:
             # unconditional UPDATE rewrote everything from the
             # DV-applied read — deletion vectors are compacted away
             dv_dirs=None if condition is not None else [],
+        )
+
+    def _update_mor(self, set_exprs: dict[str, str], condition: str | None) -> None:
+        """Merge-on-read UPDATE: soft-delete the matched rows' old
+        versions via a deletion vector and APPEND only the updated rows
+        — write volume is O(matched rows).  Two stats-pruned scans (find
+        positions, produce updated rows), the same two passes Delta's
+        DV UPDATE makes."""
+        prev = self._latest()
+        cond_sql = condition if condition is not None else "TRUE"
+        candidates = self.scan_files(prev.version, condition)
+        matched = (
+            self._evolved(candidates, prev, lineage=True)
+            .filter(F.expr(cond_sql).eqNullSafe(F.lit(True)))
+        )
+        rel_dv = f"v{prev.version + 1:08d}-dv-{uuid.uuid4().hex[:8]}"
+        n = 0
+        if candidates:
+            matched.select(
+                F.col("__dew_ref").alias("file_ref"),
+                F.col("__dew_pos").alias("pos"),
+            ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/{rel_dv}")
+            n = self.spark.read.parquet(f"{self.path}/{rel_dv}").count()
+        if n == 0:
+            import shutil
+
+            shutil.rmtree(f"{self.path}/{rel_dv}", ignore_errors=True)
+            self._commit(
+                "UPDATE", prev.data_dirs, prev.schema_ddl,
+                {"condition": condition, "set": set_exprs,
+                 "mode": "merge-on-read"},
+                metrics={"files_rewritten": 0, "bytes_rewritten": 0,
+                         "rows_updated": 0, "dv_files_added": 0,
+                         "files_carried": len(self._active_refs(prev))},
+                file_stats=prev.file_stats or {},
+            )
+            return
+        data_cols = [c for c in matched.columns if c not in ("__dew_ref", "__dew_pos")]
+        updated = matched.select(
+            *[
+                (F.expr(expr).alias(c)
+                 if c in set_exprs and (expr := set_exprs[c]) is not None
+                 else F.col(c))
+                for c in data_cols
+            ]
+        )
+        rel = self._new_data_dir(prev.version + 1)
+        updated.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        wm = self._written_metrics(rel)
+        dvb = self._bytes_of_refs([rel_dv])
+        self._commit(
+            "UPDATE",
+            prev.data_dirs + [rel],
+            prev.schema_ddl,
+            {"condition": condition, "set": set_exprs, "mode": "merge-on-read"},
+            metrics={
+                "files_rewritten": 0,
+                "bytes_rewritten": 0,
+                "files_carried": len(self._active_refs(prev)),
+                "rows_updated": n,
+                "files_added": wm["files_added"],
+                "bytes_added": wm["bytes_added"] + dvb,
+                "dv_files_added": 1,
+                "dv_bytes_added": dvb,
+            },
+            file_stats=prev.file_stats or {},
+            dv_dirs=list(prev.dv_dirs or []) + [rel_dv],
         )
 
     def delete(self, condition: str, mode: str = "cow") -> None:
@@ -597,11 +683,16 @@ class VersionedTable:
 
                 shutil.rmtree(f"{self.path}/{rel_dv}", ignore_errors=True)
                 rel_dv = None
-        dv_metrics = (
-            {**self._written_metrics(rel_dv), "dv_files_added": 1}
-            if rel_dv
-            else {"dv_files_added": 0}
-        )
+        if rel_dv:
+            dvb = self._bytes_of_refs([rel_dv])
+            dv_metrics = {
+                "files_added": 0,  # no DATA file added; bytes_added is
+                "bytes_added": dvb,  # the commit's total new bytes (DV)
+                "dv_files_added": 1,
+                "dv_bytes_added": dvb,
+            }
+        else:
+            dv_metrics = {"dv_files_added": 0}
         self._commit(
             "DELETE",
             prev.data_dirs,

@@ -145,3 +145,47 @@ def test_bad_mode_rejected(spark, tmp_path):
     t = _mk_four_file_table(spark, tmp_path)
     with pytest.raises(ValueError, match="cow.*mor|mor.*cow"):
         t.delete("k = 1", mode="purge")
+
+
+def test_mor_update_appends_only_updated_rows(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    before_dirs = t._commits()[-1].data_dirs
+    t.update({"v": "v + 1000"}, condition="k >= 100 AND k < 103", mode="mor")
+    c = t._commits()[-1]
+    assert c.operation == "UPDATE"
+    assert c.operation_params["mode"] == "merge-on-read"
+    assert c.metrics["files_rewritten"] == 0
+    assert c.metrics["rows_updated"] == 3
+    assert c.metrics["dv_files_added"] == 1
+    # exactly one NEW data dir (the appended updated rows), all old
+    # files carried untouched
+    assert c.data_dirs[:-1] == before_dirs
+    vals = {r.k: r.v for r in t.read().collect()}
+    assert len(vals) == 20, "no duplicates: old versions are DV'd out"
+    assert vals[100] == 1100 and vals[102] == 1102 and vals[103] == 103
+
+
+def test_mor_update_stacks_with_mor_delete_and_compacts(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    t.update({"v": "v + 1000"}, condition="k = 0", mode="mor")
+    t.delete("k = 1", mode="mor")
+    # a second MOR update touching an already-updated row must DV the
+    # APPENDED file's copy, not resurrect the original
+    t.update({"v": "v + 1"}, condition="k = 0", mode="mor")
+    assert t.read().count() == 19, "no duplicate row versions may survive"
+    vals = {r.k: r.v for r in t.read().collect()}
+    assert vals[0] == 1001 and 1 not in vals and len(vals) == 19
+    t.optimize()
+    assert t._commits()[-1].dv_dirs == []
+    vals2 = {r.k: r.v for r in t.read().collect()}
+    assert vals2 == vals
+
+
+def test_mor_update_no_match_is_metadata_only(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    before = t._commits()[-1].data_dirs
+    t.update({"v": "0"}, condition="k > 999999", mode="mor")
+    c = t._commits()[-1]
+    assert c.metrics["rows_updated"] == 0
+    assert c.data_dirs == before
+    assert not c.dv_dirs or len(c.dv_dirs) == 0
