@@ -338,6 +338,55 @@ def vt_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vt_dv_sql_script",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, s.s_nationkey, TRUE AS dv_routed
+        FROM supplier s WHERE NOT (s.s_suppkey % 10 = 3)
+    """,
+    tags=("D1", "D5", "sql-dml"),
+)
+def vt_dv_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's deletion-vector OPT-IN surface as SQL text (`ALTER TABLE
+    … SET TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')`): a
+    subsequent plain ``DELETE FROM`` — no API-level mode anywhere —
+    must route to merge-on-read.  ``dv_routed`` pins, from the actual
+    commit, that the delete ran as merge-on-read with the file set
+    untouched AND that SHOW TBLPROPERTIES reflects the property; the
+    oracle's TRUE literal fails the hash if the SQL property surface
+    stops routing."""
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(
+        tempfile.mkdtemp(prefix="dew_dvsql_"), spark=spark,
+        table_backend="versioned",
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    lh.create_table("stores_dv", sup)
+    lh.sql(
+        "alter table stores_dv set tblproperties "
+        "('delta.enableDeletionVectors' = 'true')"
+    )
+    before = lh.table("stores_dv")._commits()[-1].data_dirs
+    lh.sql("delete from stores_dv where s_suppkey % 10 = 3")
+    c = lh.table("stores_dv")._commits()[-1]
+    props = {
+        r.key: r.value
+        for r in lh.sql("show tblproperties stores_dv").collect()
+    }
+    routed = (
+        c.operation_params.get("mode") == "merge-on-read"
+        and c.data_dirs == before
+        and c.metrics.get("files_rewritten") == 0
+        and props.get("delta.enableDeletionVectors") == "true"
+    )
+    return lh.table("stores_dv").read().withColumn(
+        "dv_routed", F.lit(bool(routed))
+    )
+
+
+@query(
     "vt_update_json_path",
     oracle="""
         SELECT event_id, event_type,

@@ -82,6 +82,16 @@ _ALTER_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _HISTORY_RE = re.compile(r"^describe\s+history\s+(\w+)$", re.IGNORECASE)
+_SET_PROPS_RE = re.compile(
+    r"^alter\s+table\s+(\w+)\s+set\s+tblproperties\s*\((.*)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_PROPS_RE = re.compile(
+    r"^show\s+tblproperties\s+(\w+)$", re.IGNORECASE
+)
+_PROP_PAIR_RE = re.compile(
+    r"""^\s*['"]([^'"]+)['"]\s*=\s*['"]([^'"]*)['"]\s*$"""
+)
 _MERGE_RE = re.compile(
     r"^merge\s+(with\s+schema\s+evolution\s+)?into\s+(\w+)(?:\s+as)?(?:\s+(\w+))?\s+"
     r"using\s+(\w+)(?:\s+as)?(?:\s+(\w+))?\s+"
@@ -140,6 +150,25 @@ def execute(lh: "Lakehouse", statement: str) -> DataFrame:
     m = _HISTORY_RE.match(sql)
     if m:
         return lh.table(m.group(1)).history()
+
+    m = _SET_PROPS_RE.match(sql)
+    if m:
+        table, body = m.group(1), m.group(2)
+        props: dict[str, str] = {}
+        for pair in _split_top_level(body, r","):
+            pm = _PROP_PAIR_RE.match(pair)
+            if not pm:
+                raise ValueError(f"unparseable TBLPROPERTIES pair: {pair!r}")
+            props[pm.group(1)] = pm.group(2)
+        lh.table(table).set_properties(props)
+        return _status(lh, "SET TBLPROPERTIES", table)
+
+    m = _SHOW_PROPS_RE.match(sql)
+    if m:
+        props = lh.table(m.group(1)).properties()
+        return lh.spark.createDataFrame(
+            sorted(props.items()), "key string, value string"
+        )
 
     m = _ALTER_RE.match(sql)
     if m:

@@ -69,6 +69,10 @@ class TableBackend(Protocol):
 
     def history(self) -> DataFrame: ...
 
+    def set_properties(self, props: dict[str, str]) -> None: ...
+
+    def properties(self) -> dict[str, str]: ...
+
 
 def delta_available() -> bool:
     try:
@@ -199,6 +203,20 @@ class DeltaBackend:
 
     def history(self) -> DataFrame:
         return self._dt().history()
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        pairs = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+        self.spark.sql(
+            f"ALTER TABLE delta.`{self.path}` SET TBLPROPERTIES ({pairs})"
+        )
+
+    def properties(self) -> dict[str, str]:
+        return {
+            r["key"]: r["value"]
+            for r in self.spark.sql(
+                f"SHOW TBLPROPERTIES delta.`{self.path}`"
+            ).collect()
+        }
 
 
 def _is_local_path(path: str) -> bool:

@@ -476,7 +476,7 @@ class VersionedTable:
         self,
         set_exprs: dict[str, str],
         condition: str | None = None,
-        mode: str = "cow",
+        mode: str | None = None,
     ) -> None:
         """UPDATE … SET … [WHERE …] (D1-D3).
 
@@ -492,7 +492,12 @@ class VersionedTable:
         and ONLY the updated rows are appended as a new file.  Write
         volume is O(matched rows), not O(touched files) — at 100 TB a
         ten-row UPDATE writes kilobytes either way on the DV path, where
-        even a pruned COW rewrites whole files."""
+        even a pruned COW rewrites whole files.
+
+        ``mode=None`` resolves from the ``delta.enableDeletionVectors``
+        table property (Delta's own opt-in surface): ``'true'`` routes
+        to merge-on-read, anything else to copy-on-write."""
+        mode = self._dml_mode(mode)
         if mode == "mor":
             self._update_mor(set_exprs, condition)
             return
@@ -603,7 +608,7 @@ class VersionedTable:
             dv_dirs=list(prev.dv_dirs or []) + [rel_dv],
         )
 
-    def delete(self, condition: str, mode: str = "cow") -> None:
+    def delete(self, condition: str, mode: str | None = None) -> None:
         """DELETE WHERE — SQL three-valued semantics: only rows where
         the condition is TRUE are deleted; NULL-evaluating rows are
         KEPT (plain ``~cond`` would drop them).
@@ -618,7 +623,11 @@ class VersionedTable:
         it out.  At 100 TB this turns a one-row-per-file DELETE from a
         full-table rewrite into a KB-scale write; OPTIMIZE (or any full
         rewrite) compacts the vectors away, exactly as Delta compacts
-        DVs."""
+        DVs.
+
+        ``mode=None`` resolves from the ``delta.enableDeletionVectors``
+        table property, like real Delta."""
+        mode = self._dml_mode(mode)
         if mode == "mor":
             self._delete_mor(condition)
             return
@@ -646,6 +655,42 @@ class VersionedTable:
             metrics=self._rewrite_metrics(rel, touched, untouched),
             file_stats=self._carried_stats(prev, untouched),
         )
+
+    # ------------------------------------------------------- properties
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE … SET TBLPROPERTIES (Delta parity) — a
+        metadata-only commit; the effective property map is the
+        last-wins merge over the commit history."""
+        prev = self._latest()
+        if prev is None:
+            raise FileNotFoundError(f"no such versioned table: {self.path}")
+        self._commit(
+            "SET TBLPROPERTIES",
+            prev.data_dirs,
+            prev.schema_ddl,
+            {"properties": dict(props)},
+            file_stats=prev.file_stats or {},
+        )
+
+    def properties(self) -> dict[str, str]:
+        """Effective TBLPROPERTIES: last-wins merge of every SET
+        TBLPROPERTIES commit (SHOW TBLPROPERTIES parity)."""
+        out: dict[str, str] = {}
+        for c in self._commits():
+            if c.operation == "SET TBLPROPERTIES":
+                out.update(c.operation_params.get("properties") or {})
+        return out
+
+    def _dml_mode(self, mode: str | None) -> str:
+        """Resolve a DML mode: an explicit argument wins; otherwise the
+        Delta ``delta.enableDeletionVectors`` table property selects
+        merge-on-read, defaulting to copy-on-write — the same precedence
+        real Delta applies."""
+        if mode is not None:
+            return mode
+        prop = str(self.properties().get("delta.enableDeletionVectors", "")).lower()
+        return "mor" if prop == "true" else "cow"
 
     def _delete_mor(self, condition: str) -> None:
         """Merge-on-read DELETE: record (file, row-position) of matching

@@ -189,3 +189,51 @@ def test_mor_update_no_match_is_metadata_only(spark, tmp_path):
     assert c.metrics["rows_updated"] == 0
     assert c.data_dirs == before
     assert not c.dv_dirs or len(c.dv_dirs) == 0
+
+
+def test_property_routes_dml_to_mor(spark, tmp_path):
+    """delta.enableDeletionVectors='true' flips the DEFAULT DML path to
+    merge-on-read (Delta's own opt-in surface); an explicit mode arg
+    still wins either way."""
+    t = _mk_four_file_table(spark, tmp_path)
+    assert t.properties() == {}
+    t.set_properties({"delta.enableDeletionVectors": "true"})
+    assert t.properties()["delta.enableDeletionVectors"] == "true"
+    before = t._commits()[-1].data_dirs
+    t.delete("k = 300")  # no mode arg -> property routes to MOR
+    c = t._commits()[-1]
+    assert c.operation_params.get("mode") == "merge-on-read"
+    assert c.data_dirs == before
+    t.update({"v": "v + 1"}, condition="k = 0")  # also MOR
+    assert t._commits()[-1].operation_params.get("mode") == "merge-on-read"
+    # explicit override beats the property
+    t.delete("k = 301", mode="cow")
+    assert t._commits()[-1].operation_params.get("mode") is None
+    assert t._commits()[-1].metrics["files_rewritten"] == 1
+    # property off again -> back to COW by default
+    t.set_properties({"delta.enableDeletionVectors": "false"})
+    t.delete("k = 302")
+    assert t._commits()[-1].operation_params.get("mode") is None
+    assert t.read().count() == 17, "20 rows minus the three deletes"
+
+
+def test_sql_tblproperties_surface(spark, tmp_path):
+    """ALTER TABLE ... SET TBLPROPERTIES / SHOW TBLPROPERTIES via the
+    SQL dispatcher, and SQL DELETE honoring the DV property."""
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(str(tmp_path / "lh"), spark=spark, table_backend="versioned")
+    df = spark.createDataFrame([(k, k) for k in range(20)], "k INT, v INT")
+    lh.create_table("tp", df)
+    lh.sql(
+        "alter table tp set tblproperties "
+        "('delta.enableDeletionVectors' = 'true', 'owner' = 'ops')"
+    )
+    props = {r.key: r.value for r in lh.sql("show tblproperties tp").collect()}
+    assert props == {"delta.enableDeletionVectors": "true", "owner": "ops"}
+    before = lh.table("tp")._commits()[-1].data_dirs
+    lh.sql("delete from tp where k >= 15")
+    c = lh.table("tp")._commits()[-1]
+    assert c.operation_params.get("mode") == "merge-on-read"
+    assert c.data_dirs == before
+    assert lh.sql("select * from tp").count() == 15
