@@ -70,6 +70,36 @@ def vt_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read()
 
 
+@query(
+    "vt_merge_mor",
+    oracle=_MERGE_ORACLE.replace(
+        "SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey",
+        "SELECT TRUE AS merge_on_read,\n           "
+        "COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey",
+    ),
+    tags=("D4", "J4", "D5"),
+)
+def vt_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME upsert MERGE as ``vt_merge_upsert`` (N2:534-540) run
+    merge-on-read: replaced target rows are soft-deleted via a deletion
+    vector and the updated+inserted rows are APPENDED — zero data files
+    rewritten.  The identical relational oracle proves the storage
+    strategy is invisible to results; ``merge_on_read`` pins from the
+    actual commit that no file was rewritten and the pre-merge file set
+    carried untouched."""
+    vt, o = _orders_table(spark, sf_dir)
+    before_dirs = vt._commits()[-1].data_dirs
+    vt.merge(_merge_source(o), on="t.o_orderkey = s.o_orderkey", mode="mor")
+    c = vt._commits()[-1]
+    mor = (
+        c.operation_params.get("mode") == "merge-on-read"
+        and c.metrics["files_rewritten"] == 0
+        and [d for d in c.data_dirs if d in before_dirs] == before_dirs
+        and c.metrics["dv_files_added"] == 1
+    )
+    return vt.read().withColumn("merge_on_read", F.lit(bool(mor)))
+
+
 @query("vt_time_travel", oracle="SELECT * FROM orders", tags=("D6",))
 def vt_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel (N1:210-212): after a MERGE, `VERSION AS OF 0` still

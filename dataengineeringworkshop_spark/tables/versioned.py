@@ -754,6 +754,141 @@ class VersionedTable:
             dv_dirs=(list(prev.dv_dirs or []) + [rel_dv]) if rel_dv else None,
         )
 
+    def _merge_mor(
+        self,
+        source: DataFrame,
+        on: str,
+        update_condition: str | None,
+        insert: bool,
+        update: bool,
+        nmbs_action: str | None,
+        nmbs_condition: str | None,
+        nmbs_set: dict[str, str] | None,
+        prev: Commit,
+        cols: list[str],
+        new_fields: list,
+    ) -> None:
+        """Merge-on-read MERGE (Delta's deletion-vector merge): target
+        rows whose current version stops being visible (updated, or
+        BY-SOURCE deleted/updated) are soft-deleted via a DV sidecar,
+        and the new row versions (source-valued updates, BY-SOURCE
+        SET-updates, inserts) are APPENDED — write volume is O(affected
+        rows), zero data files rewritten, any ON form.  Untouched
+        target rows are never read twice or rewritten.  Semantics are
+        identical to the copy-on-write merge (same full-sync grammar);
+        only the storage strategy differs."""
+        t = self._evolved(
+            [self._abs(d) for d in prev.data_dirs], prev, lineage=True
+        )
+        src = source.withColumn("__s_present", F.lit(True)).alias("s")
+        joined = t.alias("t").join(src, F.expr(on), "left")
+        s_here = F.col("__s_present").isNotNull()
+        upd_cond = F.expr(update_condition) if update_condition else F.lit(True)
+        take_source = s_here & F.lit(update) & upd_cond
+        nmbs_cond = F.expr(nmbs_condition) if nmbs_condition else F.lit(True)
+        tgt_only = ~s_here
+        dv_pred = take_source
+        if nmbs_action in ("delete", "update"):
+            dv_pred = dv_pred | (tgt_only & nmbs_cond)
+        rel_dv = f"v{prev.version + 1:08d}-dv-{uuid.uuid4().hex[:8]}"
+        joined.filter(dv_pred).select(
+            F.col("t.__dew_ref").alias("file_ref"),
+            F.col("t.__dew_pos").alias("pos"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/{rel_dv}")
+        n_dv = self.spark.read.parquet(f"{self.path}/{rel_dv}").count()
+        if n_dv == 0:
+            import shutil
+
+            shutil.rmtree(f"{self.path}/{rel_dv}", ignore_errors=True)
+            rel_dv = None
+
+        all_cols = cols + [f.name for f in new_fields]
+        new_types = {f.name: f.dataType for f in new_fields}
+        upd_set = {c: F.expr(e) for c, e in (nmbs_set or {}).items()}
+        appends: DataFrame | None = None
+
+        def _add(df: DataFrame) -> None:
+            nonlocal appends
+            appends = df if appends is None else appends.unionByName(df)
+
+        if update:
+            # new versions of updated rows take source values (UPDATE *)
+            _add(
+                joined.filter(take_source).select(
+                    *[F.col(f"s.{c}").alias(c) for c in all_cols]
+                )
+            )
+        if nmbs_action == "update":
+            _add(
+                joined.filter(tgt_only & nmbs_cond).select(
+                    *[
+                        (
+                            upd_set[c]
+                            if c in upd_set
+                            else (
+                                F.lit(None).cast(new_types[c])
+                                if c in new_types
+                                else F.col(f"t.{c}")
+                            )
+                        ).alias(c)
+                        for c in all_cols
+                    ]
+                )
+            )
+        if insert:
+            _add(
+                src.join(t.alias("t"), F.expr(on), "left_anti").select(
+                    *[F.col(f"s.{c}").alias(c) for c in all_cols]
+                )
+            )
+        rel = None
+        n_app = 0
+        if appends is not None:
+            rel = self._new_data_dir(prev.version + 1)
+            appends.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+            n_app = self.spark.read.parquet(f"{self.path}/{rel}").count()
+            if n_app == 0:
+                import shutil
+
+                shutil.rmtree(f"{self.path}/{rel}", ignore_errors=True)
+                rel = None
+        if new_fields:
+            from pyspark.sql.types import StructType
+
+            old_schema = StructType.fromDDL(_ddl_of(prev.schema_ddl))
+            schema_ddl = StructType(
+                list(old_schema.fields) + new_fields
+            ).simpleString()
+        else:
+            schema_ddl = prev.schema_ddl
+        wm = self._written_metrics(rel) if rel else {"files_added": 0, "bytes_added": 0}
+        dvb = self._bytes_of_refs([rel_dv]) if rel_dv else 0
+        self._commit(
+            "MERGE",
+            prev.data_dirs + ([rel] if rel else []),
+            schema_ddl,
+            metrics={
+                "files_rewritten": 0,
+                "bytes_rewritten": 0,
+                "files_carried": len(self._active_refs(prev)),
+                "rows_dv_marked": n_dv,
+                "rows_appended": n_app,
+                "files_added": wm["files_added"],
+                "bytes_added": wm["bytes_added"] + dvb,
+                "dv_files_added": 1 if rel_dv else 0,
+                "dv_bytes_added": dvb,
+            },
+            file_stats=prev.file_stats or {},
+            dv_dirs=(list(prev.dv_dirs or []) + [rel_dv]) if rel_dv else None,
+            params={
+                "on": on,
+                "update_condition": update_condition,
+                "unmatched_by_source_action": nmbs_action,
+                "unmatched_by_source_condition": nmbs_condition,
+                "mode": "merge-on-read",
+            },
+        )
+
     def merge(
         self,
         source: DataFrame,
@@ -765,6 +900,7 @@ class VersionedTable:
         unmatched_by_source_condition: str | None = None,
         unmatched_by_source_set: dict[str, str] | None = None,
         schema_evolution: bool = False,
+        mode: str | None = None,
     ) -> None:
         """MERGE [WITH SCHEMA EVOLUTION] INTO target t USING source s ON <on>
         WHEN MATCHED [AND <update_condition>] THEN UPDATE SET *
@@ -792,6 +928,11 @@ class VersionedTable:
         ``update=False`` models a MERGE with NO ``WHEN MATCHED`` clause
         (matched rows keep their target values — insert-only or pure
         by-source-sync merges).
+
+        ``mode``: None resolves from ``delta.enableDeletionVectors``
+        (Delta's opt-in); ``"mor"`` runs the merge as deletion-vector +
+        append (see :meth:`_merge_mor`), ``"cow"`` as the pruned
+        copy-on-write below.  Semantics are identical either way.
         Expressed as one full-outer-join plan:
 
           matched & cond       -> source row      (update *)
@@ -875,6 +1016,18 @@ class VersionedTable:
                     f"MERGE source has multiple rows per join key {s_keys} that "
                     "match one target row — Delta semantics forbid this"
                 )
+        resolved_mode = self._dml_mode(mode)
+        if resolved_mode == "mor":
+            self._merge_mor(
+                source, on, update_condition, insert, update,
+                unmatched_by_source_action, unmatched_by_source_condition,
+                unmatched_by_source_set, prev, cols, new_fields,
+            )
+            return
+        if resolved_mode != "cow":
+            raise ValueError(
+                f"merge mode must be 'cow' or 'mor', got {resolved_mode!r}"
+            )
         # File-pruned copy-on-write (Delta's rewrite-set pruning): when
         # no BY SOURCE clause is present, only files containing a
         # MATCHED target row can change — probe them with a left-semi

@@ -33,6 +33,7 @@ EXTRA = [
     "vt_delete_mor",
     "vt_update_mor",
     "vt_dv_sql_script",
+    "vt_merge_mor",
     # four-round-green rows rotated OUT of the r12 prefix (their slots
     # carry the round-11 backlog's first driver rows) — keep them
     # exercised so a regression is caught before the judge's spot-check

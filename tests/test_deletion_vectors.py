@@ -237,3 +237,99 @@ def test_sql_tblproperties_surface(spark, tmp_path):
     assert c.operation_params.get("mode") == "merge-on-read"
     assert c.data_dirs == before
     assert lh.sql("select * from tp").count() == 15
+
+
+def _merge_equiv_check(spark, tmp_path, name, **merge_kwargs):
+    """Run the same MERGE in COW and MOR modes on identical tables and
+    assert row-identical results — the strongest semantic pin."""
+    src = spark.createDataFrame(
+        [(100, 9999), (101, 8888), (777, 7777), (888, 6666)], "k INT, v INT"
+    )
+    results = {}
+    for mode in ("cow", "mor"):
+        t = VersionedTable(spark, str(tmp_path / f"{name}_{mode}"))
+        for i in range(4):
+            df = spark.createDataFrame(
+                [(k, k) for k in range(i * 100, i * 100 + 5)], "k INT, v INT"
+            ).coalesce(1)
+            t.write(df, mode="overwrite" if i == 0 else "append")
+        t.merge(src, on="t.k = s.k", mode=mode, **merge_kwargs)
+        results[mode] = sorted(
+            tuple(r) for r in t.read().select("k", "v").collect()
+        )
+        if mode == "mor":
+            c = t._commits()[-1]
+            assert c.metrics["files_rewritten"] == 0
+            assert c.operation_params.get("mode") == "merge-on-read"
+    assert results["cow"] == results["mor"], (
+        f"MOR merge diverged from COW: {results}"
+    )
+    return results["mor"]
+
+
+def test_mor_merge_upsert_matches_cow(spark, tmp_path):
+    rows = _merge_equiv_check(spark, tmp_path, "up")
+    d = dict(rows)
+    assert d[100] == 9999 and d[101] == 8888
+    assert d[777] == 7777 and d[888] == 6666
+    assert len(rows) == 22, "20 originals (2 replaced in place) + 2 inserts"
+
+
+def test_mor_merge_insert_only_matches_cow(spark, tmp_path):
+    rows = _merge_equiv_check(spark, tmp_path, "io", update=False)
+    d = dict(rows)
+    assert d[100] == 100 and d[101] == 101, "matched rows untouched"
+    assert d[777] == 7777 and len(rows) == 22
+
+
+def test_mor_merge_guarded_update_matches_cow(spark, tmp_path):
+    rows = _merge_equiv_check(
+        spark, tmp_path, "gd", update_condition="s.v > 9000"
+    )
+    d = dict(rows)
+    assert d[100] == 9999, "passes the guard"
+    assert d[101] == 101, "fails the guard -> target value kept"
+
+
+def test_mor_merge_full_sync_delete_matches_cow(spark, tmp_path):
+    rows = _merge_equiv_check(
+        spark, tmp_path, "fs", unmatched_by_source_action="delete"
+    )
+    keys = [k for k, _ in rows]
+    assert sorted(keys) == [100, 101, 777, 888], "full sync mirrors source"
+
+
+def test_mor_merge_by_source_update_matches_cow(spark, tmp_path):
+    rows = _merge_equiv_check(
+        spark, tmp_path, "bs",
+        unmatched_by_source_action="update",
+        unmatched_by_source_condition="t.k < 5",
+        unmatched_by_source_set={"v": "-1"},
+    )
+    d = dict(rows)
+    assert d[0] == -1 and d[4] == -1, "BY SOURCE SET applied"
+    assert d[200] == 200, "condition-excluded row untouched"
+
+
+def test_mor_merge_schema_evolution(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(100, 9999, "x"), (777, 7777, "y")], "k INT, v INT, tag STRING"
+    )
+    t.merge(src, on="t.k = s.k", schema_evolution=True, mode="mor")
+    c = t._commits()[-1]
+    assert c.metrics["files_rewritten"] == 0
+    got = {r.k: (r.v, r.tag) for r in t.read().collect()}
+    assert got[100] == (9999, "x") and got[777] == (7777, "y")
+    assert got[0] == (0, None), "pre-existing rows read NULL for new col"
+    assert len(got) == 21
+
+
+def test_mor_merge_then_optimize_compacts(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    src = spark.createDataFrame([(100, 9999), (777, 7777)], "k INT, v INT")
+    t.merge(src, on="t.k = s.k", mode="mor")
+    before = {tuple(r) for r in t.read().collect()}
+    t.optimize()
+    assert t._commits()[-1].dv_dirs == []
+    assert {tuple(r) for r in t.read().collect()} == before
