@@ -1090,3 +1090,27 @@ def test_merge_schema_evolution_result_single_snapshot_scan(spark, registry):
     for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert ops[j] == 0, (j, ops)
+
+
+def test_dv_read_is_broadcast_anti_join_no_data_shuffle(spark, tmp_path):
+    """r12: a deletion-vector read must plan as scan -> broadcast
+    LeftAnti against the KB-scale sidecar — the 100 TB data side never
+    shuffles, and the scan stays a single pass.  A shuffled anti-join
+    here would turn every read of a DV-bearing table into a full
+    exchange of the fact data."""
+    from dataengineeringworkshop_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "dvplan"))
+    t.write(spark.range(50000).selectExpr("id AS k", "id AS v").repartition(4))
+    t.delete("k % 4999 = 1", mode="mor")
+    plan = _plan(t.read())
+    ops = _ops(plan)
+    assert ops.get("BroadcastHashJoin", 0) == 1, ops
+    assert "LeftAnti" in plan, plan
+    assert ops.get("Exchange", 0) <= 1, ops  # the broadcast side only
+    assert re.search(r"Exchange hashpartitioning", plan) is None, plan
+    # no-DV table: zero join, zero overhead
+    t2 = VersionedTable(spark, str(tmp_path / "nodv"))
+    t2.write(spark.range(100).selectExpr("id AS k"))
+    p2 = _plan(t2.read())
+    assert _ops(p2).get("BroadcastHashJoin", 0) == 0, p2
