@@ -40,9 +40,14 @@ class TableBackend(Protocol):
 
     def read(self, version: int | None = None) -> DataFrame: ...
 
-    def update(self, set_exprs: dict[str, str], condition: str | None = None) -> None: ...
+    def update(
+        self,
+        set_exprs: dict[str, str],
+        condition: str | None = None,
+        mode: str | None = None,
+    ) -> None: ...
 
-    def delete(self, condition: str) -> None: ...
+    def delete(self, condition: str, mode: str | None = None) -> None: ...
 
     def merge(
         self,
@@ -55,6 +60,7 @@ class TableBackend(Protocol):
         unmatched_by_source_condition: str | None = None,
         unmatched_by_source_set: dict[str, str] | None = None,
         schema_evolution: bool = False,
+        mode: str | None = None,
     ) -> None: ...
 
     def optimize(self, zorder_by: list[str] | None = None, target_files: int = 4) -> None: ...
@@ -122,11 +128,30 @@ class DeltaBackend:
             r = r.option("versionAsOf", version)
         return r.load(self.path)
 
-    def update(self, set_exprs: dict[str, str], condition: str | None = None) -> None:
+    def update(
+        self,
+        set_exprs: dict[str, str],
+        condition: str | None = None,
+        mode: str | None = None,
+    ) -> None:
+        self._mode_guard(mode)
         self._dt().update(condition=condition, set=set_exprs)
 
-    def delete(self, condition: str) -> None:
+    def delete(self, condition: str, mode: str | None = None) -> None:
+        self._mode_guard(mode)
         self._dt().delete(condition)
+
+    @staticmethod
+    def _mode_guard(mode: str | None) -> None:
+        if mode is not None:
+            # Delta chooses merge-on-read vs copy-on-write from the
+            # delta.enableDeletionVectors table property; a per-statement
+            # storage-mode override does not exist in delta-spark
+            raise NotImplementedError(
+                "DeltaBackend cannot force a per-statement DML mode; set "
+                "TBLPROPERTIES ('delta.enableDeletionVectors'='true'|'false') "
+                "on the table instead"
+            )
 
     def merge(
         self,
@@ -139,6 +164,7 @@ class DeltaBackend:
         unmatched_by_source_condition: str | None = None,
         unmatched_by_source_set: dict[str, str] | None = None,
         schema_evolution: bool = False,
+        mode: str | None = None,
     ) -> None:
         # Full MERGE surface, same signature as VersionedTable.merge —
         # the SQL dispatcher (sqldml.py) always passes every kwarg, so
@@ -147,6 +173,16 @@ class DeltaBackend:
         if unmatched_by_source_action not in (None, "delete", "update"):
             raise ValueError(
                 "unmatched_by_source_action must be None, 'delete' or 'update'"
+            )
+        if mode is not None:
+            # Delta chooses merge-on-read vs copy-on-write from the
+            # delta.enableDeletionVectors table property; a per-statement
+            # storage-mode override does not exist in delta-spark, so
+            # refuse rather than silently ignore the request.
+            raise NotImplementedError(
+                "DeltaBackend cannot force a per-statement DML mode; set "
+                "TBLPROPERTIES ('delta.enableDeletionVectors'='true'|'false') "
+                "on the table instead"
             )
         m = self._dt().alias("t").merge(source.alias("s"), on)
         if schema_evolution:
