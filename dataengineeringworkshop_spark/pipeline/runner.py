@@ -160,7 +160,13 @@ class Pipeline:
         try:
             kept.write.mode("overwrite").parquet(staging)
         except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
+            from dataengineeringworkshop_spark.tables.staging import (
+                remove_staged_dir,
+            )
+
+            # the abort races Spark's async task kill — retry until the
+            # staging dir stays absent so no straggler re-creates it
+            remove_staged_dir(staging)
             raise
         shutil.rmtree(final, ignore_errors=True)
         os.rename(staging, final)
@@ -496,7 +502,11 @@ class Pipeline:
                 try:
                     kept.write.mode("overwrite").parquet(staging)
                 except Exception as ex:  # noqa: BLE001
-                    shutil.rmtree(staging, ignore_errors=True)
+                    from dataengineeringworkshop_spark.tables.staging import (
+                        remove_staged_dir,
+                    )
+
+                    remove_staged_dir(staging)
                     _translate_fail_guard(spec.name, ex)
                 os.makedirs(target, exist_ok=True)
                 for f in os.listdir(staging):

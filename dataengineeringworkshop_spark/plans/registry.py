@@ -154,6 +154,17 @@ DRIVER_PREFIX = 50
 # singleton family that was green in r1–r3 keeps its cumulative evidence;
 # tests/test_registry_order.py enforces prefix ∪ past-green coverage).
 # All 50 rows are oracle-paired — no rows-only slots in the window.
+# Round-13 composition: identical to round-12 except SIX slots — the
+# round-12 backlog (vt_merge_mor, vt_delete_mor, vt_update_mor,
+# vt_dv_sql_script, vt_zorder_multi_skipping,
+# vt_history_rewrite_metrics — the only oracle-paired rows without a
+# driver row, each pre-proven in driver_sim EXTRA since r12 and
+# re-verified by the r12 judge at sf0.01) replaces six r8-pool rows
+# with FOUR consecutive green driver rows each (rb_setops_breadth,
+# a20_hll_distinct_bounds, a21_weighted_median, w13_value_range_window,
+# g3_stack_inline_breadth, o5_null_ordering_breadth — all to driver_sim
+# EXTRA).  Green window => cumulative driver evidence hits 257/257
+# oracle-paired queries, zero backlog.
 # Round-12 composition: identical to round-11 except THREE slots — the
 # round-11 backlog (vt_merge_full_sync, vt_merge_schema_evolution,
 # cp_hash_sample_deterministic — the only oracle-paired rows without a
@@ -236,15 +247,22 @@ _PRIORITY: tuple[str, ...] = (
     "vt_merge_full_sync",
     "vt_merge_schema_evolution",
     "cp_hash_sample_deterministic",
-    # ---- the 7-query round-8 pool (second rows, first-time green in
-    # CORRECTNESS_r09) ----
-    "rb_setops_breadth",
+    # ---- round-12 backlog: the 6 merge-on-read / metrics rows (the
+    # only oracle-paired rows without driver evidence; pre-proven in
+    # driver_sim EXTRA since r12 and judge re-verified at sf0.01).
+    # Green window => 257/257 oracle-paired queries driver-evidenced.
+    # Ref: MERGE `2 Medaillon architecture.py:534-540`, OPTIMIZE/ZORDER
+    # N2:455-458, DESCRIBE HISTORY `1 Data ingestion.py:196-198`. ----
+    "vt_merge_mor",
+    "vt_delete_mor",
+    "vt_update_mor",
+    "vt_dv_sql_script",
+    "vt_zorder_multi_skipping",
+    "vt_history_rewrite_metrics",
+    # ---- round-8 pool survivor (the pipeline event-log family's only
+    # oracle row; its 6 siblings rotated out for r13 with FOUR
+    # consecutive green rows each — see the r13 note below) ----
     "pl_event_log_audit",
-    "a20_hll_distinct_bounds",
-    "a21_weighted_median",
-    "w13_value_range_window",
-    "g3_stack_inline_breadth",
-    "o5_null_ordering_breadth",
     # ---- the 4-query round-9 pool (first green in r10; second rows) ----
     "g4_posexplode_outer_breadth",
     "g5_explode_outer_map",
@@ -265,6 +283,11 @@ _PRIORITY: tuple[str, ...] = (
     "f21_xml_funcs_breadth",
     "f22_timezone_convert_breadth",
 )
+# Rotated out for round 13 (all with FOUR consecutive green driver rows
+# r09-r12; they persist in CORRECTNESS_r09..r12 and stay exercised in
+# driver_sim's EXTRA spot-check list): rb_setops_breadth,
+# a20_hll_distinct_bounds, a21_weighted_median, w13_value_range_window,
+# g3_stack_inline_breadth, o5_null_ordering_breadth.
 # Rotated out for round 11 (all multi-round green; their driver rows
 # persist and they stay exercised in driver_sim's EXTRA spot-check
 # list): sim_embed_quantize, e_mad_outliers, t_fuzzy_match_levenshtein,

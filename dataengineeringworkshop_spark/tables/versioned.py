@@ -185,9 +185,12 @@ class VersionedTable:
             if precommit is not None:
                 precommit()
         except BaseException:
-            import shutil
+            from .staging import remove_staged_dir
 
-            shutil.rmtree(f"{self.path}/{rel}", ignore_errors=True)
+            # Spark kills the failed job's tasks asynchronously; wait
+            # out stragglers so a re-created _temporary tree can't
+            # survive the abort (orphaned storage at scale).
+            remove_staged_dir(f"{self.path}/{rel}")
             raise
         schema_ddl = df.schema.simpleString()
         if mode == "append" and prev is not None:

@@ -307,6 +307,54 @@ def test_fail_mode_publishes_nothing(spark, tmp_path):
             assert staged == []
 
 
+def test_fail_mode_abort_survives_slow_stragglers(spark, tmp_path):
+    """Regression for the abort-cleanup race: Spark kills a failed
+    job's tasks ASYNCHRONOUSLY, so a straggler task can re-create the
+    staged dir (FileOutputCommitter _temporary tree) after the driver's
+    cleanup ran.  Inject the race deliberately — one partition violates
+    the fail guard on its first row (no sleep) while seven others pace
+    themselves through valid rows with an open parquet writer — and
+    assert the abort still leaves no v* dir behind."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringworkshop_spark.operators.expectations import (
+        Expectation,
+        ExpectationFailed,
+    )
+    from dataengineeringworkshop_spark.pipeline.runner import Pipeline
+
+    def build(s, _r):
+        @F.udf("long")
+        def paced(v):
+            if v >= 100:  # valid rows trickle out; the violating
+                _time.sleep(0.012)  # partition (0..99) races ahead
+            return v
+
+        return s.range(800, numPartitions=8).select(paced("id").alias("v"))
+
+    p = Pipeline("failslow", str(tmp_path / "pl"))
+    p.table(
+        "bad",
+        fn=build,
+        expectations=[Expectation("v_big", "v >= 100", mode="fail")],
+    )
+    with pytest.raises(ExpectationFailed, match="v_big"):
+        p.run(spark)
+    from dataengineeringworkshop_spark.tables.backend import open_table
+
+    assert not open_table(spark, p._table_dir("bad")).exists()
+    troot = p._table_dir("bad")
+    staged = (
+        [d for d in os.listdir(troot) if d.startswith("v")]
+        if os.path.isdir(troot)
+        else []
+    )
+    assert staged == []
+
+
 def test_fail_mode_passes_when_clean(spark, tmp_path):
     """A fail-mode expectation with zero violations must not disturb the
     write, and its metrics are recorded like any other mode."""
