@@ -217,6 +217,38 @@ def test_property_routes_dml_to_mor(spark, tmp_path):
     assert t.read().count() == 17, "20 rows minus the three deletes"
 
 
+def test_property_snapshot_is_o1_and_legacy_logs_fall_back(spark, tmp_path):
+    """Each commit carries a last-wins TBLPROPERTIES snapshot so
+    properties()/_dml_mode read only the LATEST commit (ADVICE r12:
+    DML latency must not degrade O(history)); a pre-snapshot log
+    (properties field stripped) still resolves via the full merge, and
+    the next commit re-establishes the snapshot."""
+    import json as _json
+    import os as _os
+
+    t = _mk_four_file_table(spark, tmp_path)
+    t.set_properties({"a": "1", "b": "1"})
+    t.set_properties({"b": "2"})
+    t.delete("k = 300")  # non-property commit must CARRY the snapshot
+    last = t._latest()
+    assert last.properties == {"a": "1", "b": "2"}
+    assert t.properties() == {"a": "1", "b": "2"}
+    assert t.properties() == t._properties_scan()
+
+    # simulate a legacy (pre-snapshot) log: strip the field everywhere
+    log_dir = f"{t.path}/_dew_log"
+    for fn in _os.listdir(log_dir):
+        if fn.endswith(".json"):
+            d = _json.load(open(f"{log_dir}/{fn}"))
+            d.pop("properties", None)
+            _json.dump(d, open(f"{log_dir}/{fn}", "w"))
+    assert t._latest().properties is None
+    assert t.properties() == {"a": "1", "b": "2"}  # full-merge fallback
+    t.set_properties({"c": "3"})  # snapshot re-established, folded once
+    assert t._latest().properties == {"a": "1", "b": "2", "c": "3"}
+    assert t.properties() == t._properties_scan()
+
+
 def test_sql_tblproperties_surface(spark, tmp_path):
     """ALTER TABLE ... SET TBLPROPERTIES / SHOW TBLPROPERTIES via the
     SQL dispatcher, and SQL DELETE honoring the DV property."""
@@ -333,3 +365,71 @@ def test_mor_merge_then_optimize_compacts(spark, tmp_path):
     t.optimize()
     assert t._commits()[-1].dv_dirs == []
     assert {tuple(r) for r in t.read().collect()} == before
+
+
+def test_reorg_purge_threshold_rewrites_only_dv_heavy_files(spark, tmp_path):
+    """REORG APPLY (PURGE) with a DV-fraction threshold (VERDICT r12
+    item 5): only files whose soft-deleted fraction exceeds the
+    threshold are rewritten; light files carry by reference with their
+    DV entries intact; rows are identical before and after."""
+    t = _mk_four_file_table(spark, tmp_path)  # 4 files x 5 rows
+    # file 1 (k 100..104): 3/5 = 60% soft-deleted -> heavy at 0.5
+    t.delete("k >= 100 AND k < 103", mode="mor")
+    # file 2 (k 200..204): 1/5 = 20% soft-deleted -> light at 0.5
+    t.delete("k = 200", mode="mor")
+    before = sorted(r.k for r in t.read().collect())
+    assert len(before) == 16
+    refs_before = t._active_refs(t._latest())
+
+    t.reorg_purge(threshold=0.5)
+    c = t._latest()
+    assert c.operation == "REORG"
+    assert c.metrics["files_rewritten"] == 1, "only the 60% file"
+    assert c.metrics["files_carried"] == 3
+    assert c.metrics["rows_purged"] == 3
+    # rows identical
+    assert sorted(r.k for r in t.read().collect()) == before
+    # the light file's DV entry survives (k=200 still soft-deleted)
+    assert len(c.dv_dirs) == 1
+    dv = spark.read.parquet(t._abs(c.dv_dirs[0]))
+    assert dv.count() == 1
+    # carried refs are a subset of the old active set; exactly one new
+    carried = [r for r in t._active_refs(c) if r in refs_before]
+    assert len(carried) == 3
+
+    # threshold 0.0 purges the remaining DV entirely
+    t.reorg_purge(threshold=0.0)
+    c2 = t._latest()
+    assert c2.metrics["files_rewritten"] == 1
+    assert c2.dv_dirs == []
+    assert sorted(r.k for r in t.read().collect()) == before
+
+
+def test_reorg_purge_no_dv_and_all_light_are_metadata_only(spark, tmp_path):
+    t = _mk_four_file_table(spark, tmp_path)
+    dirs_before = t._latest().data_dirs
+    t.reorg_purge()  # no DVs at all
+    c = t._latest()
+    assert c.operation == "REORG" and c.data_dirs == dirs_before
+    assert c.metrics["files_rewritten"] == 0
+    t.delete("k = 0", mode="mor")  # 20% of file 0
+    t.reorg_purge(threshold=0.5)  # under threshold -> metadata-only
+    c = t._latest()
+    assert c.metrics["files_rewritten"] == 0
+    assert len(c.dv_dirs) == 1, "DV carries forward"
+    assert sorted(r.k for r in t.read().collect())[0] == 1
+
+
+def test_reorg_purge_sql_statement(spark, tmp_path):
+    """REORG TABLE t APPLY (PURGE) [THRESHOLD x] via the SQL surface."""
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(str(tmp_path / "lh"), spark=spark, table_backend="versioned")
+    lh.create_table("t", spark.range(100).withColumnRenamed("id", "v"))
+    lh.sql("ALTER TABLE t SET TBLPROPERTIES ('delta.enableDeletionVectors'='true')")
+    lh.sql("DELETE FROM t WHERE v < 10")
+    st = lh.sql("REORG TABLE t APPLY (PURGE) THRESHOLD 0.05")
+    assert st.first().operation == "REORG"
+    tbl = lh.table("t")
+    assert tbl._latest().dv_dirs == []
+    assert lh.sql("SELECT count(*) AS n FROM t").first().n == 90
