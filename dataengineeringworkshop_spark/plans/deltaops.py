@@ -1017,3 +1017,48 @@ def vt_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return lh.sql("select * from orders_evo")
+
+
+@query(
+    "vt_reorg_purge_threshold",
+    # visible rows = orders minus the MOR-deleted slice; the boolean is
+    # computed from the actual REORG commit and pins the SELECTIVE
+    # rewrite (only the DV-heavy file was compacted, the light file
+    # carried by reference with its DV entry intact)
+    oracle="""
+        SELECT o.*, TRUE AS purged_selectively
+        FROM orders o
+        WHERE o.o_orderkey % 10 NOT IN (0, 2)
+    """,
+    tags=("D7",),
+)
+def vt_reorg_purge_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG TABLE … APPLY (PURGE) THRESHOLD 0.3 (Delta's DV-maintenance
+    statement with a fraction gate; table-maintenance family of
+    `2 Medaillon architecture.py:455-458`): after a merge-on-read DELETE
+    leaves one file ~50% soft-deleted and another ~12.5%, the purge must
+    rewrite ONLY the heavy file — a 100 TB table sheds DV-heavy files
+    without a full-table OPTIMIZE.  ``purged_selectively`` pins, from
+    the commit itself, files_rewritten == 1, the light file carried,
+    and its DV entries surviving; rows are hash-compared against the
+    plain relational expectation."""
+    o = load_table(spark, sf_dir, "orders")
+    vt = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="dew_vt_") + "/orders_reorg"
+    )
+    # two files with controlled delete fractions: file A holds keys
+    # %10 in {0,1} (the delete hits ~half), file B the rest (~1/8)
+    vt.write(o.filter(F.col("o_orderkey") % 10 < 2).coalesce(1))
+    vt.write(o.filter(F.col("o_orderkey") % 10 >= 2).coalesce(1), mode="append")
+    vt.delete("o_orderkey % 10 IN (0, 2)", mode="mor")
+    vt.reorg_purge(threshold=0.3)
+    c = vt._latest()
+    dv_alive = len(c.dv_dirs or []) == 1
+    sel = (
+        c.operation == "REORG"
+        and c.metrics["files_rewritten"] == 1
+        and c.metrics["files_carried"] == 1
+        and c.metrics["rows_purged"] > 0
+        and dv_alive
+    )
+    return vt.read().withColumn("purged_selectively", F.lit(bool(sel)))

@@ -72,7 +72,7 @@ def _split_top_level(text: str, sep_re: str) -> list[str]:
     (shared scanner in sqlcompat)."""
     from dataengineeringworkshop_spark.sqlcompat import split_top_level
 
-    return split_top_level(text, sep_re, quotes="'")
+    return split_top_level(text, sep_re, quotes="'\"")
 
 
 _UPDATE_RE = re.compile(r"^update\s+(\w+)\s+set\s+(.*)$", re.IGNORECASE | re.DOTALL)
@@ -89,9 +89,36 @@ _SET_PROPS_RE = re.compile(
 _SHOW_PROPS_RE = re.compile(
     r"^show\s+tblproperties\s+(\w+)$", re.IGNORECASE
 )
+# a TBLPROPERTIES pair: key is quoted (with doubled-quote escapes) or
+# Spark's legal unquoted dotted-identifier form
+# (SET TBLPROPERTIES (delta.enableDeletionVectors = 'true')); value is
+# quoted with doubled-quote escapes (ADVICE r12 parity gap)
 _PROP_PAIR_RE = re.compile(
-    r"""^\s*['"]([^'"]+)['"]\s*=\s*['"]([^'"]*)['"]\s*$"""
+    r"""^\s*(?:
+          '((?:[^']|'')*)'          # 1: single-quoted key
+        | "((?:[^"]|"")*)"          # 2: double-quoted key
+        | ([A-Za-z_][\w.]*)         # 3: unquoted dotted-identifier key
+        )\s*=\s*(?:
+          '((?:[^']|'')*)'          # 4: single-quoted value
+        | "((?:[^"]|"")*)"          # 5: double-quoted value
+        )\s*$""",
+    re.VERBOSE,
 )
+
+
+def _prop_pair(pair: str) -> tuple[str, str] | None:
+    """Parse one TBLPROPERTIES pair; None when unparseable."""
+    pm = _PROP_PAIR_RE.match(pair)
+    if not pm:
+        return None
+    k1, k2, k3, v1, v2 = pm.groups()
+    key = (
+        k1.replace("''", "'") if k1 is not None
+        else k2.replace('""', '"') if k2 is not None
+        else k3
+    )
+    value = v1.replace("''", "'") if v1 is not None else v2.replace('""', '"')
+    return key, value
 _MERGE_RE = re.compile(
     r"^merge\s+(with\s+schema\s+evolution\s+)?into\s+(\w+)(?:\s+as)?(?:\s+(\w+))?\s+"
     r"using\s+(\w+)(?:\s+as)?(?:\s+(\w+))?\s+"
@@ -119,6 +146,14 @@ _NMBS_UPDATE_RE = re.compile(
 _VERSION_AS_OF_RE = re.compile(r"\b(\w+)\s+version\s+as\s+of\s+(\d+)\b", re.IGNORECASE)
 _OPTIMIZE_RE = re.compile(
     r"^optimize\s+(\w+)(?:\s+zorder\s+by\s*\(\s*([\w\s,]+?)\s*\))?$",
+    re.IGNORECASE,
+)
+# Delta's DV-maintenance statement; the optional non-standard
+# `THRESHOLD x` extension exposes the DV-fraction gate (Python API
+# reorg_purge(threshold=...)) — plain APPLY (PURGE) is threshold 0
+_REORG_RE = re.compile(
+    r"^reorg\s+table\s+(\w+)\s+apply\s*\(\s*purge\s*\)"
+    r"(?:\s+threshold\s+(0?\.\d+|\d+(?:\.\d+)?))?$",
     re.IGNORECASE,
 )
 _RESTORE_RE = re.compile(
@@ -156,10 +191,10 @@ def execute(lh: "Lakehouse", statement: str) -> DataFrame:
         table, body = m.group(1), m.group(2)
         props: dict[str, str] = {}
         for pair in _split_top_level(body, r","):
-            pm = _PROP_PAIR_RE.match(pair)
-            if not pm:
+            kv = _prop_pair(pair)
+            if kv is None:
                 raise ValueError(f"unparseable TBLPROPERTIES pair: {pair!r}")
-            props[pm.group(1)] = pm.group(2)
+            props[kv[0]] = kv[1]
         lh.table(table).set_properties(props)
         return _status(lh, "SET TBLPROPERTIES", table)
 
@@ -287,6 +322,15 @@ def execute(lh: "Lakehouse", statement: str) -> DataFrame:
         lh.table(table).optimize(zorder_by=zorder)
         lh.refresh_view(table)
         return _status(lh, "OPTIMIZE", table)
+
+    m = _REORG_RE.match(sql)
+    if m:
+        table = m.group(1)
+        lh.table(table).reorg_purge(
+            threshold=float(m.group(2)) if m.group(2) else 0.0
+        )
+        lh.refresh_view(table)
+        return _status(lh, "REORG", table)
 
     m = _RESTORE_RE.match(sql)
     if m:

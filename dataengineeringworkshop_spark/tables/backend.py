@@ -65,6 +65,8 @@ class TableBackend(Protocol):
 
     def optimize(self, zorder_by: list[str] | None = None, target_files: int = 4) -> None: ...
 
+    def reorg_purge(self, threshold: float = 0.0) -> None: ...
+
     def restore(self, version: int) -> None: ...
 
     def shallow_clone(self, target_path: str, version: int | None = None): ...
@@ -209,6 +211,16 @@ class DeltaBackend:
         else:
             opt.executeCompaction()
 
+    def reorg_purge(self, threshold: float = 0.0) -> None:
+        if threshold:
+            # Delta's REORG statement has no fraction gate; refuse
+            # rather than silently purging more than asked
+            raise NotImplementedError(
+                "Delta REORG APPLY (PURGE) has no threshold form; "
+                "use threshold=0.0 or Delta's own maintenance jobs"
+            )
+        self.spark.sql(f"REORG TABLE delta.`{self.path}` APPLY (PURGE)")
+
     def restore(self, version: int) -> None:
         self.spark.sql(
             f"RESTORE TABLE delta.`{self.path}` TO VERSION AS OF {version}"
@@ -241,7 +253,12 @@ class DeltaBackend:
         return self._dt().history()
 
     def set_properties(self, props: dict[str, str]) -> None:
-        pairs = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+        # escape embedded single quotes — a quote-bearing key/value must
+        # not break the statement or inject SQL into the session
+        def q(s: str) -> str:
+            return str(s).replace("'", "''")
+
+        pairs = ", ".join(f"'{q(k)}' = '{q(v)}'" for k, v in props.items())
         self.spark.sql(
             f"ALTER TABLE delta.`{self.path}` SET TBLPROPERTIES ({pairs})"
         )

@@ -206,3 +206,46 @@ def test_sql_shallow_clone_statement(spark, tmp_path):
     assert lh.sql("select count(*) AS n from src").first().n == 10
     assert lh.sql("select count(*) AS n from c1").first().n == 20
     assert lh.sql("select count(*) AS n from c0").first().n == 40
+
+
+def test_tblproperties_pair_forms():
+    """The pair parser accepts Spark's unquoted dotted-identifier key
+    form and doubled-quote escapes (ADVICE r12 parity gap), and still
+    rejects garbage."""
+    from dataengineeringworkshop_spark.sqldml import _prop_pair
+
+    assert _prop_pair("'k' = 'v'") == ("k", "v")
+    assert _prop_pair('"k" = "v"') == ("k", "v")
+    assert _prop_pair("delta.enableDeletionVectors = 'true'") == (
+        "delta.enableDeletionVectors", "true",
+    )
+    assert _prop_pair("'it''s' = 'a''b'") == ("it's", "a'b")
+    assert _prop_pair('"say ""hi""" = \'x\'') == ('say "hi"', "x")
+    assert _prop_pair("'k' = 'v, with comma'") == ("k", "v, with comma")
+    assert _prop_pair("1bad = 'v'") is None
+    assert _prop_pair("'k' = unquoted") is None
+    assert _prop_pair("'k'") is None
+
+
+def test_sql_tblproperties_unquoted_key_and_escapes(spark, tmp_path):
+    """End-to-end: SET TBLPROPERTIES with an unquoted dotted key routes
+    DML to merge-on-read, and escaped values round-trip through SHOW."""
+    from dataengineeringworkshop_spark.engine import Lakehouse
+
+    lh = Lakehouse(str(tmp_path / "lake"), spark=spark, table_backend="versioned")
+    lh.create_table("t", spark.range(30).withColumnRenamed("id", "v"))
+    lh.sql(
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "(delta.enableDeletionVectors = 'true', 'note' = 'it''s, quoted')"
+    )
+    props = {
+        r.key: r.value for r in lh.sql("SHOW TBLPROPERTIES t").collect()
+    }
+    assert props["delta.enableDeletionVectors"] == "true"
+    assert props["note"] == "it's, quoted"
+    lh.sql("DELETE FROM t WHERE v < 5")  # property routes to MOR
+    from dataengineeringworkshop_spark.tables.backend import open_table
+
+    t = open_table(spark, lh._table_path("t"))
+    assert t._latest().operation_params.get("mode") == "merge-on-read"
+    assert lh.sql("SELECT count(*) AS n FROM t").first().n == 25
