@@ -97,12 +97,39 @@ def _learn_local(
 # part, the merge loop runs over the bounded word-count model input).
 LOCAL_VOCAB_CAP = 1_000_000
 
+#: byte budget for the driver-side merge loop: the collected rows'
+#: marker-wrapped string payload (sum of length(s)) must fit this
+#: alongside the row-count cap.  256 MB of payload inflates to ~1-1.5 GB
+#: of Python string objects — safe on an 8g driver, and a corpus of
+#: few-but-huge distinct words (the case a pure row-count gate misses)
+#: now falls through to the distributed loop.
+LOCAL_VOCAB_BYTES = 256 * 1024 * 1024
+
+
+def _fits_local(
+    seqs0: DataFrame, vocab_cap: int, byte_budget: int
+) -> bool:
+    """ONE bounded job decides the merge-loop path: count and payload
+    bytes over at most ``vocab_cap + 1`` rows (never the full table,
+    never a collect).  Local only when BOTH the row count and the
+    estimated collected bytes fit."""
+    probe = (
+        seqs0.limit(vocab_cap + 1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.length("s")), F.lit(0)).alias("payload"),
+        )
+        .collect()[0]
+    )
+    return int(probe.n) <= vocab_cap and int(probe.payload) <= byte_budget
+
 
 def learn_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     local_vocab_cap: int = LOCAL_VOCAB_CAP,
+    local_vocab_bytes: int = LOCAL_VOCAB_BYTES,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over the corpus.
 
@@ -114,7 +141,8 @@ def learn_bpe_merges(
     frequency table (the only corpus-sized work — at 100 TB this is the
     part that must be a map-side-combined groupBy, and it is).  The
     merge loop itself only ever touches that table: when it fits under
-    ``local_vocab_cap`` rows it is collected and the loop runs
+    ``local_vocab_cap`` rows AND ``local_vocab_bytes`` of string
+    payload (one bounded probe job checks both) it is collected and the loop runs
     driver-side (zero extra jobs — word counts ARE the model input, as
     in HF tokenizers / SentencePiece); above the cap the loop runs as
     per-round distributed pair-count jobs over the cached table, never
@@ -127,12 +155,12 @@ def learn_bpe_merges(
     ).persist()
     merges: list[tuple[int, str, str, int]] = []
     try:
-        # cheap bounded COUNT decides the path first — collecting the
-        # rows only to discover the vocab is over the cap would pull up
-        # to cap+1 marker strings onto the driver for nothing (the cap
-        # is 1M rows; on an 8g driver that is real memory pressure)
-        n_vocab = seqs0.limit(local_vocab_cap + 1).count()
-        if n_vocab <= local_vocab_cap:
+        # cheap bounded probe decides the path first — collecting the
+        # rows only to discover the vocab is over budget would pull up
+        # to cap+1 marker strings onto the driver for nothing.  The
+        # gate is row count AND payload bytes: a corpus of few-but-huge
+        # distinct words must fall through to the distributed loop too.
+        if _fits_local(seqs0, local_vocab_cap, local_vocab_bytes):
             head = seqs0.collect()
             merges = _learn_local(
                 [(r.s, int(r.weight)) for r in head], n_merges
