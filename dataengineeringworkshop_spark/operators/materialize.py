@@ -25,6 +25,34 @@ import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
+
+def input_fingerprint(df: DataFrame) -> str:
+    """Metadata-scale identity of a DataFrame's FILE inputs, for folding
+    into derived-artifact cache keys: sha1 over the sorted
+    (path, size, mtime) of ``df.inputFiles()``.  If the underlying files
+    are replaced in-process (a test fixture rewrite, a refreshed
+    snapshot), the fingerprint changes and the artifact rebuilds instead
+    of silently serving stale results (ADVICE r12).
+
+    Purely driver-side file metadata — no job runs.  In-memory sources
+    (createDataFrame, memory streams) list no files and hash to a
+    constant: such callers must encode input identity in the key
+    themselves, exactly as before."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    h = hashlib.sha1()
+    for p in sorted(df.inputFiles()):
+        h.update(p.encode())
+        local = urlparse(p).path if p.startswith("file:") else p
+        try:
+            st = os.stat(local)
+            h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            pass  # remote / vanished file: path identity alone
+    return h.hexdigest()[:16]
+
 _TMP_DIRS: list[str] = []
 
 #: derived-artifact cache: cache_key -> materialized parquet path.  A

@@ -197,10 +197,18 @@ def global_session_intervals(
     # differ, so ReuseExchange never kicks in).  The session-scale
     # lineage is then computed exactly twice — once aggregating into
     # band_sum, once as the interior-filter probe.
-    from dataengineeringworkshop_spark.operators.materialize import materialize
+    from dataengineeringworkshop_spark.operators.materialize import (
+        input_fingerprint,
+        materialize,
+    )
 
+    # the caller's key names the SOURCE; the fingerprint pins its file
+    # CONTENTS (size+mtime), so an in-process rewrite of the same path
+    # rebuilds the artifact instead of serving stale sessions
+    _src_fp = input_fingerprint(df) if artifact_key else ""
     _param_key = (
         f"gap{gap_seconds}:band{band_seconds}:ts{ts}:tb{order_tiebreak}"
+        f":src{_src_fp}"
     )
     # the per-band session summary is itself a maintained artifact when
     # keyed: the interior filter below is its only session-scale

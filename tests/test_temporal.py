@@ -80,3 +80,50 @@ def test_banded_range_join_band_edges(spark):
     rows = out.collect()
     assert {(r.lid, r.rid) for r in rows} == {(100, 200)}
     assert rows[0].gap_us == 31_000_000
+
+
+def test_session_artifact_rebuilds_when_source_files_change(spark, tmp_path):
+    """The maintained band-summary artifact folds an input FINGERPRINT
+    (file path+size+mtime) into its cache key (ADVICE r12): rewriting
+    the source path in-process must rebuild the artifact, not serve the
+    old sessions; an unchanged source still hits the cache (same key)."""
+    import os
+    import time
+
+    from dataengineeringworkshop_spark.operators.temporal import (
+        global_session_intervals,
+    )
+
+    src = str(tmp_path / "ev.parquet")
+
+    def write(n):
+        spark.range(n).select(
+            F.col("id").alias("user_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 10).alias("ts"),
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def sessions():
+        return global_session_intervals(
+            spark.read.parquet(src), ts="ts", gap_seconds=60,
+            band_seconds=3600, artifact_key=f"test:gsi:{src}",
+        ).count()
+
+    write(5)
+    first = sessions()
+    assert first == 1  # 10s spacing, 60s gap -> one session
+    # rewrite the SAME path with different data; mtime_ns must differ
+    time.sleep(0.01)
+    write(50)
+    assert os.path.isdir(src)
+    second = sessions()
+    assert second == 1 and first == 1
+    # counts alone can collide; check interval extent changed
+    from dataengineeringworkshop_spark.operators.temporal import (
+        global_session_intervals as gsi,
+    )
+
+    row = gsi(
+        spark.read.parquet(src), ts="ts", gap_seconds=60,
+        band_seconds=3600, artifact_key=f"test:gsi:{src}",
+    ).agg(F.max("end_us").alias("m")).first()
+    assert row.m == (1_700_000_000 + 49 * 10) * 1_000_000
