@@ -25,6 +25,10 @@ TABLES = (
 # resolved from registry.DRIVER_PREFIX inside main() (importable only
 # after __spark_entry__ has put the repo on sys.path)
 EXTRA = [
+    # round-13 addition not yet in the evidence prefix (r14 rotation
+    # pool) — exercised here so it arrives at its rotation already
+    # proven
+    "vt_reorg_purge_threshold",
     # four-round-green rows rotated OUT of the r13 prefix (their slots
     # carry the six round-12 merge-on-read/metrics rows) — keep them
     # exercised so a regression is caught before the judge's spot-check
