@@ -29,8 +29,16 @@ MERGES_SCHEMA = "merge_rank int, left string, right string, pair_count long"
 
 
 def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    from dataengineeringworkshop_spark.operators.fanout import fan_out
+
+    # project to the text column, then restore map parallelism: the
+    # corpus ships as a one-row-group file, so without the (gated,
+    # scale-adaptive) repartition the whole explode + partial-agg map
+    # side runs on a single core (guide §2.5 input skew; measured 43 s
+    # single-task at sf0.1 in the round-13 profile)
     return (
-        docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        fan_out(docs.select(F.col(text_col).alias("__t")))
+        .select(F.explode(F.split(F.lower(F.col("__t")), " ")).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("weight"))
@@ -188,7 +196,19 @@ def learn_bpe_merges(
                 )
     finally:
         seqs0.unpersist()
-    return spark.createDataFrame(merges, MERGES_SCHEMA)
+    # local relation via the Arrow path (pandas input), NOT a pickled-row
+    # parallelize: createDataFrame(list-of-tuples) plans as a Python-RDD
+    # scan whose every task needs a plain (non-Arrow) Python worker —
+    # the round-13 profile measured the first such job in a session at
+    # 18-60 s of pure worker-spawn wait for these 8 rows (guide §4: keep
+    # the Python boundary out of plans that don't need it).  The Arrow
+    # conversion happens driver-side; executors see only JVM rows.
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        merges, columns=["merge_rank", "left", "right", "pair_count"]
+    )
+    return spark.createDataFrame(pdf, MERGES_SCHEMA)
 
 
 def apply_bpe(

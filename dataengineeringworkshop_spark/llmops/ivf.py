@@ -89,8 +89,16 @@ def train_centroids(
     rows = _train_centroid_rows(
         corpus, vec_col, nlist, seed, max_iter, max_train_rows, cache_key
     )
+    # Arrow local relation, not a pickled-row parallelize: the list form
+    # plans as a Python-RDD scan whose tasks each need a plain Python
+    # worker (measured 2-18 s of worker-spawn wait for nlist rows —
+    # OPTIMIZATION_r13.md); the Arrow conversion is driver-side and the
+    # executors see JVM rows only
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["cell_id", "centroid"])
     return corpus.sparkSession.createDataFrame(
-        rows, "cell_id INT, centroid ARRAY<DOUBLE>"
+        pdf, "cell_id INT, centroid ARRAY<DOUBLE>"
     )
 
 
@@ -176,7 +184,12 @@ def ann_topk_ivf(
     # norm is part of the index artifact: computed once per vector at
     # build time, not once per (query, vector) pair at probe time —
     # probe-side pair work drops from 3 dot products to 1
-    c_index = corpus.select(
+    from dataengineeringworkshop_spark.operators.fanout import fan_out
+
+    # index-build map (argmin over nlist centroids + the norm fold per
+    # vector) fans out behind the one-row-group testdata scan — gated,
+    # no-op on a wide production scan (guide §2.5)
+    c_index = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("c_vec"),
         F.element_at(_nearest_cells(F.col(vec_col), centroid_rows, 1), 1)

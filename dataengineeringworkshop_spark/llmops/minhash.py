@@ -31,8 +31,17 @@ from pyspark.sql import functions as F
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct word n-grams — all JVM array built-ins."""
-    w = F.split(F.col(text_col), " ")
+    """(id, shingle) distinct word n-grams — all JVM array built-ins.
+
+    The input is projected to (id, text) and fanned out before the
+    explode: the corpus arrives as a one-row-group parquet file (a
+    single-partition scan), and the split+slice+concat explode is the
+    CPU-heavy half of every dedup index build — without the gated
+    repartition it runs on one core (guide §2.5; no-op at real scale
+    where the scan is already wide)."""
+    from dataengineeringworkshop_spark.operators.fanout import fan_out
+
+    w = F.split(F.col("__t"), " ")
     shingles = F.when(F.size(w) < n, F.array()).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(w) - (n - 1)),
@@ -40,7 +49,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         )
     )
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
+        fan_out(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")))
+        .select("doc", F.explode(shingles).alias("shingle"))
         .distinct()
     )
 

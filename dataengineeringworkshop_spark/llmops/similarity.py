@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
 from dataengineeringworkshop_spark.llmops.expr import DOT_DOUBLE as _DOT
+from dataengineeringworkshop_spark.operators.fanout import fan_out
 
 
 def exact_cosine_topk(
@@ -34,8 +35,11 @@ def exact_cosine_topk(
 
     ``queries`` is broadcast; requires query_id != neighbor id."""
     nrm = F.expr(_DOT.format(a=vec_col, b=vec_col))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    # fan the corpus side out (gated, operators.fanout): the per-row dot
+    # products are the query's CPU, and a one-row-group embeddings file
+    # would otherwise run them all on one core
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     ).withColumn("c_nrm", F.expr(_DOT.format(a="c_vec", b="c_vec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -126,6 +130,12 @@ def ann_topk_lsh(
     from dataengineeringworkshop_spark.operators.materialize import materialize
 
     def build_index() -> DataFrame:
+        # deliberately NOT fanned out: fanning a pandas-UDF stage to 32
+        # partitions forces 32 simultaneous cold Python-worker spawns
+        # (~15-20 s measured, OPTIMIZATION_r13.md) while the BLAS matmul
+        # itself is trivial at the scale where the fan-out gate fires —
+        # and at production scale the scan is already wide, so the
+        # fan-out would be a no-op there too; it has no winning case here
         sig = lsh_signatures(corpus, id_col, vec_col, dim, nbits, bands)
         ok = sig.groupBy("band", "band_key").count().filter(
             F.col("count") <= max_bucket
@@ -155,8 +165,8 @@ def ann_topk_lsh(
     # single dot product per candidate pair instead of three, and a
     # probe joins the cached parquet artifact rather than re-scanning
     # the corpus table (same build/serve split as the IVF index)
-    c_vec = corpus.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec")
+    c_vec = fan_out(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"))
     ).withColumn("c_nrm", F.expr(_DOT.format(a="c_vec", b="c_vec")))
     if index_key:
         c_vec = materialize(

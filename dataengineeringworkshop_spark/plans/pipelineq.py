@@ -151,9 +151,11 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable eval gram set — bounded by construction (the eval
     benchmark is a FIXED 64-doc hash-ordered sample, not a corpus
     percentage, so the broadcast cannot grow with the data); nothing
-    touches the driver.  Intermediate stages are TEMPORARY tables
-    (plain parquet, no commit log) — only the published ``gold_mix``
-    node pays versioned-commit overhead."""
+    touches the driver.  Multi-consumer intermediates (``gated``,
+    ``deduped``) are TEMPORARY tables (plain parquet, no commit log);
+    the single-consumer ``clean`` stage is a view (no write+read
+    round-trip, round-13 optimization) — only the published
+    ``gold_mix`` node pays versioned-commit overhead."""
     p = Pipeline("corpus", tempfile.mkdtemp(prefix="dew_plc_"))
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("__pl_corpus_src_docs")
     p.view("src_docs", "SELECT * FROM __pl_corpus_src_docs")
@@ -211,7 +213,14 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
-    p.table(
+    # single consumer (gold_mix) and no expectations to record — a VIEW,
+    # not a materialization: both of clean's reads of live.deduped
+    # resolve to scans of the deduped TEMP TABLE (already checkpointed),
+    # so inlining duplicates no heavy work and the node's parquet
+    # write+read round-trip (plus its serialized driver overhead) drops
+    # out of every run (round-13 optimization; guide §1.2 — remove
+    # passes you don't need)
+    p.view(
         "clean",
         """
         SELECT d.* FROM live.deduped d
@@ -225,7 +234,6 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c ON d.doc_id = c.doc_id
         WHERE d.doc_id % 97 <> 0
         """,
-        temporary=True,
     )
     p.table(
         "gold_mix",

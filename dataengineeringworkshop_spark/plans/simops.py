@@ -31,7 +31,13 @@ _DOT = (
 
 
 def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    from dataengineeringworkshop_spark.operators.fanout import fan_out
+
+    # embeddings ship as a one-row-group file (single-partition scan);
+    # the decimal norm fold and every downstream per-pair dot product
+    # would run on one core without the gated repartition (guide §2.5 —
+    # no-op once the scan is wider than the core count)
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     return e.withColumn("nrm", F.expr(_DOT.format(a="embedding", b="embedding")))
 
 

@@ -918,9 +918,15 @@ def t_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineeringworkshop_spark.llmops.bpe import apply_bpe
     from dataengineeringworkshop_spark.plans.tables import load_table
 
+    from dataengineeringworkshop_spark.operators.fanout import fan_out
+
     d = load_table(spark, sf_dir, "documents")
+    # the tokenize map (regexp char-wrap + 8 chained replaces per word)
+    # is the query's CPU; behind the one-row-group testdata scan it ran
+    # as ONE 56 s task (round-13 profile) — gated fan-out restores the
+    # map parallelism and is a no-op on a wide production scan
     tok = apply_bpe(
-        d.select("doc_id", "source", "text"), _bpe_merge_list(spark, sf_dir)
+        fan_out(d.select("doc_id", "source", "text")), _bpe_merge_list(spark, sf_dir)
     )
     per_doc = tok.groupBy("source", "doc_id").agg(
         F.sum(F.size("bpe_tokens")).cast("long").alias("n_tokens")
