@@ -102,6 +102,16 @@ def train_centroids(
     )
 
 
+#: parsed centroid-literal memo: the array<array<double>> literal for a
+#: trained quantizer is identical on every probe, but ``F.expr`` re-parses
+#: it through py4j per call (~50-90 ms for nlist×dim doubles — measured
+#: round-14).  Columns are immutable plan fragments, so reusing the parsed
+#: literal is sound within one SparkContext; the memo is dropped wholesale
+#: when the context changes (the fragments wrap JVM objects that die with
+#: it).  Bounded by the number of distinct trained quantizers.
+_CENT_LITERAL_MEMO: dict[tuple, Column] = {}
+
+
 def _nearest_cells(vec: Column, centroid_rows: list, n_cells: int) -> Column:
     """array<struct<d,cell_id>> of the ``n_cells`` nearest centroids —
     pure expression, no shuffle.  Sorted by (sq_dist asc, cell_id asc):
@@ -115,7 +125,19 @@ def _nearest_cells(vec: Column, centroid_rows: list, n_cells: int) -> Column:
             for _, centroid in sorted(centroid_rows)
         )
     )
-    cents = F.expr(cents_sql)
+    # key on the live SparkContext too: the parsed Column wraps a JVM
+    # object, which dies with the context (tests stop/start sessions)
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context  # noqa: SLF001
+    ctx_key = ctx.applicationId if ctx is not None else None  # unique per context
+    if any(k[0] != ctx_key for k in _CENT_LITERAL_MEMO):
+        _CENT_LITERAL_MEMO.clear()  # old context's fragments are dead
+    memo_key = (ctx_key, cents_sql)
+    cents = _CENT_LITERAL_MEMO.get(memo_key)
+    if cents is None:
+        cents = F.expr(cents_sql)
+        _CENT_LITERAL_MEMO[memo_key] = cents
     v = vec.cast("array<double>")
     dist_structs = F.transform(
         cents,

@@ -220,20 +220,25 @@ def minhash_dedup_pairs(
     # NO broadcast hint: the candidate-doc set grows with corpus size
     # and dup rate (unbounded at 100 TB) — AQE broadcasts it at runtime
     # when it is actually small, and falls back to a shuffle join when
-    # it is not
+    # it is not.  The restricted index is NOT written out: the verify
+    # consumers each re-scan the (already materialized) shingle artifact
+    # and restrict through their candidate join — the intersection joins
+    # restrict via ``cand`` itself, only ``sizes`` needs the distinct
+    # doc set — so the per-call verify pays zero parquet round-trips
+    # (round-14: the write+read job and its exchanges were pure driver
+    # overhead per serve; guide §1.2 — remove passes you don't need).
     cand_docs = cand.select(F.col("d1").alias("doc")).union(
         cand.select("d2")
     ).distinct()
-    sh_cand = materialize(
-        sh.join(cand_docs, "doc"), "verify_shingles"
+    sizes = sh.join(cand_docs, "doc").groupBy("doc").agg(
+        F.count("*").alias("sz")
     )
-    sizes = sh_cand.groupBy("doc").agg(F.count("*").alias("sz"))
     # exact intersection, routed through the pair list:
     #   (d1, d2) ⋈ sh(d1) → (d1, d2, shingle) ⋈ sh(d2) → count
     inter = (
-        cand.join(sh_cand.withColumnRenamed("doc", "d1"), "d1")
+        cand.join(sh.withColumnRenamed("doc", "d1"), "d1")
         .join(
-            sh_cand.select(F.col("doc").alias("d2"), "shingle"),
+            sh.select(F.col("doc").alias("d2"), "shingle"),
             ["d2", "shingle"],
         )
         .groupBy("d1", "d2")

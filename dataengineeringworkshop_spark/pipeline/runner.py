@@ -247,6 +247,13 @@ class Pipeline:
         """Execute the DAG once (triggered mode, ST6).  Returns per-dataset
         metrics: rows written + expectation counters."""
         ensure_session_defaults(spark)
+        # per-run upstream-view memo: a dataset referenced by N downstream
+        # nodes (or N times in one query) would otherwise pay N
+        # ``spark.read.parquet`` listing+footer reads and N catalog writes
+        # (driver-side, ~50-150 ms each); within one run a materialized
+        # node is written exactly once, before any consumer builds, so
+        # one registration per dataset is sound.
+        self._run_view_memo: set[str] = set()
         os.makedirs(self.event_log_path, exist_ok=True)
         run_id = int(time.time() * 1000)
         events_file = f"{self.event_log_path}/run-{run_id}.jsonl"
@@ -325,7 +332,11 @@ class Pipeline:
                 sdf.createOrReplaceTempView(view)
             else:
                 if spec.kind != "view":  # views already registered in topo order
-                    self.read_dataset(spark, name).createOrReplaceTempView(view)
+                    memo = getattr(self, "_run_view_memo", None)
+                    if memo is None or view not in memo:
+                        self.read_dataset(spark, name).createOrReplaceTempView(view)
+                        if memo is not None:
+                            memo.add(view)
             return view
 
         from dataengineeringworkshop_spark.sqlcompat import _split_literals

@@ -59,6 +59,10 @@ def flagship_region_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     SCALES with the data, so its join strategy is left to Catalyst/AQE —
     broadcast while it fits, sort-merge beyond (forcing the hint would
     OOM a 100 TB run).  lineitem⋈orders shuffles on orderkey."""
+    # (round-14 A/B: a per-order pre-aggregate before the dim joins —
+    # guide §2.3 — measured 1.65x SLOWER here: it adds a second exchange
+    # while the distinct-agg's own partial pass already reduces map-side;
+    # the straightforward broadcast-join + distinct-agg form stays.)
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -551,18 +555,29 @@ def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped aggregate, filtered."""
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    spend = (
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    # aggregate by the 8-byte custkey BEFORE attaching the customer dim
+    # (guide §2.3: narrower shuffle keys, project before the exchange):
+    # c_name/c_nationkey are functionally determined by c_custkey, so
+    # grouping by custkey alone and joining the dim after is the same
+    # result with the name strings kept out of the aggregation exchange.
+    per_cust = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .groupBy("o_custkey")
         .agg(
             F.expr(
                 "CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4))) AS DOUBLE)"
             ).alias("total_spend")
         )
+    )
+    spend = per_cust.join(c, per_cust.o_custkey == c.c_custkey).select(
+        "c_nationkey", "c_custkey", "c_name", "total_spend"
     )
     w = Window.partitionBy("c_nationkey").orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
     return spend.withColumn("customer_rank", F.rank().over(w)).filter(F.col("customer_rank") <= 3)

@@ -121,16 +121,26 @@ def ws_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
     )
-    silver_lines = lines.filter(F.col("l_quantity") > 0).select(
-        "l_orderkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    # pre-aggregate net price per ORDER before the join (guide §2.3):
+    # the join then matches |orders| rows instead of |lineitem| rows,
+    # and COUNT(DISTINCT o_orderkey) collapses to COUNT(*) — after the
+    # dedup both sides carry each orderkey at most once.  The decimal
+    # sums re-associate exactly, so total_sales is bit-identical.
+    line_agg = (
+        lines.filter(F.col("l_quantity") > 0)
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.expr("SUM(CAST((net_price) AS DECIMAL(18,4)))").alias("__net"))
     )
     return (
-        silver_lines.join(silver_orders, silver_lines.l_orderkey == silver_orders.o_orderkey)
+        line_agg.join(silver_orders, line_agg.l_orderkey == silver_orders.o_orderkey)
         .groupBy("order_month", "o_orderstatus")
         .agg(
-            F.countDistinct("o_orderkey").alias("number_of_sales"),
-            F.expr("CAST(SUM(CAST((net_price) AS DECIMAL(18,4))) AS DOUBLE)").alias("total_sales"),
+            F.count(F.lit(1)).alias("number_of_sales"),
+            F.expr("CAST(SUM(__net) AS DOUBLE)").alias("total_sales"),
         )
     )
 
