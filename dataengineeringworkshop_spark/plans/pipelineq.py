@@ -174,13 +174,21 @@ def cp_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             Expectation("lang_allowed", "lang IN ('en', 'de', 'fr')", mode="drop"),
         ],
     )
+    # keep-first dedup as min_by aggregation, not a row_number window:
+    # identical rows (doc_id is unique, so min_by is deterministic and
+    # equals the rn=1 row), but the aggregate gets a map-side partial
+    # pass — duplicate texts collapse BEFORE the exchange — and skips
+    # the window's per-partition sort (round-14 A/B: 0.82x; guide §2.3
+    # "aggregate before you shuffle")
     p.table(
         "deduped",
         """
-        SELECT doc_id, text, lang, source, n_chars_actual, n_words FROM (
-            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-            FROM live.gated
-        ) WHERE rn = 1
+        SELECT s.doc_id, text, s.lang, s.source, s.n_chars_actual, s.n_words
+        FROM (
+            SELECT text, min_by(struct(doc_id, lang, source, n_chars_actual,
+                                       n_words), doc_id) AS s
+            FROM live.gated GROUP BY text
+        )
         """,
         temporary=True,
     )

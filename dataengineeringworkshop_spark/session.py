@@ -82,13 +82,27 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def ensure_session_defaults(spark: SparkSession) -> SparkSession:
-    """Assert runtime confs on an existing session (idempotent, cheap)."""
+    """Assert runtime confs on an existing session (idempotent, cheap).
+
+    Gated per session object: every entry point calls this on every
+    table load, and each ``conf.set`` is a py4j round-trip — re-asserting
+    identical values tens of times per query is measurable driver
+    overhead (round-14).  Nothing in the repo or the driver contract
+    mutates these five confs after a session is handed to us, so the
+    first successful pass is authoritative for that session."""
+    if getattr(spark, "_dew_defaults_ok", False):
+        _ship_package(spark)  # self-gated
+        return spark
     for k, v in RUNTIME_DEFAULTS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # non-runtime-settable in this build — session-level default applies
             pass
+    try:
+        spark._dew_defaults_ok = True
+    except Exception:
+        pass  # exotic session object refusing attributes — stay ungated
     _ship_package(spark)
     return spark
 

@@ -536,59 +536,64 @@ def test_interval_overlap_is_banded_equi_join(spark, registry):
 def test_interval_overlap_incident_windows_are_banded(spark, registry):
     """No PER-EVENT window may run on a single partition: the incident
     derivation must local-sessionize per time band (partitioned window
-    over the raw error events) and only the band-bounded summary rows —
-    <= band/gap + 1 per band, bounded by the time range — may pass the
-    final ordered merge.  Pin: every SinglePartition exchange feeds a
-    Window whose input already went through the banded partial
-    aggregation, i.e. the raw events Scan is separated from any
-    SinglePartition exchange by a HashAggregate."""
+    over the raw error events), and the O(#bands) boundary merge must
+    never see event-scale data.  r14 form: the boundary fold runs
+    DRIVER-side (metadata-scale, capped), so the default plan contains
+    NO SinglePartition exchange at all — the strongest version of the
+    r12 pin.  The distributed fallback above the cap keeps the original
+    summary-only SinglePartition shape; that path is pinned separately
+    in test_global_session_fold_input_is_boundary_subset."""
     plan = _plan(registry["tj_interval_overlap"].fn(spark, SF_SMOKE))
     # the banded local-sessionize must be present: per-event rows shuffle
     # by hashpartitioning(__band), i.e. the raw error events never feed a
     # single-partition window
     assert re.search(r"hashpartitioning\(__band", plan), plan
-    # every SinglePartition exchange block may carry ONLY summary
-    # attributes (start_us/end_us) — a raw per-event column (event_id,
-    # user_id, or the raw ts) in its Input list means a per-event global
-    # window is back
-    blocks = re.split(r"\n\n", plan)
-    single = [
-        b for b in blocks
-        if "Exchange" in b and "SinglePartition" in b and "Input" in b
-    ]
-    assert single, "expected the bounded summary merge exchange:\n" + plan
-    for b in single:
-        inp = next(ln for ln in b.split("\n") if ln.startswith("Input"))
-        assert "event_id" not in inp and "user_id" not in inp, (
-            "per-event attributes crossing a SinglePartition exchange:\n" + b
-        )
+    # the driver fold returns the merged chains / numbering offsets as
+    # local relations, so no single-partition exchange survives anywhere
+    assert "SinglePartition" not in plan, (
+        "unexpected SinglePartition exchange (driver band fold should "
+        "have removed the summary merge exchange):\n" + plan
+    )
+    assert re.search(r"LocalTableScan|ExistingRDD", plan), plan
 
 
 def test_global_session_fold_input_is_boundary_subset(spark):
-    """r12 (VERDICT r11 #4): the single-partition merge fold must see
-    ONLY band-boundary sessions (<= 2 per band, O(#bands) rows), never
-    every local session — at a 1 s gap over years of 100 TB timeline
-    the session count is event-scale and an all-sessions fold is the
-    plan's bottleneck.  Pin: the boundary filter exists below the
-    unpartitioned window, and no SinglePartition exchange carries
-    per-event attributes."""
+    """r12 (VERDICT r11 #4), r14 form: the O(#bands) boundary merge must
+    never see event-scale data.  Round 14 folds the band summary
+    driver-side (metadata-scale, capped, exact integer arithmetic) and
+    returns the merged chains + numbering offsets as local relations —
+    the plan then contains NO single-partition exchange at all; above
+    the cap the original distributed fold runs and its pins hold."""
     from pyspark.sql import functions as F
 
-    from dataengineeringworkshop_spark.operators.temporal import (
-        global_session_intervals,
-    )
+    import dataengineeringworkshop_spark.operators.temporal as temporal
 
     df = spark.range(5000).select(
         F.col("id").alias("event_id"),
         F.timestamp_seconds(F.col("id") * 3).alias("ts"),
     )
-    plan = _plan(
-        global_session_intervals(df, ts="ts", gap_seconds=60, band_seconds=3600)
-    )
-    # the boundary rows are GENERATED from the O(#bands) band-summary
-    # artifact (first/last per band, posexploded) — an explode over the
-    # checkpointed summary scan, not a filter of the session set; the
-    # session-scale lineage never reaches the unpartitioned fold
+
+    def build():
+        return temporal.global_session_intervals(
+            df, ts="ts", gap_seconds=60, band_seconds=3600
+        )
+
+    # default: driver fold — merged/offsets are local relations, and no
+    # SinglePartition exchange exists anywhere in the plan
+    plan = _plan(build())
+    assert re.search(r"LocalTableScan|ExistingRDD", plan), plan
+    assert re.search(r"hashpartitioning\(__band", plan), plan
+    assert "SinglePartition" not in plan, plan
+
+    # fallback above the cap: the distributed boundary fold, with the
+    # original pins — boundary rows explode from the band summary and no
+    # SinglePartition exchange carries per-event attributes
+    old_cap = temporal.BANDS_DRIVER_CAP
+    temporal.BANDS_DRIVER_CAP = 0
+    try:
+        plan = _plan(build())
+    finally:
+        temporal.BANDS_DRIVER_CAP = old_cap
     assert "Generate" in plan and re.search(r"explode", plan, re.I), plan
     assert re.search(r"hashpartitioning\(__band", plan), plan
     blocks = re.split(r"\n\n", plan)

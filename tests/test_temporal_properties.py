@@ -166,6 +166,41 @@ def test_global_session_intervals_matches_naive_fold(spark, secs, gap):
     assert got == sorted(want), (got, want, gap)
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(secs=_gsi_times, gap=st.sampled_from([1, 600, 3599]))
+def test_gsi_driver_fold_equals_distributed_fold(spark, secs, gap):
+    """Round-14 pin: the driver-side band fold (default) and the
+    distributed fallback (forced via BANDS_DRIVER_CAP=0) are
+    row-identical, session ids included."""
+    from pyspark.sql import functions as F
+
+    import dataengineeringworkshop_spark.operators.temporal as temporal
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sorted(secs))], "event_id long, secs long"
+    ).withColumn("ts", F.timestamp_seconds("secs"))
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                temporal.global_session_intervals(
+                    df, ts="ts", gap_seconds=gap, order_tiebreak="event_id",
+                    band_seconds=3600,
+                ).collect(),
+            )
+        )
+
+    fast = run()
+    old_cap = temporal.BANDS_DRIVER_CAP
+    temporal.BANDS_DRIVER_CAP = 0
+    try:
+        slow = run()
+    finally:
+        temporal.BANDS_DRIVER_CAP = old_cap
+    assert fast == slow, (fast, slow, gap)
+
+
 # ---------------------------------------------------------------------------
 # streaming session fold (streaming/sessions.py) vs linear-scan sessionizer
 
